@@ -1,0 +1,110 @@
+"""End-to-end frame tests on the Cornell box (golden-property checks).
+
+The reference has no test suite; its smoke path is Cornell-on-WARP
+(SURVEY.md §4).  Ours: render Cornell through the full jitted pipeline on
+CPU and assert scene-derived image properties (wall colors in the right
+places, depth ordering, determinism, motion vectors zero for a static
+camera).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from toyrenderer_tpu.scene import load_scene
+from toyrenderer_tpu.engine import View, RenderSettings, init_carry
+from toyrenderer_tpu.engine.frame import make_render_fn, default_frame_inputs
+from toyrenderer_tpu.ops.geometry import static_meshlet_pairs
+
+W, H = 224, 128
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    scene_host = load_scene("resources/cornell.gltf", use_cache=False)
+    scene = scene_host.to_device()
+    pi, pm = static_meshlet_pairs(scene_host)
+    return scene_host, scene, jnp.asarray(pi), jnp.asarray(pm)
+
+
+def _render(cornell, settings, n_frames=1, move=None):
+    scene_host, scene, pi, pm = cornell
+    view = View.from_scene(scene_host, settings.width, settings.height)
+    view.enable_jitter = False
+    carry = init_carry(scene, settings)
+    render = make_render_fn(settings)
+    img = aux = None
+    for _ in range(n_frames):
+        mats = view.matrices()
+        fi = default_frame_inputs(scene_host, mats)
+        img, carry, aux = render(scene, pi, pm, fi, carry)
+        view.advance(mats)
+        if move:
+            move(view)
+    return np.asarray(img), {k: np.asarray(v) for k, v in aux.items()}
+
+
+def test_cornell_lit_frame(cornell):
+    settings = RenderSettings(width=W, height=H, manual_exposure=0.01)
+    img, aux = _render(cornell, settings)
+    assert img.shape == (H, W, 3)
+    cover = (aux['tri_id'] >= 0).mean()
+    assert 0.5 < cover < 0.95          # box interior + sky strips
+    # left third: red wall dominates some rows
+    left = img[H // 2, : W // 6].astype(np.float32)
+    right = img[H // 2, -W // 6:].astype(np.float32)
+    assert (left[:, 0] > left[:, 1] + 20).any(), "red wall missing"
+    assert (right[:, 1] > right[:, 0] + 20).any(), "green wall missing"
+    # center: lit white-ish back wall, not clipped to black
+    c = img[H // 2, W // 2]
+    assert c.min() > 60
+    # depth is reverse-Z in (0, 1]
+    d = aux['depth']
+    hit = aux['tri_id'] >= 0
+    assert d[hit].min() > 0.0 and d[hit].max() <= 1.0
+    # back wall farther than the front box: depth smaller
+    assert d[H // 2, W // 2] < d[int(H * 0.78), W // 2]
+
+
+def test_cornell_deterministic(cornell):
+    settings = RenderSettings(width=W, height=H, manual_exposure=0.01)
+    img1, _ = _render(cornell, settings)
+    img2, _ = _render(cornell, settings)
+    np.testing.assert_array_equal(img1, img2)
+
+
+def test_static_camera_zero_motion(cornell):
+    settings = RenderSettings(width=W, height=H, manual_exposure=0.01)
+    _, aux = _render(cornell, settings, n_frames=2)
+    assert np.abs(aux['motion']).max() < 1e-3
+
+
+def test_moving_camera_motion_vectors(cornell):
+    settings = RenderSettings(width=W, height=H, manual_exposure=0.01)
+    def move(v):
+        v.move(right=0.1)
+    _, aux = _render(cornell, settings, n_frames=2, move=move)
+    hit = aux['tri_id'] >= 0
+    mx = aux['motion'][..., 0][hit]
+    # camera moves right => geometry moves left in screen space...
+    # motion = cur - prev, so x-motion should be negative on average
+    assert np.abs(mx).mean() > 0.1
+    assert mx.mean() < 0.0
+
+
+def test_debug_views_run(cornell):
+    for mode in (1, 2, 6, 11):
+        settings = RenderSettings(width=W, height=H, debug_mode=mode)
+        img, _ = _render(cornell, settings)
+        assert img.shape == (H, W, 3)
+        assert img.any()
+
+
+def test_bruteforce_matches_binned(cornell):
+    s1 = RenderSettings(width=W, height=H, manual_exposure=0.01)
+    s2 = RenderSettings(width=W, height=H, manual_exposure=0.01,
+                        use_bruteforce_raster=True)
+    img1, aux1 = _render(cornell, s1)
+    img2, aux2 = _render(cornell, s2)
+    np.testing.assert_allclose(aux1['depth'], aux2['depth'], atol=1e-5)
+    assert (img1.astype(int) - img2.astype(int)).__abs__().mean() < 1.0

@@ -1,0 +1,175 @@
+"""The frame pipeline: one jitted function per (settings, scene topology).
+
+This replaces the reference's RenderGraph + per-pass command lists
+(source/RenderGraph.cpp, source/Scene.cpp:488-521): XLA schedules the pass
+DAG, fuses elementwise stages and reuses buffers; pass toggles are STATIC
+settings so disabled passes never enter the traced graph (the analogue of
+`IRenderer::Setup` returning false).  All cross-frame state (previous
+transforms, exposure, TAA history, HZB) lives in an explicit `carry` pytree
+— the analogue of every `m_FrameCounter % 2` double buffer in the reference.
+
+Pass order parity (Scene.cpp:495-513): Clear (implicit) -> UpdateInstance
+Consts -> [GI] -> GBuffer (cull+raster+resolve) -> [AO] -> [ShadowMask] ->
+DeferredLighting (+Sky) -> [Bloom] -> [AdaptLuminance] -> [TAA] ->
+PostProcess.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from toyrenderer_tpu.ops import geometry as geo_mod
+from toyrenderer_tpu.ops import raster as raster_mod
+from toyrenderer_tpu.ops.gbuffer import resolve_gbuffer
+from toyrenderer_tpu.ops.lighting import deferred_lighting, debug_view
+from toyrenderer_tpu.ops.postprocess import compose_final
+from toyrenderer_tpu.ops.raster import RasterConfig
+
+
+@dataclass(frozen=True)
+class RenderSettings:
+    """Static (trace-time) render configuration.
+
+    The runtime-tweakable equivalents in the reference are imgui-mutated
+    Scene booleans read by each renderer's Setup (Scene.h:106-135); here a
+    change triggers a (cached) retrace.
+    """
+    width: int = 1920
+    height: int = 1080
+    # pass toggles
+    enable_shadows: bool = False          # RT shadow mask (later milestone)
+    enable_ao: bool = False               # GTAO
+    enable_gi: bool = False               # DDGI
+    enable_bloom: bool = False
+    enable_auto_exposure: bool = False
+    enable_taa: bool = False
+    enable_culling: bool = False          # GPU-driven culling milestone
+    debug_mode: int = 0                   # lighting.DEBUG_*
+    # raster tuning
+    max_tris_per_tile: int = 512
+    raster_chunk: int = 32
+    max_big_tris: int = 256
+    tile_batch: int = 32
+    use_bruteforce_raster: bool = False   # tiny scenes / tests
+    # lighting
+    manual_exposure: float = 1.0
+    sky_turbidity: float = 2.5
+    ambient_factor: float = 0.03
+
+    def raster_config(self) -> RasterConfig:
+        return RasterConfig(
+            width=self.width, height=self.height,
+            max_tris_per_tile=self.max_tris_per_tile,
+            chunk=self.raster_chunk, max_big_tris=self.max_big_tris,
+            tile_batch=self.tile_batch)
+
+
+# The carry is a plain dict pytree so later milestones can add entries
+# (HZB, TAA history, exposure, DDGI probes) without type churn.
+FrameCarry = dict
+
+
+def init_carry(scene, settings: RenderSettings) -> FrameCarry:
+    """Initial cross-frame state (device arrays)."""
+    n_inst = scene.inst_node.shape[0]
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                           (n_inst, 4, 4))
+    return dict(
+        prev_inst_world=eye,
+        prev_depth=jnp.zeros((settings.height, settings.width), jnp.float32),
+        exposure=jnp.asarray(settings.manual_exposure, jnp.float32),
+        frame_index=jnp.asarray(0, jnp.int32),
+    )
+
+
+def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
+                 carry: FrameCarry, settings: RenderSettings):
+    """One frame.  jit with static settings via `make_render_fn`.
+
+    frame_inputs (all jnp arrays, dynamic):
+      view_proj, view_proj_nojitter, prev_view_proj_nojitter,
+      inv_view_proj, cam_pos — from View.matrices()
+      node_translation/rotation/scale — animated local TRS (defaults:
+        scene rest pose)
+      sun_direction (3,), sun_color (3,), sun_intensity ()
+    Returns (image_u8 (H, W, 3), new_carry, aux dict).
+    """
+    cfg = settings.raster_config()
+
+    # -- UpdateInstanceConsts ------------------------------------------------
+    world = geo_mod.node_world_matrices(
+        scene, frame_inputs['node_translation'],
+        frame_inputs['node_rotation'], frame_inputs['node_scale'])
+    inst_world, inst_adj = geo_mod.instance_transforms(scene, world)
+    prev_inst_world = carry['prev_inst_world']
+
+    # -- Geometry + raster (GBuffer pass) -------------------------------------
+    geo = geo_mod.meshlet_clip_triangles(
+        scene, inst_world, frame_inputs['view_proj'],
+        pair_inst, pair_meshlet)
+    if settings.use_bruteforce_raster:
+        setup, depth, tri_id = raster_mod.rasterize_bruteforce(geo, cfg)
+    else:
+        setup, depth, tri_id = raster_mod.rasterize(geo, cfg)
+
+    gb = resolve_gbuffer(
+        setup, depth, tri_id, scene, inst_world, inst_adj, prev_inst_world,
+        frame_inputs['view_proj_nojitter'],
+        frame_inputs['prev_view_proj_nojitter'], cfg)
+
+    # -- Deferred lighting + sky ----------------------------------------------
+    hdr = deferred_lighting(
+        gb, frame_inputs['cam_pos'], frame_inputs['inv_view_proj'],
+        frame_inputs['sun_direction'], frame_inputs['sun_color'],
+        frame_inputs['sun_intensity'],
+        sky_turbidity=settings.sky_turbidity,
+        ambient_factor=settings.ambient_factor)
+
+    # -- Post ------------------------------------------------------------------
+    exposure = carry['exposure']
+    if settings.debug_mode != 0:
+        dbg = debug_view(gb, settings.debug_mode,
+                         extras=dict(motion=gb['motion'], uv=gb['uv'],
+                                     tri_id=tri_id))
+        image = jnp.clip(dbg * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+    else:
+        image = compose_final(hdr, exposure=exposure)
+
+    new_carry = dict(
+        prev_inst_world=inst_world,
+        prev_depth=depth,
+        exposure=exposure,
+        frame_index=carry['frame_index'] + 1,
+    )
+    aux = dict(depth=depth, tri_id=tri_id, motion=gb['motion'], hdr=hdr)
+    return image, new_carry, aux
+
+
+@functools.lru_cache(maxsize=32)
+def make_render_fn(settings: RenderSettings):
+    """Jitted frame function specialized on static settings."""
+    return jax.jit(
+        functools.partial(render_frame, settings=settings))
+
+
+def default_frame_inputs(scene_host, view_matrices: dict) -> dict:
+    """Assemble frame_inputs from host scene + View.matrices() output."""
+    return dict(
+        view_proj=jnp.asarray(view_matrices['view_proj']),
+        view_proj_nojitter=jnp.asarray(view_matrices['view_proj_nojitter']),
+        prev_view_proj_nojitter=jnp.asarray(
+            view_matrices['prev_view_proj_nojitter']),
+        inv_view_proj=jnp.asarray(view_matrices['inv_view_proj']),
+        cam_pos=jnp.asarray(view_matrices['cam_pos']),
+        node_translation=jnp.asarray(scene_host.node_translation),
+        node_rotation=jnp.asarray(scene_host.node_rotation),
+        node_scale=jnp.asarray(scene_host.node_scale),
+        sun_direction=jnp.asarray(scene_host.sun_direction),
+        sun_color=jnp.asarray(scene_host.sun_color),
+        sun_intensity=jnp.asarray(scene_host.sun_intensity, jnp.float32),
+    )

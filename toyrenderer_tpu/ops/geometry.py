@@ -1,0 +1,110 @@
+"""Geometry stage: node hierarchy -> world matrices -> clip-space meshlet
+triangles (dense, jit-safe).
+
+Counterpart of the reference's GPU instance-transform pass
+(source/shaders/updateinstanceconsts.hlsl:12-53 walks each node's parent
+chain per GPU thread; source/BasePassRenderers.cpp:125-162 drives it).
+TPU-first design: the hierarchy is resolved with `node_depth` batched
+compose passes over the whole node array — no divergent walks — and the
+meshlet->triangle expansion is one dense gather producing fixed-shape
+(T, 3, 4) clip-space vertices.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from toyrenderer_tpu.mathlib.transforms import adjugate3, compose_trs
+
+
+def node_world_matrices(scene, node_translation, node_rotation, node_scale):
+    """(N,4,4) world matrices from per-node local TRS + static parent array.
+
+    `scene.node_depth` is static, so this unrolls to `depth-1` batched
+    4x4 matmul passes — each pass resolves one more hierarchy level.
+    """
+    local = compose_trs(node_translation, node_rotation, node_scale)
+    parent = scene.node_parent
+    has_parent = parent >= 0
+    parent_safe = jnp.maximum(parent, 0)
+    world = local
+    for _ in range(max(scene.node_depth - 1, 0)):
+        gathered = world[parent_safe]
+        composed = jnp.einsum('nij,njk->nik', gathered, local)
+        world = jnp.where(has_parent[:, None, None], composed, world)
+    return world
+
+
+def instance_transforms(scene, world):
+    """Per-instance world matrix + adjugate normal matrix.
+
+    Returns (I,4,4) world and (I,3,3) adjugate (normal transform that is
+    correct under non-uniform scale, as in toyrenderer_common.hlsli).
+    """
+    inst_world = world[scene.inst_node]
+    return inst_world, adjugate3(inst_world)
+
+
+def meshlet_clip_triangles(scene, inst_world, view_proj,
+                           pair_inst, pair_meshlet):
+    """Expand (instance, meshlet) pairs into clip-space triangles.
+
+    Args:
+      inst_world: (I, 4, 4) instance world matrices.
+      view_proj: (4, 4) jittered view-projection.
+      pair_inst / pair_meshlet: (Tp,) i32 — the visible-meshlet list (from
+        culling, or the static all-meshlets list).
+
+    Returns a dict of dense (T = Tp*96, ...) arrays:
+      clip: (T, 3, 4) clip-space vertices
+      vtx_ids: (T, 3) i32 global vertex indices
+      inst_id / mat_id: (T,) i32
+      double_sided: (T,) bool
+      tri_valid: (T,) bool (padding triangles beyond tri_count are invalid)
+    """
+    tris = scene.meshlet_tris[pair_meshlet]          # (Tp, 96, 3)
+    tp, mt, _ = tris.shape
+    tri_in_meshlet = jnp.broadcast_to(
+        jnp.arange(mt, dtype=jnp.int32)[None, :], (tp, mt))
+    tri_valid = tri_in_meshlet < scene.meshlet_tri_count[pair_meshlet][:, None]
+
+    prim = scene.meshlet_prim[pair_meshlet]          # (Tp,)
+    mat = scene.prim_material[prim]                  # (Tp,)
+    double_sided = scene.mat_double_sided[mat] != 0  # (Tp,)
+
+    world = inst_world[pair_inst]                    # (Tp, 4, 4)
+    mvp = jnp.einsum('ij,tjk->tik', view_proj, world)  # (Tp, 4, 4)
+
+    obj = scene.positions[tris]                      # (Tp, 96, 3, 3)
+    obj_h = jnp.concatenate(
+        [obj, jnp.ones_like(obj[..., :1])], axis=-1)  # (Tp, 96, 3, 4)
+    clip = jnp.einsum('tik,tmvk->tmvi', mvp, obj_h)  # (Tp, 96, 3, 4)
+
+    rep = lambda x: jnp.repeat(x, mt, axis=0)
+    return dict(
+        clip=clip.reshape(tp * mt, 3, 4),
+        vtx_ids=tris.reshape(tp * mt, 3),
+        inst_id=rep(pair_inst.astype(jnp.int32)),
+        mat_id=rep(mat.astype(jnp.int32)),
+        double_sided=rep(double_sided),
+        tri_valid=tri_valid.reshape(tp * mt),
+    )
+
+
+def static_meshlet_pairs(scene_host):
+    """Host helper: the no-culling (instance, meshlet) LOD0 pair list.
+
+    Uses the *host* SceneBuffers (numpy) — this is the pre-culling fallback
+    and the capacity bound for the culling kernel's compacted output.
+    """
+    import numpy as np
+    pi, pm = [], []
+    for i in range(scene_host.num_instances):
+        p = int(scene_host.inst_prim[i])
+        off = int(scene_host.prim_meshlet_offset[p, 0])
+        cnt = int(scene_host.prim_meshlet_count[p, 0])
+        pi.extend([i] * cnt)
+        pm.extend(range(off, off + cnt))
+    if not pi:
+        pi, pm = [0], [0]
+    return (np.asarray(pi, np.int32), np.asarray(pm, np.int32))

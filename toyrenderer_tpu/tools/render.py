@@ -1,0 +1,98 @@
+"""Headless renderer CLI: load a glTF scene, render N frames, save PNGs.
+
+The engine-shell equivalent (source/Engine.cpp MainLoop) for a TPU host:
+no window/ImGui — frames go to PNG, per-pass stats go to stdout.  Flag
+names mirror the reference's CLI options (source/Engine.cpp:17-19,
+Graphic.cpp:22-25, SceneLoading.cpp:17-18) where they exist.
+
+Usage:
+  python -m toyrenderer_tpu.tools.render --scene resources/cornell.gltf \
+      --displayresolution 1280x720 --frames 1 --output /tmp/out.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--scene", default="resources/cornell.gltf")
+    p.add_argument("--displayresolution", default="1280x720",
+                   help="WxH render resolution")
+    p.add_argument("--customscenescale", type=float, default=1.0)
+    p.add_argument("--frames", type=int, default=1)
+    p.add_argument("--output", default="/tmp/toyrenderer_out.png")
+    p.add_argument("--debugview", type=int, default=0,
+                   help="0=lit, 1=albedo, 2=normal, 6=depth, 11=meshlet ...")
+    p.add_argument("--bruteforceraster", action="store_true")
+    p.add_argument("--nocache", action="store_true",
+                   help="bypass the scene build cache")
+    p.add_argument("--exposure", type=float, default=1.0)
+    p.add_argument("--platform", default=None,
+                   help="force jax platform (cpu for software-WARP parity)")
+    args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    from toyrenderer_tpu.scene import load_scene
+    from toyrenderer_tpu.engine import (
+        View, RenderSettings, init_carry)
+    from toyrenderer_tpu.engine.frame import (
+        make_render_fn, default_frame_inputs)
+    from toyrenderer_tpu.ops.geometry import static_meshlet_pairs
+
+    w, h = (int(x) for x in args.displayresolution.split("x"))
+
+    t0 = time.time()
+    scene_host = load_scene(args.scene, scale=args.customscenescale,
+                            use_cache=not args.nocache)
+    print(f"[scene] {args.scene}: {scene_host.num_vertices} verts, "
+          f"{scene_host.num_meshlets} meshlets, "
+          f"{scene_host.num_instances} instances "
+          f"({time.time() - t0:.2f}s)")
+
+    scene = scene_host.to_device()
+    pair_inst, pair_meshlet = static_meshlet_pairs(scene_host)
+    pair_inst = jnp.asarray(pair_inst)
+    pair_meshlet = jnp.asarray(pair_meshlet)
+
+    settings = RenderSettings(
+        width=w, height=h, debug_mode=args.debugview,
+        manual_exposure=args.exposure,
+        use_bruteforce_raster=args.bruteforceraster)
+    view = View.from_scene(scene_host, w, h)
+    carry = init_carry(scene, settings)
+    render = make_render_fn(settings)
+
+    image = None
+    for i in range(args.frames):
+        mats = view.matrices()
+        fi = default_frame_inputs(scene_host, mats)
+        t0 = time.time()
+        image, carry, aux = render(scene, pair_inst, pair_meshlet, fi, carry)
+        image.block_until_ready()
+        dt = (time.time() - t0) * 1000
+        view.advance(mats)
+        label = "compile+run" if i == 0 else "frame"
+        print(f"[frame {i}] {label}: {dt:.2f} ms")
+
+    from PIL import Image
+    img = np.asarray(image)
+    Image.fromarray(img).save(args.output)
+    print(f"[out] wrote {args.output} ({img.shape[1]}x{img.shape[0]})")
+    npx = int(np.sum(np.asarray(aux['tri_id']) >= 0))
+    print(f"[stats] covered pixels: {npx}/{w*h} "
+          f"({100.0*npx/(w*h):.1f}%)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
