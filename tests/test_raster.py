@@ -85,14 +85,41 @@ def test_backface_culled_unless_double_sided():
     assert (np.asarray(tid) >= 0).sum() > 500
 
 
-def test_behind_camera_rejected():
+def test_fully_behind_camera_rejected():
     cfg = R.RasterConfig(width=32, height=32, max_tris_per_tile=16,
                          chunk=8, max_big_tris=8, tile_batch=4)
     tri = _ndc_tri([-0.5, -0.5], [0.5, -0.5], [0.0, 0.6])
-    tri[0, 2, 3] = -1.0          # one vertex behind camera
-    tri[0, 2, :3] *= -1.0
-    _, _, tid = R.rasterize(_geo_from_tris(tri), cfg)
+    tri[0, :, 3] = -1.0          # every vertex behind the camera
+    _, _, tid = R.rasterize(_geo_from_tris(tri, double_sided=True), cfg)
     assert (np.asarray(tid) >= 0).sum() == 0
+
+
+def test_external_triangle_renders_visible_sheet():
+    """Triangles crossing w=0 (no clipping stage) must rasterize exactly
+    their in-front sheet — the ground-plane case."""
+    cfg = R.RasterConfig(width=64, height=64, max_tris_per_tile=16,
+                         chunk=8, max_big_tris=8, tile_batch=4)
+    # a huge ground plane passing under and behind the camera:
+    # world y = -1, camera at origin looking down -Z with a standard
+    # reverse-Z infinite projection
+    from toyrenderer_tpu.mathlib import (
+        perspective_reverse_z_infinite, look_at)
+    import numpy as np
+    vp = perspective_reverse_z_infinite(np.radians(90), 1.0, 0.1) @ \
+        look_at([0, 0, 0], [0, 0, -1], [0, 1, 0])
+    corners = np.array([
+        [-100, -1, 100], [100, -1, 100], [0, -1, -200]], np.float32)
+    clip = (np.concatenate([corners, np.ones((3, 1), np.float32)], 1)
+            @ vp.T)[None]
+    assert (clip[0, :, 3] < 0).any() and (clip[0, :, 3] > 0).any()
+    _, depth, tid = R.rasterize(_geo_from_tris(clip, double_sided=True), cfg)
+    tid = np.asarray(tid)
+    # bottom half of the screen shows the ground, top half does not
+    assert (tid[48:] >= 0).mean() > 0.9
+    assert (tid[:16] >= 0).mean() < 0.1
+    # depth decreases toward the horizon (reverse-Z)
+    d = np.asarray(depth)
+    assert d[63, 32] > d[40, 32] > 0
 
 
 def test_binned_matches_bruteforce_random():

@@ -34,18 +34,17 @@ def resolve_gbuffer(setup: dict, depth, tri_id, scene,
     hit = tri_id >= 0
     tid = jnp.maximum(tri_id, 0)
 
-    px = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
-    py = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5
+    pxn = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5) / w
+    pyn = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5) / h
 
-    ea = setup['edge_a'][tid]        # (H, W, 3)
-    eb = setup['edge_b'][tid]
-    ec = setup['edge_c'][tid]
-    e = ea * px[..., None] + eb * py[..., None] + ec
-    bary = e * setup['inv_area'][tid][..., None]          # screen-space
-    inv_w = setup['inv_w'][tid]                            # (H, W, 3)
-    bw = bary * inv_w                                      # lambda_i / w_i
-    iw = jnp.sum(bw, -1, keepdims=True)                    # 1/w at pixel
-    pc = bw / jnp.maximum(iw, 1e-20)                       # persp-correct
+    # homogeneous edge values -> perspective-correct barycentrics
+    # (lambda_i ∝ L_i * inv_scale_i; see raster.py setup_triangles)
+    from toyrenderer_tpu.ops.raster import eval_edges
+    l = eval_edges(setup, tid, pxn, pyn)                   # (H, W, 3)
+    lw = l * setup['inv_s'][tid]
+    pc = lw / jnp.where(
+        jnp.abs(jnp.sum(lw, -1, keepdims=True)) < 1e-30, 1e-30,
+        jnp.sum(lw, -1, keepdims=True))
 
     vids = setup['vtx_ids'][tid]                           # (H, W, 3)
     inst = setup['inst_id'][tid]

@@ -3,26 +3,36 @@
 This is the TPU replacement for the reference's hardware meshlet pipeline
 (AS_Main/MS_Main/PS_Main in source/shaders/basepass.hlsl + indirect dispatch
 in source/BasePassRenderers.cpp:406-502).  There is no rasterizer primitive
-on a TPU, so the design is a classic sort-middle software raster reshaped
-for the VPU:
+on a TPU, so the design is a sort-middle software raster reshaped for the
+VPU, using 2D-HOMOGENEOUS edge functions (Olano-Greer style):
 
-  1. `setup_triangles`    — dense edge-equation + 1/w + z/w setup, backface
-                            and near-plane rejection (all masked, no branches)
-  2. `bin_triangles`      — each small triangle expands to a STATIC grid of
-                            (tile, tri) candidate slots; one global
-                            `lax.sort` by tile id + `searchsorted` yields
-                            per-tile triangle lists in a fixed-capacity
-                            (num_tiles, K) table.  Triangles spanning more
-                            tiles than the slot grid go to a separate "big"
-                            list tested by every tile (walls, floors).
-                            Capacity overflow drops triangles — the same
-                            bounded-amplification semantics as the
-                            reference's overflow drop (gpuculling.hlsl:69-74).
-  3. `fill_visibility`    — per tile, scan chunks of its triangle list,
-                            evaluate 3 edge functions over the TH x TW pixel
-                            block (TW = 128 to match the VPU lane width),
-                            reverse-Z depth-max reduce to (tri_id, depth)
-                            per pixel: the visibility buffer.
+  * Edge equations are cross products of clip-space vertices projected to a
+    normalized [0,1]^2 homogeneous screen space — NO near-plane clipping
+    stage exists or is needed; triangles crossing w=0 rasterize only their
+    visible sheet (guarded by an interpolated-w > 0 test).  Per-vertex
+    scale normalization keeps everything in f32-friendly ranges.
+  * Perspective-correct barycentrics fall out of the same edge values
+    (lambda_i ∝ L_i * inv_scale_i), so the visibility resolve needs no 1/w
+    bookkeeping.
+
+Stages:
+  1. `setup_triangles`  — dense edge/depth setup + backface & degenerate
+                          rejection (all masked, no branches)
+  2. `bin_triangles`    — each small triangle expands to a STATIC grid of
+                          (tile, tri) candidate slots; one global
+                          `lax.sort` by tile id + `searchsorted` yields
+                          per-tile triangle lists in a fixed-capacity
+                          (num_tiles, K) table.  Triangles spanning more
+                          tiles than the slot grid (or crossing w=0) go to
+                          a "big" list tested by every tile.  Capacity
+                          overflow drops triangles — the same bounded-
+                          amplification semantics as the reference's
+                          overflow drop (gpuculling.hlsl:69-74).
+  3. `fill_visibility`  — per tile, scan chunks of its triangle list,
+                          evaluate 3 edge functions over the TH x TW pixel
+                          block (TW = 128 to match the VPU lane width),
+                          reverse-Z depth-max reduce to (tri_id, depth)
+                          per pixel: the visibility buffer.
 
 Shading happens later from the visibility buffer (see gbuffer.py), which
 keeps this inner loop tiny and bandwidth-friendly.
@@ -30,12 +40,10 @@ keeps this inner loop tiny and bandwidth-friendly.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 @dataclass(frozen=True)
@@ -65,74 +73,115 @@ class RasterConfig:
 
 
 def setup_triangles(geo: dict, cfg: RasterConfig) -> dict:
-    """Clip-space triangles -> screen-space edge equations and planes.
+    """Clip-space triangles -> homogeneous edge equations ("setup").
 
     geo: output of geometry.meshlet_clip_triangles.
-    Returns a dict of (T, ...) arrays ("setup").  Invalid triangles get an
-    empty tile bbox so they never bin.
+    All arrays are (T, ...); invalid triangles get an empty tile bbox so
+    they never bin.
     """
     clip = geo['clip']                              # (T, 3, 4)
     w = clip[..., 3]
-    # near-plane rejection: every vertex must be in front of the camera.
-    # (True near clipping is done by the guard-band: partially-behind
-    # triangles are dropped; acceptable until a clipping stage is added.)
-    in_front = jnp.all(w > 1e-6, axis=-1)
-    w_safe = jnp.where(jnp.abs(w) < 1e-8, 1e-8, w)
-    inv_w = 1.0 / w_safe                            # (T, 3)
-    ndc = clip[..., :3] * inv_w[..., None]          # (T, 3, 3)
+    # normalized homogeneous screen coords: x in [0,1]*w, y-down
+    xh = clip[..., 0] * 0.5 + 0.5 * w
+    yh = 0.5 * w - clip[..., 1] * 0.5
+    v = jnp.stack([xh, yh, w], axis=-1)             # (T, 3, 3)
 
-    sx = (ndc[..., 0] * 0.5 + 0.5) * cfg.width      # (T, 3)
-    sy = (0.5 - ndc[..., 1] * 0.5) * cfg.height     # y down
-    zw = ndc[..., 2]                                # reverse-Z depth (0..1]
+    # per-vertex positive scale normalization (projective invariant for
+    # coverage; tracked via inv_scale for barycentrics)
+    s = jnp.maximum(jnp.max(jnp.abs(v), axis=-1), 1e-20)   # (T, 3)
+    vs = v / s[..., None]
+    inv_s = 1.0 / s
 
-    x0, x1, x2 = sx[:, 0], sx[:, 1], sx[:, 2]
-    y0, y1, y2 = sy[:, 0], sy[:, 1], sy[:, 2]
-    # signed area (y-down screen space); glTF CCW front faces come out < 0
-    area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
-    front = area < 0.0
-    keep = geo['tri_valid'] & in_front & (area != 0.0) & (
-        front | geo['double_sided'])
-    flip = jnp.where(front, -1.0, 1.0)
+    n0 = jnp.cross(vs[:, 1], vs[:, 2])              # edge opposite v0
+    n1 = jnp.cross(vs[:, 2], vs[:, 0])
+    n2 = jnp.cross(vs[:, 0], vs[:, 1])
+    det = jnp.sum(vs[:, 0] * n0, axis=-1)           # orientation (scaled)
 
-    # edge i is opposite vertex i:  E_i(p) = cross2(vk - vj, p - vj)
-    def edge(xj, yj, xk, yk):
-        a = -(yk - yj)
-        b = (xk - xj)
-        c = (yk - yj) * xj - (xk - xj) * yj
-        return a, b, c
+    # glTF CCW front faces project to det < 0 in this y-down space
+    front = det < 0.0
+    keep = (geo['tri_valid'] & (det != 0.0)
+            & (front | geo['double_sided'])
+            & jnp.any(w > 1e-6, axis=-1))
+    # L_i(v_i) == det, so interior edge values carry det's sign; normalize
+    # to "inside iff all L_i >= 0" for either winding
+    flip = jnp.where(det < 0.0, -1.0, 1.0)[:, None]
+    edges = jnp.stack([n0, n1, n2], axis=1) * flip[..., None]  # (T, 3, 3)
 
-    a0, b0, c0 = edge(x1, y1, x2, y2)
-    a1, b1, c1 = edge(x2, y2, x0, y0)
-    a2, b2, c2 = edge(x0, y0, x1, y1)
-    ea = jnp.stack([a0, a1, a2], -1) * flip[:, None]
-    eb = jnp.stack([b0, b1, b2], -1) * flip[:, None]
-    ec = jnp.stack([c0, c1, c2], -1) * flip[:, None]
-    inv_area = 1.0 / jnp.where(keep, jnp.abs(area), 1.0)
+    # depth interpolation: depth(p) = sum(L_i * zs_i) / sum(L_i * ws_i)
+    zs = clip[..., 2] * inv_s                       # (T, 3)
+    ws = w * inv_s
 
-    # pixel bbox -> tile bbox (clamped); invalid -> empty bbox
+    # tile bbox: NDC bbox when fully in front; else full screen (big path)
+    all_front = jnp.all(w > 1e-6, axis=-1)
+    w_safe = jnp.where(jnp.abs(w) < 1e-20, 1e-20, w)
+    sx = xh / w_safe                                # [0,1] when in front
+    sy = yh / w_safe
     xmin = jnp.min(sx, -1)
     xmax = jnp.max(sx, -1)
     ymin = jnp.min(sy, -1)
     ymax = jnp.max(sy, -1)
-    off = (xmax < 0) | (ymax < 0) | (xmin >= cfg.width) | (ymin >= cfg.height)
+    off = all_front & ((xmax < 0) | (ymax < 0) | (xmin >= 1) | (ymin >= 1))
     keep = keep & ~off
-    tx0 = jnp.clip(jnp.floor(xmin / cfg.tile_w), 0, cfg.tiles_x - 1)
-    tx1 = jnp.clip(jnp.floor(xmax / cfg.tile_w), 0, cfg.tiles_x - 1)
-    ty0 = jnp.clip(jnp.floor(ymin / cfg.tile_h), 0, cfg.tiles_y - 1)
-    ty1 = jnp.clip(jnp.floor(ymax / cfg.tile_h), 0, cfg.tiles_y - 1)
+    big = 1e9
+    xmin = jnp.where(all_front, xmin, 0.0)
+    ymin = jnp.where(all_front, ymin, 0.0)
+    xmax = jnp.where(all_front, xmax, big)
+    ymax = jnp.where(all_front, ymax, big)
+    tx0 = jnp.clip(jnp.floor(xmin * cfg.width / cfg.tile_w),
+                   0, cfg.tiles_x - 1)
+    tx1 = jnp.clip(jnp.floor(xmax * cfg.width / cfg.tile_w),
+                   0, cfg.tiles_x - 1)
+    ty0 = jnp.clip(jnp.floor(ymin * cfg.height / cfg.tile_h),
+                   0, cfg.tiles_y - 1)
+    ty1 = jnp.clip(jnp.floor(ymax * cfg.height / cfg.tile_h),
+                   0, cfg.tiles_y - 1)
     tx0 = jnp.where(keep, tx0, 1.0).astype(jnp.int32)
     tx1 = jnp.where(keep, tx1, 0.0).astype(jnp.int32)
     ty0 = jnp.where(keep, ty0, 1.0).astype(jnp.int32)
     ty1 = jnp.where(keep, ty1, 0.0).astype(jnp.int32)
 
     return dict(
-        edge_a=ea, edge_b=eb, edge_c=ec,
-        zw=zw, inv_w=inv_w, inv_area=inv_area,
-        screen_x=sx, screen_y=sy,
+        edges=edges, zs=zs, ws=ws, inv_s=inv_s,
         tx0=tx0, tx1=tx1, ty0=ty0, ty1=ty1, valid=keep,
         vtx_ids=geo['vtx_ids'], inst_id=geo['inst_id'],
         mat_id=geo['mat_id'],
     )
+
+
+def eval_edges(setup: dict, tid, pxn, pyn):
+    """Edge values L (..., 3) for triangles `tid` at normalized pixel
+    coords pxn/pyn (broadcastable).  Shared by fill and resolve."""
+    e = setup['edges'][tid]                         # (..., 3, 3)
+    return (e[..., 0] * pxn[..., None] + e[..., 1] * pyn[..., None]
+            + e[..., 2])
+
+
+def _coverage_depth(setup, ids, pxn, pyn):
+    """(inside, depth) for candidate triangle ids at pixel grids.
+
+    ids: (..., C) i32 (−1 = empty); pxn/pyn: (..., 1, TH, TW) normalized.
+    Returns inside (..., C, TH, TW) bool, depth f32 (reverse-Z; −1 outside).
+    """
+    ok = ids >= 0
+    idx = jnp.maximum(ids, 0)
+    ok = ok & setup['valid'][idx]
+    e = setup['edges'][idx]                          # (..., C, 3, 3)
+    zs = setup['zs'][idx]
+    ws = setup['ws'][idx]
+
+    def L(i):
+        return (e[..., i, 0, None, None] * pxn
+                + e[..., i, 1, None, None] * pyn
+                + e[..., i, 2, None, None])
+    l0, l1, l2 = L(0), L(1), L(2)
+    num = (l0 * zs[..., 0, None, None] + l1 * zs[..., 1, None, None]
+           + l2 * zs[..., 2, None, None])
+    den = (l0 * ws[..., 0, None, None] + l1 * ws[..., 1, None, None]
+           + l2 * ws[..., 2, None, None])
+    inside = ((l0 >= 0) & (l1 >= 0) & (l2 >= 0) & (den > 0)
+              & ok[..., None, None])
+    depth = jnp.where(inside, num / jnp.where(den == 0, 1.0, den), -1.0)
+    return inside, depth
 
 
 def bin_triangles(setup: dict, cfg: RasterConfig):
@@ -180,12 +229,10 @@ def bin_triangles(setup: dict, cfg: RasterConfig):
     # --- big triangles: compact into fixed B slots -------------------------
     big_rank = jnp.cumsum(is_big.astype(jnp.int32)) - 1
     b = cfg.max_big_tris
-    big_list = jnp.full((b,), -1, jnp.int32)
     slot = jnp.where(is_big & (big_rank < b), big_rank, b)
     big_list = jnp.zeros((b + 1,), jnp.int32).at[slot].max(
         jnp.where(is_big, jnp.arange(t, dtype=jnp.int32), 0),
         mode='drop')[:b]
-    # mark empty slots -1
     num_big = jnp.sum(is_big.astype(jnp.int32))
     big_list = jnp.where(jnp.arange(b) < jnp.minimum(num_big, b),
                          big_list, -1)
@@ -198,44 +245,25 @@ def fill_visibility(setup: dict, tile_table, big_list, cfg: RasterConfig):
     depth is reverse-Z (greater == closer, 0 == far/background);
     tri_id is -1 where nothing was drawn.
     """
-    ea, eb, ec = setup['edge_a'], setup['edge_b'], setup['edge_c']
-    zw, inv_area = setup['zw'], setup['inv_area']
-    valid = setup['valid']
-
     th, tw = cfg.tile_h, cfg.tile_w
     tb = cfg.tile_batch
     n_tiles = cfg.num_tiles
     n_batches = -(-n_tiles // tb)
     tiles_pad = n_batches * tb
 
-    col = jax.lax.broadcasted_iota(jnp.float32, (1, 1, th, tw), 3) + 0.5
-    row = jax.lax.broadcasted_iota(jnp.float32, (1, 1, th, tw), 2) + 0.5
+    col = (jax.lax.broadcasted_iota(jnp.float32, (1, 1, th, tw), 3) + 0.5)
+    row = (jax.lax.broadcasted_iota(jnp.float32, (1, 1, th, tw), 2) + 0.5)
+    inv_w_img = 1.0 / cfg.width
+    inv_h_img = 1.0 / cfg.height
 
     big_b = jnp.broadcast_to(big_list[None, :], (tb, big_list.shape[0]))
 
-    def raster_chunk(ids, px, py, best):
-        """ids (TB, C); px/py (TB,1,TH,TW); best = (z, id) per pixel."""
-        ok = (ids >= 0)
-        idx = jnp.maximum(ids, 0)
-        ok = ok & valid[idx]
-        a = ea[idx]                                  # (TB, C, 3)
-        b_ = eb[idx]
-        c = ec[idx]
-        z = zw[idx]                                  # (TB, C, 3)
-        ia = inv_area[idx]                           # (TB, C)
-
-        def e(i):
-            return (a[..., i, None, None] * px + b_[..., i, None, None] * py
-                    + c[..., i, None, None])         # (TB, C, TH, TW)
-        e0, e1, e2 = e(0), e(1), e(2)
-        inside = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)
-                  & ok[..., None, None])
-        depth = (e0 * z[..., 0, None, None] + e1 * z[..., 1, None, None]
-                 + e2 * z[..., 2, None, None]) * ia[..., None, None]
-        depth = jnp.where(inside, depth, -1.0)
+    def raster_chunk(ids, pxn, pyn, best):
+        """ids (TB, C); pxn/pyn (TB,1,TH,TW); best = (z, id) per pixel."""
+        inside, depth = _coverage_depth(setup, ids, pxn, pyn)
         best_z, best_id = best
-        cz = jnp.max(depth, axis=1)                                  # (TB,TH,TW)
-        carg = jnp.argmax(depth, axis=1)                             # (TB,TH,TW)
+        cz = jnp.max(depth, axis=1)                              # (TB,TH,TW)
+        carg = jnp.argmax(depth, axis=1)
         cid = jnp.take_along_axis(
             jnp.broadcast_to(ids[:, :, None, None], depth.shape),
             carg[:, None], axis=1)[:, 0]
@@ -253,8 +281,10 @@ def fill_visibility(setup: dict, tile_table, big_list, cfg: RasterConfig):
         tile_ids = jnp.minimum(tile_ids, n_tiles - 1)
         ty = tile_ids // cfg.tiles_x
         tx = tile_ids % cfg.tiles_x
-        px = tx[:, None, None, None].astype(jnp.float32) * tw + col
-        py = ty[:, None, None, None].astype(jnp.float32) * th + row
+        pxn = (tx[:, None, None, None].astype(jnp.float32) * tw
+               + col) * inv_w_img
+        pyn = (ty[:, None, None, None].astype(jnp.float32) * th
+               + row) * inv_h_img
         table = tile_table[tile_ids]                  # (TB, K)
 
         best = (jnp.zeros((tb, th, tw), jnp.float32),
@@ -262,12 +292,12 @@ def fill_visibility(setup: dict, tile_table, big_list, cfg: RasterConfig):
 
         def body(i, best):
             ids = jax.lax.dynamic_slice(table, (0, i * c), (tb, c))
-            return raster_chunk(ids, px, py, best)
+            return raster_chunk(ids, pxn, pyn, best)
         best = jax.lax.fori_loop(0, n_chunks, body, best)
 
         def body_big(i, best):
             ids = jax.lax.dynamic_slice(big_b, (0, i * c), (tb, c))
-            return raster_chunk(ids, px, py, best)
+            return raster_chunk(ids, pxn, pyn, best)
         best = jax.lax.fori_loop(0, n_big_chunks, body_big, best)
         return best
 
@@ -285,7 +315,7 @@ def fill_visibility(setup: dict, tile_table, big_list, cfg: RasterConfig):
 
 
 def rasterize(geo: dict, cfg: RasterConfig):
-    """setup + bin + fill in one call; returns (setup, depth, tri_id)."""
+    """setup + bin + fill; returns (setup, depth, tri_id)."""
     setup = setup_triangles(geo, cfg)
     tile_table, _, big_list = bin_triangles(setup, cfg)
     depth, tri_id = fill_visibility(setup, tile_table, big_list, cfg)
@@ -296,19 +326,17 @@ def rasterize_bruteforce(geo: dict, cfg: RasterConfig):
     """Reference path: every triangle vs every pixel (tests / tiny scenes)."""
     setup = setup_triangles(geo, cfg)
     t = setup['valid'].shape[0]
-    px = jax.lax.broadcasted_iota(jnp.float32, (cfg.height, cfg.width), 1) + 0.5
-    py = jax.lax.broadcasted_iota(jnp.float32, (cfg.height, cfg.width), 0) + 0.5
+    pxn = ((jax.lax.broadcasted_iota(
+        jnp.float32, (cfg.height, cfg.width), 1) + 0.5) / cfg.width)
+    pyn = ((jax.lax.broadcasted_iota(
+        jnp.float32, (cfg.height, cfg.width), 0) + 0.5) / cfg.height)
 
     def body(i, best):
         best_z, best_id = best
-        a, b, c = setup['edge_a'][i], setup['edge_b'][i], setup['edge_c'][i]
-        z3 = setup['zw'][i]
-        e0 = a[0] * px + b[0] * py + c[0]
-        e1 = a[1] * px + b[1] * py + c[1]
-        e2 = a[2] * px + b[2] * py + c[2]
-        inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & setup['valid'][i]
-        depth = (e0 * z3[0] + e1 * z3[1] + e2 * z3[2]) * setup['inv_area'][i]
-        depth = jnp.where(inside, depth, -1.0)
+        ids = jnp.full((1,), i, jnp.int32)
+        inside, depth = _coverage_depth(
+            setup, ids[None], pxn[None, None], pyn[None, None])
+        depth = depth[0, 0]
         upd = depth > best_z
         return (jnp.where(upd, depth, best_z),
                 jnp.where(upd, i, best_id))
