@@ -1,0 +1,100 @@
+"""Benchmark: full-frame render at 1080p on a Sponza-class stress scene.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <median ms/frame>, "unit": "ms",
+   "vs_baseline": <baseline_ms / value>}
+
+Baseline: BASELINE.json north-star target of 30 ms/frame at 1080p on one
+TPU chip (the reference publishes no numbers of its own — see BASELINE.md).
+vs_baseline > 1.0 means faster than the target.
+
+Extra diagnostic fields ride in the same JSON object (the driver only
+requires the four keys above).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+import numpy as np
+
+BASELINE_MS = 30.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from toyrenderer_tpu.scene.procedural import make_stress_scene
+    from toyrenderer_tpu.engine import RenderSettings, init_carry, View
+    from toyrenderer_tpu.engine.frame import (
+        make_render_fn, default_frame_inputs)
+    from toyrenderer_tpu.ops.geometry import static_meshlet_pairs
+
+    n_objects = int(os.environ.get("BENCH_OBJECTS", "192"))
+    sphere_res = int(os.environ.get("BENCH_SPHERE_RES", "24"))
+    width = int(os.environ.get("BENCH_WIDTH", "1920"))
+    height = int(os.environ.get("BENCH_HEIGHT", "1080"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "8"))
+
+    t0 = time.time()
+    scene_host = make_stress_scene(n_objects=n_objects,
+                                   sphere_res=sphere_res)
+    build_s = time.time() - t0
+    tri_count = int(scene_host.meshlet_tri_count[
+        :scene_host.num_meshlets].sum())
+
+    scene = scene_host.to_device()
+    pi, pm = static_meshlet_pairs(scene_host)
+    pi, pm = jnp.asarray(pi), jnp.asarray(pm)
+
+    settings = RenderSettings(width=width, height=height,
+                              manual_exposure=0.1)
+    view = View.from_scene(scene_host, width, height)
+    carry = init_carry(scene, settings)
+    render = make_render_fn(settings)
+
+    times = []
+    compile_s = None
+    for i in range(n_frames + 2):
+        mats = view.matrices()
+        fi = default_frame_inputs(scene_host, mats)
+        t0 = time.time()
+        image, carry, aux = render(scene, pi, pm, fi, carry)
+        image.block_until_ready()
+        dt = time.time() - t0
+        view.advance(mats)
+        if i == 0:
+            compile_s = dt
+        elif i >= 2:
+            times.append(dt * 1000.0)
+
+    ms = float(np.median(times))
+    covered = float((np.asarray(aux['tri_id']) >= 0).mean())
+    result = {
+        "metric": f"ms/frame {width}x{height} deferred "
+                  f"(sponza-class {tri_count} tris, "
+                  f"{scene_host.num_instances} instances)",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_MS / ms, 3),
+        "fps": round(1000.0 / ms, 2),
+        "frames_timed": len(times),
+        "min_ms": round(float(np.min(times)), 3),
+        "compile_s": round(compile_s, 1),
+        "scene_build_s": round(build_s, 2),
+        "coverage": round(covered, 3),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

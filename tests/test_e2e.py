@@ -108,3 +108,35 @@ def test_bruteforce_matches_binned(cornell):
     img2, aux2 = _render(cornell, s2)
     np.testing.assert_allclose(aux1['depth'], aux2['depth'], atol=1e-5)
     assert (img1.astype(int) - img2.astype(int)).__abs__().mean() < 1.0
+
+
+def test_full_hdr_pipeline(cornell):
+    """Bloom + auto-exposure + TAA enabled end-to-end; exposure converges
+    and the image stays plausible."""
+    settings = RenderSettings(width=W, height=H, enable_bloom=True,
+                              enable_auto_exposure=True, enable_taa=True,
+                              manual_exposure=0.05)
+    scene_host, scene, pi, pm = cornell
+    view = View.from_scene(scene_host, W, H)
+    carry = init_carry(scene, settings)
+    render = make_render_fn(settings)
+    exposures = []
+    img = None
+    for _ in range(8):
+        mats = view.matrices()
+        fi = default_frame_inputs(scene_host, mats)
+        img, carry, aux = render(scene, pi, pm, fi, carry)
+        view.advance(mats)
+        exposures.append(float(carry['exposure']))
+    img = np.asarray(img)
+    assert img.shape == (H, W, 3)
+    # auto-exposure moved away from the initial value toward a target
+    assert abs(exposures[-1] - 0.05) > 1e-4
+    deltas = [abs(exposures[i + 1] - exposures[i]) for i in range(6)]
+    assert deltas[-1] < deltas[0] + 1e-6   # settling
+    # image not black and not fully saturated in the box interior
+    inner = img[H // 4: -H // 4, W // 4: -W // 4]
+    assert inner.mean() > 10
+    assert (inner == 255).mean() < 0.5
+    # TAA history carried
+    assert 'taa_history' in carry and carry['taa_history'].shape == (H, W, 3)

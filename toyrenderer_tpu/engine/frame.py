@@ -23,8 +23,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from toyrenderer_tpu.ops import bloom as bloom_mod
+from toyrenderer_tpu.ops import exposure as exposure_mod
 from toyrenderer_tpu.ops import geometry as geo_mod
 from toyrenderer_tpu.ops import raster as raster_mod
+from toyrenderer_tpu.ops import taa as taa_mod
 from toyrenderer_tpu.ops.gbuffer import resolve_gbuffer
 from toyrenderer_tpu.ops.lighting import deferred_lighting, debug_view
 from toyrenderer_tpu.ops.postprocess import compose_final
@@ -56,10 +59,12 @@ class RenderSettings:
     max_big_tris: int = 256
     tile_batch: int = 32
     use_bruteforce_raster: bool = False   # tiny scenes / tests
-    # lighting
+    # lighting / post
     manual_exposure: float = 1.0
     sky_turbidity: float = 2.5
     ambient_factor: float = 0.03
+    bloom_mips: int = 6
+    bloom_strength: float = 0.04
 
     def raster_config(self) -> RasterConfig:
         return RasterConfig(
@@ -79,12 +84,17 @@ def init_carry(scene, settings: RenderSettings) -> FrameCarry:
     n_inst = scene.inst_node.shape[0]
     eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
                            (n_inst, 4, 4))
-    return dict(
+    carry = dict(
         prev_inst_world=eye,
         prev_depth=jnp.zeros((settings.height, settings.width), jnp.float32),
         exposure=jnp.asarray(settings.manual_exposure, jnp.float32),
         frame_index=jnp.asarray(0, jnp.int32),
     )
+    if settings.enable_taa:
+        carry['taa_history'] = jnp.zeros(
+            (settings.height, settings.width, 3), jnp.float32)
+        carry['taa_valid'] = jnp.asarray(0.0, jnp.float32)
+    return carry
 
 
 def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
@@ -130,23 +140,49 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         sky_turbidity=settings.sky_turbidity,
         ambient_factor=settings.ambient_factor)
 
-    # -- Post ------------------------------------------------------------------
-    exposure = carry['exposure']
+    # -- HDR post chain ---------------------------------------------------------
+    new_carry = dict(
+        prev_inst_world=inst_world,
+        prev_depth=depth,
+        frame_index=carry['frame_index'] + 1,
+    )
+    aux = dict(depth=depth, tri_id=tri_id, motion=gb['motion'], hdr=hdr)
+
+    # Bloom (from the lighting output, pre-TAA: Scene.cpp pass order)
+    bloom_tex = None
+    if settings.enable_bloom:
+        bloom_tex = bloom_mod.bloom(hdr, num_mips=settings.bloom_mips)
+        aux['bloom'] = bloom_tex
+
+    # AdaptLuminance: exposure carried across frames, no readback.
+    # Frame 0 snaps straight to the target (scene-load adaptation).
+    if settings.enable_auto_exposure:
+        exposure, exp_aux = exposure_mod.adapt_exposure(
+            hdr, carry['exposure'])
+        exposure = jnp.where(carry['frame_index'] == 0,
+                             exp_aux['target_exposure'], exposure)
+        aux.update(exp_aux)
+    else:
+        exposure = carry['exposure']
+    new_carry['exposure'] = exposure
+
+    # TAA (history blend on HDR before tonemap, like the reference's
+    # DLAA-style full-res path)
+    aa = hdr
+    if settings.enable_taa:
+        aa, new_history = taa_mod.taa_resolve(
+            hdr, gb['motion'], carry['taa_history'], carry['taa_valid'])
+        new_carry['taa_history'] = new_history
+        new_carry['taa_valid'] = jnp.asarray(1.0, jnp.float32)
+
     if settings.debug_mode != 0:
         dbg = debug_view(gb, settings.debug_mode,
                          extras=dict(motion=gb['motion'], uv=gb['uv'],
                                      tri_id=tri_id))
         image = jnp.clip(dbg * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
     else:
-        image = compose_final(hdr, exposure=exposure)
-
-    new_carry = dict(
-        prev_inst_world=inst_world,
-        prev_depth=depth,
-        exposure=exposure,
-        frame_index=carry['frame_index'] + 1,
-    )
-    aux = dict(depth=depth, tri_id=tri_id, motion=gb['motion'], hdr=hdr)
+        image = compose_final(aa, exposure=exposure, bloom=bloom_tex,
+                              bloom_strength=settings.bloom_strength)
     return image, new_carry, aux
 
 

@@ -32,6 +32,9 @@ def main(argv=None):
     p.add_argument("--nocache", action="store_true",
                    help="bypass the scene build cache")
     p.add_argument("--exposure", type=float, default=1.0)
+    p.add_argument("--bloom", action="store_true")
+    p.add_argument("--autoexposure", action="store_true")
+    p.add_argument("--taa", action="store_true")
     p.add_argument("--platform", default=None,
                    help="force jax platform (cpu for software-WARP parity)")
     args = p.parse_args(argv)
@@ -67,6 +70,9 @@ def main(argv=None):
     settings = RenderSettings(
         width=w, height=h, debug_mode=args.debugview,
         manual_exposure=args.exposure,
+        enable_bloom=args.bloom,
+        enable_auto_exposure=args.autoexposure,
+        enable_taa=args.taa,
         use_bruteforce_raster=args.bruteforceraster)
     view = View.from_scene(scene_host, w, h)
     carry = init_carry(scene, settings)
