@@ -24,8 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from toyrenderer_tpu.ops import bloom as bloom_mod
+from toyrenderer_tpu.ops import culling as cull_mod
 from toyrenderer_tpu.ops import exposure as exposure_mod
 from toyrenderer_tpu.ops import geometry as geo_mod
+from toyrenderer_tpu.ops import hzb as hzb_mod
 from toyrenderer_tpu.ops import raster as raster_mod
 from toyrenderer_tpu.ops import taa as taa_mod
 from toyrenderer_tpu.ops.gbuffer import resolve_gbuffer
@@ -51,7 +53,11 @@ class RenderSettings:
     enable_bloom: bool = False
     enable_auto_exposure: bool = False
     enable_taa: bool = False
-    enable_culling: bool = False          # GPU-driven culling milestone
+    enable_culling: bool = False          # 2-phase GPU-driven culling
+    enable_cone_culling: bool = True
+    lod_error_px: float = 1.0             # screen-error LOD threshold
+    forced_lod: int = -1                  # Scene.h:128-132 debug parity
+    late_capacity_frac: float = 0.25      # late-phase pair budget
     debug_mode: int = 0                   # lighting.DEBUG_*
     # raster tuning
     max_tris_per_tile: int = 512
@@ -59,6 +65,7 @@ class RenderSettings:
     max_big_tris: int = 256
     tile_batch: int = 32
     use_bruteforce_raster: bool = False   # tiny scenes / tests
+    use_pallas_fill: bool | None = None   # None = auto (TPU yes, CPU no)
     # lighting / post
     manual_exposure: float = 1.0
     sky_turbidity: float = 2.5
@@ -94,6 +101,9 @@ def init_carry(scene, settings: RenderSettings) -> FrameCarry:
         carry['taa_history'] = jnp.zeros(
             (settings.height, settings.width, 3), jnp.float32)
         carry['taa_valid'] = jnp.asarray(0.0, jnp.float32)
+    if settings.enable_culling:
+        from toyrenderer_tpu.ops.hzb import init_hzb
+        carry['hzb'] = init_hzb(settings.width, settings.height)
     return carry
 
 
@@ -118,14 +128,26 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     inst_world, inst_adj = geo_mod.instance_transforms(scene, world)
     prev_inst_world = carry['prev_inst_world']
 
+    use_pallas = settings.use_pallas_fill
+    if use_pallas is None:
+        # axon is the tunneled-TPU platform name in this environment
+        use_pallas = jax.default_backend() in ('tpu', 'axon')
+
     # -- Geometry + raster (GBuffer pass) -------------------------------------
-    geo = geo_mod.meshlet_clip_triangles(
-        scene, inst_world, frame_inputs['view_proj'],
-        pair_inst, pair_meshlet)
-    if settings.use_bruteforce_raster:
-        setup, depth, tri_id = raster_mod.rasterize_bruteforce(geo, cfg)
+    if settings.enable_culling and not settings.use_bruteforce_raster:
+        setup, depth, tri_id, cull_aux, new_hzb = _gbuffer_two_phase(
+            scene, inst_world, prev_inst_world, frame_inputs, carry,
+            pair_inst, pair_meshlet, cfg, settings, use_pallas)
     else:
-        setup, depth, tri_id = raster_mod.rasterize(geo, cfg)
+        geo = geo_mod.meshlet_clip_triangles(
+            scene, inst_world, frame_inputs['view_proj'],
+            pair_inst, pair_meshlet)
+        if settings.use_bruteforce_raster:
+            setup, depth, tri_id = raster_mod.rasterize_bruteforce(geo, cfg)
+        else:
+            setup, depth, tri_id = raster_mod.rasterize(
+                geo, cfg, use_pallas=use_pallas)
+        cull_aux, new_hzb = {}, None
 
     gb = resolve_gbuffer(
         setup, depth, tri_id, scene, inst_world, inst_adj, prev_inst_world,
@@ -146,7 +168,10 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         prev_depth=depth,
         frame_index=carry['frame_index'] + 1,
     )
-    aux = dict(depth=depth, tri_id=tri_id, motion=gb['motion'], hdr=hdr)
+    if settings.enable_culling:
+        new_carry['hzb'] = new_hzb
+    aux = dict(depth=depth, tri_id=tri_id, motion=gb['motion'], hdr=hdr,
+               **cull_aux)
 
     # Bloom (from the lighting output, pre-TAA: Scene.cpp pass order)
     bloom_tex = None
@@ -186,6 +211,79 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     return image, new_carry, aux
 
 
+def _gbuffer_two_phase(scene, inst_world, prev_inst_world, frame_inputs,
+                       carry, pair_inst, pair_meshlet, cfg, settings,
+                       use_pallas):
+    """GPU-driven 2-phase occlusion-culled GBuffer pass.
+
+    Phase 1 (early): instances that pass frustum AND were visible against
+    the PREVIOUS frame's HZB (tested with previous transforms,
+    gpuculling.hlsl:143-146) render first.  An HZB is built from that
+    depth.  Phase 2 (late): the early-occluded candidates re-test against
+    the fresh HZB with current transforms; newly visible ones render on
+    top.  The final HZB feeds next frame's early phase via the carry.
+    """
+    planes = frame_inputs['cull_frustum_planes']
+    cam = frame_inputs['cull_cam_pos']
+    psc = frame_inputs['proj_scale_px']
+    w, h = settings.width, settings.height
+    cap1 = pair_inst.shape[0]
+    cap2 = max(int(cap1 * settings.late_capacity_frac), 64)
+
+    # EARLY: cull vs prev HZB / prev transforms
+    cull1 = cull_mod.cull_instances(
+        scene, inst_world, planes, cam, psc, w, h,
+        hzb=carry['hzb'],
+        hzb_view_proj=frame_inputs['prev_view_proj_nojitter'],
+        hzb_inst_world=prev_inst_world,
+        error_threshold_px=settings.lod_error_px,
+        forced_lod=settings.forced_lod)
+    pi1, pm1, pv1, total1 = cull_mod.build_pairs(
+        scene, cull1['visible'], cull1['lod'], cap1)
+    pv1 = cull_mod.cull_meshlets(
+        scene, pi1, pm1, pv1, inst_world, planes, cam, w, h,
+        cone_cull=settings.enable_cone_culling)
+    geo1 = geo_mod.meshlet_clip_triangles(
+        scene, inst_world, frame_inputs['view_proj'], pi1, pm1, pv1)
+    setup1, depth1, tid1 = raster_mod.rasterize(
+        geo1, cfg, use_pallas=use_pallas)
+
+    hzb_mid = hzb_mod.build_hzb(depth1, w, h)
+
+    # LATE: re-test early-occluded candidates vs the fresh HZB
+    cull2 = cull_mod.cull_instances(
+        scene, inst_world, planes, cam, psc, w, h,
+        hzb=hzb_mid,
+        hzb_view_proj=frame_inputs['view_proj_nojitter'],
+        hzb_inst_world=inst_world,
+        error_threshold_px=settings.lod_error_px,
+        forced_lod=settings.forced_lod)
+    late_mask = cull1['occluded_candidate'] & cull2['visible']
+    pi2, pm2, pv2, total2 = cull_mod.build_pairs(
+        scene, late_mask, cull2['lod'], cap2)
+    pv2 = cull_mod.cull_meshlets(
+        scene, pi2, pm2, pv2, inst_world, planes, cam, w, h,
+        hzb=hzb_mid, hzb_view_proj=frame_inputs['view_proj_nojitter'],
+        cone_cull=settings.enable_cone_culling)
+    geo2 = geo_mod.meshlet_clip_triangles(
+        scene, inst_world, frame_inputs['view_proj'], pi2, pm2, pv2)
+    t1 = setup1['valid'].shape[0]
+    setup2, depth, tri_id = raster_mod.rasterize(
+        geo2, cfg, use_pallas=use_pallas,
+        init_depth=depth1, init_tri_id=tid1, tri_id_base=t1)
+
+    setup = {k: jnp.concatenate([setup1[k], setup2[k]], axis=0)
+             for k in setup1}
+    new_hzb = hzb_mod.build_hzb(depth, w, h)
+    cull_aux = dict(
+        early_instances=jnp.sum(cull1['visible'].astype(jnp.int32)),
+        late_instances=jnp.sum(late_mask.astype(jnp.int32)),
+        early_pairs=total1, late_pairs=total2,
+        early_meshlets=jnp.sum(pv1.astype(jnp.int32)),
+        late_meshlets=jnp.sum(pv2.astype(jnp.int32)))
+    return setup, depth, tri_id, cull_aux, new_hzb
+
+
 @functools.lru_cache(maxsize=32)
 def make_render_fn(settings: RenderSettings):
     """Jitted frame function specialized on static settings."""
@@ -202,6 +300,10 @@ def default_frame_inputs(scene_host, view_matrices: dict) -> dict:
             view_matrices['prev_view_proj_nojitter']),
         inv_view_proj=jnp.asarray(view_matrices['inv_view_proj']),
         cam_pos=jnp.asarray(view_matrices['cam_pos']),
+        cull_frustum_planes=jnp.asarray(
+            view_matrices['cull_frustum_planes']),
+        cull_cam_pos=jnp.asarray(view_matrices['cull_cam_pos']),
+        proj_scale_px=jnp.asarray(view_matrices['proj_scale_px']),
         node_translation=jnp.asarray(scene_host.node_translation),
         node_rotation=jnp.asarray(scene_host.node_rotation),
         node_scale=jnp.asarray(scene_host.node_scale),

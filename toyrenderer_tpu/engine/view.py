@@ -96,6 +96,8 @@ class View:
                                 cam_pos=cur['cam_pos'])
         cur['cull_frustum_planes'] = np.asarray(
             frustum_planes_world(cur['cull_view_proj']), np.float32)
+        # pixels per world unit at unit distance (screen-error LOD select)
+        cur['proj_scale_px'] = np.float32(proj[1, 1] * self.height * 0.5)
         return cur
 
     def advance(self, matrices: dict):

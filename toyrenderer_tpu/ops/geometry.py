@@ -46,7 +46,7 @@ def instance_transforms(scene, world):
 
 
 def meshlet_clip_triangles(scene, inst_world, view_proj,
-                           pair_inst, pair_meshlet):
+                           pair_inst, pair_meshlet, pair_valid=None):
     """Expand (instance, meshlet) pairs into clip-space triangles.
 
     Args:
@@ -67,6 +67,8 @@ def meshlet_clip_triangles(scene, inst_world, view_proj,
     tri_in_meshlet = jnp.broadcast_to(
         jnp.arange(mt, dtype=jnp.int32)[None, :], (tp, mt))
     tri_valid = tri_in_meshlet < scene.meshlet_tri_count[pair_meshlet][:, None]
+    if pair_valid is not None:
+        tri_valid = tri_valid & pair_valid[:, None]
 
     prim = scene.meshlet_prim[pair_meshlet]          # (Tp,)
     mat = scene.prim_material[prim]                  # (Tp,)

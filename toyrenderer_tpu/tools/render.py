@@ -35,6 +35,9 @@ def main(argv=None):
     p.add_argument("--bloom", action="store_true")
     p.add_argument("--autoexposure", action="store_true")
     p.add_argument("--taa", action="store_true")
+    p.add_argument("--culling", action="store_true",
+                   help="2-phase GPU-driven occlusion culling + LOD")
+    p.add_argument("--forcedlod", type=int, default=-1)
     p.add_argument("--platform", default=None,
                    help="force jax platform (cpu for software-WARP parity)")
     args = p.parse_args(argv)
@@ -73,6 +76,8 @@ def main(argv=None):
         enable_bloom=args.bloom,
         enable_auto_exposure=args.autoexposure,
         enable_taa=args.taa,
+        enable_culling=args.culling,
+        forced_lod=args.forcedlod,
         use_bruteforce_raster=args.bruteforceraster)
     view = View.from_scene(scene_host, w, h)
     carry = init_carry(scene, settings)
