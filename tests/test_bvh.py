@@ -1,0 +1,134 @@
+"""BVH build + traversal tests vs brute-force ray casting oracles."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from toyrenderer_tpu.ops import bvh as B
+
+
+def _random_tris(n, seed=0, spread=10.0):
+    rng = np.random.default_rng(seed)
+    c = rng.uniform(-spread, spread, size=(n, 1, 3))
+    offs = rng.uniform(-0.8, 0.8, size=(n, 3, 3))
+    tris = (c + offs).astype(np.float32)
+    return tris[:, 0], tris[:, 1], tris[:, 2]
+
+
+def _brute_force(v0, v1, v2, valid, origins, dirs, t_max):
+    """Numpy closest-hit oracle."""
+    n_rays = origins.shape[0]
+    best_t = np.full(n_rays, t_max, np.float32)
+    best_tri = np.full(n_rays, -1, np.int64)
+    e1 = v1 - v0
+    e2 = v2 - v0
+    for r in range(n_rays):
+        o, d = origins[r], dirs[r]
+        pvec = np.cross(d[None], e2)
+        det = np.sum(e1 * pvec, -1)
+        ok = np.abs(det) > 1e-7
+        inv = np.where(ok, 1.0 / np.where(ok, det, 1), 0)
+        tvec = o[None] - v0
+        u = np.sum(tvec * pvec, -1) * inv
+        qvec = np.cross(tvec, e1)
+        v = np.sum(d[None] * qvec, -1) * inv
+        t = np.sum(e2 * qvec, -1) * inv
+        hit = ok & valid & (u >= 0) & (v >= 0) & (u + v <= 1) & \
+            (t > 1e-7) & (t < best_t[r])
+        if hit.any():
+            k = np.argmin(np.where(hit, t, np.inf))
+            best_t[r] = t[k]
+            best_tri[r] = k
+    return best_t, best_tri
+
+
+def test_traverse_matches_bruteforce():
+    v0, v1, v2 = _random_tris(300, seed=1)
+    valid = np.ones(300, bool)
+    rng = np.random.default_rng(2)
+    n_rays = 64
+    origins = rng.uniform(-12, 12, size=(n_rays, 3)).astype(np.float32)
+    dirs = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    bvh = B.build_bvh(jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+                      jnp.asarray(valid))
+    res = B.traverse(bvh, jnp.asarray(origins), jnp.asarray(dirs),
+                     t_max=100.0, max_steps=4096)
+    t_want, tri_want = _brute_force(v0, v1, v2, valid, origins, dirs, 100.0)
+    hit_got = np.asarray(res['hit'])
+    hit_want = tri_want >= 0
+    np.testing.assert_array_equal(hit_got, hit_want)
+    np.testing.assert_allclose(np.asarray(res['t'])[hit_want],
+                               t_want[hit_want], rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(res['tri'])[hit_want],
+                                  tri_want[hit_want])
+
+
+def test_any_hit_shadow_semantics():
+    # a single large occluder between origin and light
+    v0 = jnp.asarray([[-10.0, 5.0, -10.0]])
+    v1 = jnp.asarray([[10.0, 5.0, -10.0]])
+    v2 = jnp.asarray([[0.0, 5.0, 20.0]])
+    bvh = B.build_bvh(v0, v1, v2, jnp.asarray([True]))
+    origins = jnp.asarray([[0.0, 0.0, 0.0], [100.0, 0.0, 0.0]])
+    dirs = jnp.asarray([[0.0, 1.0, 0.0], [0.0, 1.0, 0.0]])
+    res = B.traverse(bvh, origins, dirs, t_max=50.0, max_steps=64,
+                     any_hit=True)
+    assert np.asarray(res['hit']).tolist() == [True, False]
+
+
+def test_tmax_respected():
+    v0 = jnp.asarray([[-1.0, 3.0, -1.0]])
+    v1 = jnp.asarray([[1.0, 3.0, -1.0]])
+    v2 = jnp.asarray([[0.0, 3.0, 2.0]])
+    bvh = B.build_bvh(v0, v1, v2, jnp.asarray([True]))
+    o = jnp.asarray([[0.0, 0.0, 0.0]])
+    d = jnp.asarray([[0.0, 1.0, 0.0]])
+    hit_far = B.traverse(bvh, o, d, t_max=10.0, max_steps=64)
+    hit_near = B.traverse(bvh, o, d, t_max=2.0, max_steps=64)
+    assert bool(hit_far['hit'][0])
+    assert not bool(hit_near['hit'][0])
+
+
+def test_invalid_tris_ignored():
+    v0, v1, v2 = _random_tris(64, seed=3)
+    valid = np.zeros(64, bool)   # everything padding
+    bvh = B.build_bvh(jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+                      jnp.asarray(valid))
+    o = jnp.zeros((4, 3))
+    d = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (4, 1))
+    res = B.traverse(bvh, o, d, t_max=100.0, max_steps=256)
+    assert not np.asarray(res['hit']).any()
+
+
+def test_morton_locality():
+    codes = np.asarray(B.morton3d(jnp.asarray([
+        [0.0, 0.0, 0.0], [1.0, 1.0, 1.0], [0.0, 0.0, 1.0],
+    ])))
+    assert codes[0] == 0
+    assert codes[1] == (1 << 30) - 1
+    assert codes[0] < codes[2] < codes[1]
+
+
+def test_world_triangles_expansion():
+    from toyrenderer_tpu.scene import load_scene
+    from toyrenderer_tpu.ops import geometry as G
+    s = load_scene("resources/cornell.gltf", use_cache=False)
+    d = s.to_device()
+    world = G.node_world_matrices(d, d.node_translation, d.node_rotation,
+                                  d.node_scale)
+    iw, _ = G.instance_transforms(d, world)
+    pi, pm = G.static_meshlet_pairs(s)
+    v0, v1, v2, valid = B.world_triangles(d, iw, jnp.asarray(pi),
+                                          jnp.asarray(pm))
+    n_real = int(np.asarray(valid).sum())
+    want = 0
+    for p in range(s.num_primitives):   # LOD0 meshlets only
+        o = int(s.prim_meshlet_offset[p, 0])
+        c = int(s.prim_meshlet_count[p, 0])
+        want += int(s.meshlet_tri_count[o:o + c].sum())
+    assert n_real == want
+    # triangles land inside the rotated cornell bounds
+    pts = np.asarray(v0)[np.asarray(valid)]
+    assert pts.min() > -2.5 and pts.max() < 2.5

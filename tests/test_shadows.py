@@ -1,0 +1,107 @@
+"""RT shadow + denoiser tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from toyrenderer_tpu.ops import bvh as B
+from toyrenderer_tpu.ops import shadows as SH
+from toyrenderer_tpu.ops import denoise as DN
+
+
+def _plane_occluder_bvh():
+    # a quad at y=5 covering x,z in [-10, 10]
+    quad = np.asarray([
+        [[-10, 5, -10], [10, 5, -10], [10, 5, 10]],
+        [[-10, 5, -10], [10, 5, 10], [-10, 5, 10]],
+    ], np.float32)
+    return B.build_bvh(jnp.asarray(quad[:, 0]), jnp.asarray(quad[:, 1]),
+                       jnp.asarray(quad[:, 2]), jnp.asarray([True, True]))
+
+
+def test_shadow_mask_hard_edges():
+    bvh = _plane_occluder_bvh()
+    h = w = 16
+    # ground points: half under the occluder, half outside it
+    xs = np.linspace(-20, 20, w, dtype=np.float32)
+    wp = np.zeros((h, w, 3), np.float32)
+    wp[..., 0] = xs[None, :]
+    wp[..., 2] = np.linspace(-5, 5, h, dtype=np.float32)[:, None]
+    normal = np.zeros_like(wp)
+    normal[..., 1] = 1.0
+    mask = SH.trace_shadow_mask(
+        bvh, jnp.asarray(wp), jnp.asarray(normal),
+        jnp.ones((h, w), bool), jnp.asarray([0.0, 1.0, 0.0]),
+        jnp.asarray(0), half_angle=1e-4)
+    mask = np.asarray(mask)
+    assert mask[:, 0].mean() > 0.9     # x=-20: outside occluder -> lit
+    assert mask[:, w // 2].mean() < 0.1  # x~0: under occluder -> shadowed
+
+
+def test_shadow_backface_self():
+    bvh = _plane_occluder_bvh()
+    normal = jnp.asarray([[[0.0, -1.0, 0.0]]])   # facing away from sun
+    mask = SH.trace_shadow_mask(
+        bvh, jnp.zeros((1, 1, 3)), normal, jnp.ones((1, 1), bool),
+        jnp.asarray([0.0, 1.0, 0.0]), jnp.asarray(0))
+    assert float(mask[0, 0]) == 0.0
+
+
+def test_sky_pixels_stay_lit():
+    bvh = _plane_occluder_bvh()
+    mask = SH.trace_shadow_mask(
+        bvh, jnp.zeros((1, 2, 3)),
+        jnp.asarray([[[0, 1, 0], [0, 1, 0]]], jnp.float32),
+        jnp.asarray([[True, False]]),
+        jnp.asarray([0.0, 1.0, 0.0]), jnp.asarray(0))
+    assert float(mask[0, 1]) == 1.0
+
+
+def test_cone_sampling_spreads():
+    d = jnp.asarray([[0.0, 1.0, 0.0]])
+    r1 = jnp.asarray([0.9])
+    angles = []
+    for r2 in np.linspace(0, 1, 8, endpoint=False):
+        s = SH.cone_sample(d, r1, jnp.asarray([r2]), half_angle=0.1)
+        angles.append(float(jnp.arccos(jnp.clip(
+            jnp.sum(s * d, -1), -1, 1))[0]))
+    assert max(angles) < 0.11
+    assert min(angles) > 0.05   # r1=0.9 -> near the cone edge
+    # unit length
+    s = SH.cone_sample(d, r1, jnp.asarray([0.3]), 0.1)
+    assert abs(float(jnp.linalg.norm(s)) - 1.0) < 1e-5
+
+
+def test_ign_decorrelates_frames():
+    a = np.asarray(SH.interleaved_gradient_noise(8, 8, jnp.asarray(0)))
+    b = np.asarray(SH.interleaved_gradient_noise(8, 8, jnp.asarray(1)))
+    assert (a >= 0).all() and (a < 1).all()
+    assert np.abs(a - b).mean() > 0.1
+
+
+def test_temporal_accumulate_disocclusion():
+    h = w = 8
+    sig = jnp.zeros((h, w))
+    hist = jnp.ones((h, w))
+    motion = jnp.zeros((h, w, 2))
+    depth = jnp.full((h, w), 0.5)
+    # same depth -> history kept
+    out = DN.temporal_accumulate(sig, motion, hist, jnp.asarray(1.0),
+                                 depth, depth)
+    assert float(out.mean()) > 0.8
+    # wildly different prev depth -> history rejected
+    out = DN.temporal_accumulate(sig, motion, hist, jnp.asarray(1.0),
+                                 depth, jnp.full((h, w), 0.01))
+    assert float(out.mean()) < 1e-6
+
+
+def test_depth_aware_blur_respects_edges():
+    h = w = 16
+    sig = np.zeros((h, w), np.float32)
+    sig[:, :8] = 1.0
+    depth = np.full((h, w), 0.5, np.float32)
+    depth[:, 8:] = 0.05                      # big depth discontinuity
+    out = np.asarray(DN.depth_aware_blur(
+        jnp.asarray(sig), jnp.asarray(depth)))
+    # blur must not leak much across the depth edge
+    assert out[:, 10].mean() < 0.12
+    assert out[:, 4].mean() > 0.9

@@ -24,7 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from toyrenderer_tpu.ops import bloom as bloom_mod
+from toyrenderer_tpu.ops import bvh as bvh_mod
 from toyrenderer_tpu.ops import culling as cull_mod
+from toyrenderer_tpu.ops import denoise as denoise_mod
+from toyrenderer_tpu.ops import shadows as shadows_mod
 from toyrenderer_tpu.ops import exposure as exposure_mod
 from toyrenderer_tpu.ops import geometry as geo_mod
 from toyrenderer_tpu.ops import hzb as hzb_mod
@@ -47,7 +50,8 @@ class RenderSettings:
     width: int = 1920
     height: int = 1080
     # pass toggles
-    enable_shadows: bool = False          # RT shadow mask (later milestone)
+    enable_shadows: bool = False          # ray-traced denoised sun shadows
+    shadow_max_steps: int = 96            # BVH traversal budget per ray
     enable_ao: bool = False               # GTAO
     enable_gi: bool = False               # DDGI
     enable_bloom: bool = False
@@ -104,6 +108,10 @@ def init_carry(scene, settings: RenderSettings) -> FrameCarry:
     if settings.enable_culling:
         from toyrenderer_tpu.ops.hzb import init_hzb
         carry['hzb'] = init_hzb(settings.width, settings.height)
+    if settings.enable_shadows:
+        carry['shadow_history'] = jnp.ones(
+            (settings.height, settings.width), jnp.float32)
+        carry['shadow_valid'] = jnp.asarray(0.0, jnp.float32)
     return carry
 
 
@@ -154,11 +162,37 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         frame_inputs['view_proj_nojitter'],
         frame_inputs['prev_view_proj_nojitter'], cfg)
 
+    # -- ShadowMask (ray-traced, denoised) --------------------------------------
+    shadow_mask = None
+    shadow_carry = {}
+    if settings.enable_shadows:
+        from toyrenderer_tpu.ops.gbuffer import unpack_gbuffer
+        from toyrenderer_tpu.ops.lighting import world_pos_from_depth
+        # the RT scene uses the FULL pair list — off-screen geometry still
+        # casts shadows (culling only affects the raster pass)
+        tv0, tv1, tv2, tvalid = bvh_mod.world_triangles(
+            scene, inst_world, pair_inst, pair_meshlet)
+        bvh = bvh_mod.build_bvh(tv0, tv1, tv2, tvalid)
+        m = unpack_gbuffer(gb)
+        wp = world_pos_from_depth(
+            depth, frame_inputs['inv_view_proj'],
+            settings.width, settings.height)
+        raw = shadows_mod.trace_shadow_mask(
+            bvh, wp, m['normal'], depth > 0.0,
+            -frame_inputs['sun_direction'], carry['frame_index'],
+            max_steps=settings.shadow_max_steps)
+        shadow_mask, shadow_hist = denoise_mod.denoise_shadow(
+            raw, gb['motion'], carry['shadow_history'],
+            carry['shadow_valid'], depth, carry['prev_depth'])
+        shadow_carry = dict(
+            shadow_history=shadow_hist,
+            shadow_valid=jnp.asarray(1.0, jnp.float32))
+
     # -- Deferred lighting + sky ----------------------------------------------
     hdr = deferred_lighting(
         gb, frame_inputs['cam_pos'], frame_inputs['inv_view_proj'],
         frame_inputs['sun_direction'], frame_inputs['sun_color'],
-        frame_inputs['sun_intensity'],
+        frame_inputs['sun_intensity'], shadow_mask=shadow_mask,
         sky_turbidity=settings.sky_turbidity,
         ambient_factor=settings.ambient_factor)
 
@@ -170,8 +204,11 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     )
     if settings.enable_culling:
         new_carry['hzb'] = new_hzb
+    new_carry.update(shadow_carry)
     aux = dict(depth=depth, tri_id=tri_id, motion=gb['motion'], hdr=hdr,
                **cull_aux)
+    if shadow_mask is not None:
+        aux['shadow'] = shadow_mask
 
     # Bloom (from the lighting output, pre-TAA: Scene.cpp pass order)
     bloom_tex = None

@@ -1,0 +1,331 @@
+"""BVH build + traversal: the TPU replacement for DXR acceleration
+structures and RayQuery (reference: BLAS/TLAS creation in
+source/Visual.cpp:509-542 + source/Scene.cpp:411-466, inline-RT consumers
+in shadowmask.hlsl / giprobetrace.hlsl).
+
+Design (TPU-first, no pointers, no stacks in memory):
+* One WORLD-SPACE BVH over all triangles, rebuilt (morton sort + level
+  reductions) per frame inside jit — the analogue of the reference's
+  GPU-updated TLAS-over-BLAS (it also rebuilds the TLAS every frame).
+* COMPLETE 8-ary tree over morton-sorted leaf groups of 8 triangles:
+  level l holds 8^l nodes; child links are implicit (node i -> 8i+k), so
+  the whole tree is a handful of dense (8^l, 6) AABB arrays flattened
+  into one atlas for level-free gathering.
+* Traversal is lockstep masked DFS over all rays simultaneously: per-ray
+  state is (level, index-path, one 8-bit visit mask per level) — bounded
+  iteration, no divergence beyond masking, the classic SIMT->SIMD
+  reshaping.  `max_steps` bounds cost; unfinished rays report conservative
+  results (shadow: lit).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LEAF_TRIS = 8
+ARITY = 8
+
+
+def _expand_bits(v):
+    """Spread 10 bits to every 3rd bit (morton)."""
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def morton3d(p01):
+    """(N, 3) coords in [0,1] -> (N,) uint32 30-bit morton codes."""
+    q = jnp.clip(p01 * 1024.0, 0.0, 1023.0).astype(jnp.uint32)
+    return ((_expand_bits(q[:, 0]) << 2) | (_expand_bits(q[:, 1]) << 1)
+            | _expand_bits(q[:, 2]))
+
+
+@dataclass
+class Bvh:
+    """Pytree: flattened level AABBs + sorted triangle data."""
+    boxes_lo: jnp.ndarray        # (total_nodes, 3) f32
+    boxes_hi: jnp.ndarray        # (total_nodes, 3) f32
+    level_offset: tuple          # static: offset of each level in the atlas
+    num_levels: int              # static: leaf level == num_levels - 1
+    tri_v0: jnp.ndarray          # (Ng * 8, 3) sorted triangle vertices
+    tri_e1: jnp.ndarray          # (Ng * 8, 3) v1 - v0
+    tri_e2: jnp.ndarray          # (Ng * 8, 3) v2 - v0
+    tri_payload: jnp.ndarray     # (Ng * 8,) i32 original triangle id; -1 pad
+
+
+def _register():
+    arr = ('boxes_lo', 'boxes_hi', 'tri_v0', 'tri_e1', 'tri_e2',
+           'tri_payload')
+    static = ('level_offset', 'num_levels')
+    jax.tree_util.register_pytree_node(
+        Bvh,
+        lambda b: (tuple(getattr(b, f) for f in arr),
+                   tuple(getattr(b, f) for f in static)),
+        lambda aux, ch: Bvh(**dict(zip(arr, ch)),
+                            **dict(zip(static, aux))))
+
+
+_register()
+
+
+def num_levels_for(n_tris: int) -> int:
+    n_groups = max(-(-n_tris // LEAF_TRIS), 1)
+    levels = 1
+    while ARITY ** (levels - 1) < n_groups:
+        levels += 1
+    return levels
+
+
+def build_bvh(v0, v1, v2, valid, n_levels: int | None = None) -> Bvh:
+    """Build the BVH from world-space triangles (T, 3) x3 + validity mask.
+
+    n_levels must be static; derive it from the static T via
+    num_levels_for(T).
+    """
+    t = v0.shape[0]
+    if n_levels is None:
+        n_levels = num_levels_for(t)
+    n_groups = ARITY ** (n_levels - 1)
+
+    big = jnp.float32(3e37)
+    centroid = (v0 + v1 + v2) * (1.0 / 3.0)
+    lo = jnp.min(jnp.where(valid[:, None], centroid, big), axis=0)
+    hi = jnp.max(jnp.where(valid[:, None], centroid, -big), axis=0)
+    ext = jnp.maximum(hi - lo, 1e-6)
+    codes = morton3d((centroid - lo) / ext)
+    codes = jnp.where(valid, codes, jnp.uint32(0xFFFFFFFF))
+
+    order = jnp.argsort(codes)
+    v0s, v1s, v2s = v0[order], v1[order], v2[order]
+    valid_s = valid[order]
+    payload = jnp.where(valid_s, order.astype(jnp.int32), -1)
+
+    # pad to n_groups * 8 triangles
+    cap = n_groups * LEAF_TRIS
+    def pad(x, fill=0.0):
+        if x.shape[0] >= cap:
+            return x[:cap]
+        pw = [(0, cap - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pw, constant_values=fill)
+    v0s, v1s, v2s = pad(v0s), pad(v1s), pad(v2s)
+    payload = pad(payload, -1)
+    valid_p = payload >= 0
+
+    tri_lo = jnp.minimum(jnp.minimum(v0s, v1s), v2s)
+    tri_hi = jnp.maximum(jnp.maximum(v0s, v1s), v2s)
+    tri_lo = jnp.where(valid_p[:, None], tri_lo, big)
+    tri_hi = jnp.where(valid_p[:, None], tri_hi, -big)
+
+    # leaf-level group AABBs, then reduce by ARITY up the levels
+    level_lo = [tri_lo.reshape(n_groups, LEAF_TRIS, 3).min(1)]
+    level_hi = [tri_hi.reshape(n_groups, LEAF_TRIS, 3).max(1)]
+    for _ in range(n_levels - 1):
+        level_lo.insert(0, level_lo[0].reshape(-1, ARITY, 3).min(1))
+        level_hi.insert(0, level_hi[0].reshape(-1, ARITY, 3).max(1))
+
+    offsets = tuple(int(x) for x in
+                    np.cumsum([0] + [ARITY ** l
+                                     for l in range(n_levels)])[:-1])
+    return Bvh(
+        boxes_lo=jnp.concatenate([x.reshape(-1, 3) for x in level_lo]),
+        boxes_hi=jnp.concatenate([x.reshape(-1, 3) for x in level_hi]),
+        level_offset=offsets, num_levels=n_levels,
+        tri_v0=v0s, tri_e1=v1s - v0s, tri_e2=v2s - v0s,
+        tri_payload=payload)
+
+
+def _ray_box(lo, hi, origin, inv_dir, t_max):
+    """Slab test, broadcast over trailing box axis.  origin/inv_dir
+    (..., 1, 3); lo/hi (..., K, 3).  Returns (..., K) bool."""
+    t0 = (lo - origin) * inv_dir
+    t1 = (hi - origin) * inv_dir
+    tmin = jnp.minimum(t0, t1).max(-1)
+    tmax = jnp.maximum(t0, t1).min(-1)
+    return (tmax >= jnp.maximum(tmin, 0.0)) & (tmin <= t_max)
+
+
+def _ray_tri(v0, e1, e2, origin, direction, t_max, eps=1e-7):
+    """Moller-Trumbore, broadcast over trailing tri axis.
+    origin/direction (..., 1, 3); v0/e1/e2 (..., K, 3).
+    Returns (hit (..., K) bool, t, u, v)."""
+    pvec = jnp.cross(jnp.broadcast_to(direction, e2.shape), e2)
+    det = jnp.sum(e1 * pvec, -1)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < eps, jnp.inf, det)
+    tvec = origin - v0
+    u = jnp.sum(tvec * pvec, -1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    w = jnp.sum(jnp.broadcast_to(direction, qvec.shape) * qvec, -1)
+    v = w * inv_det
+    t = jnp.sum(e2 * qvec, -1) * inv_det
+    hit = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+           & (t > eps) & (t < t_max))
+    return hit, t, u, v
+
+
+def traverse(bvh: Bvh, origins, directions, t_max, max_steps: int = 128,
+             any_hit: bool = False):
+    """Lockstep masked DFS for a batch of rays.
+
+    Args:
+      origins, directions: (N, 3); t_max: (N,) or scalar
+      any_hit: stop a ray at its first confirmed hit (shadow rays)
+    Returns dict(hit (N,) bool, t (N,), tri (N,) i32 payload id,
+                 u (N,), v (N,), steps (N,)).
+    """
+    n = origins.shape[0]
+    l_max = bvh.num_levels
+    inv_dir = 1.0 / jnp.where(jnp.abs(directions) < 1e-12,
+                              jnp.full_like(directions, 1e-12), directions)
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    offsets = jnp.asarray(bvh.level_offset, jnp.int32)
+
+    state = dict(
+        level=jnp.zeros((n,), jnp.int32),            # current stack depth
+        path=jnp.zeros((n, l_max), jnp.int32),       # node index per level
+        mask=jnp.zeros((n, l_max), jnp.int32),       # children to visit
+        done=jnp.zeros((n,), bool),
+        best_t=t_max,
+        hit=jnp.zeros((n,), bool),
+        tri=jnp.full((n,), -1, jnp.int32),
+        uu=jnp.zeros((n,), jnp.float32),
+        vv=jnp.zeros((n,), jnp.float32),
+        steps=jnp.zeros((n,), jnp.int32),
+    )
+    # seed: test root's children == treat root at level 0 with mask {root}
+    state['mask'] = state['mask'].at[:, 0].set(1)
+
+    o1 = origins[:, None, :]
+    d1 = directions[:, None, :]
+    id1 = inv_dir[:, None, :]
+
+    def cond(s):
+        return jnp.any(~s['done']) & (jnp.min(s['steps']) < max_steps)
+
+    def body(s):
+        level = s['level']
+        cur_mask = jnp.take_along_axis(s['mask'], level[:, None], 1)[:, 0]
+        has_work = (cur_mask != 0) & ~s['done']
+
+        # next child at this level = lowest set bit
+        low = cur_mask & (-cur_mask)
+        child = _ctz8(low)
+        new_mask = cur_mask & (cur_mask - 1)
+        base_path = jnp.take_along_axis(s['path'], level[:, None], 1)[:, 0]
+        node = base_path * ARITY + child            # node index at `level`
+        node = jnp.where(level == 0, 0, node)       # level 0: root only
+
+        is_leaf_level = level == (l_max - 1)
+
+        # --- leaf: intersect its 8 triangles --------------------------------
+        g = jnp.clip(node, 0, bvh.tri_payload.shape[0] // LEAF_TRIS - 1)
+        tri_idx = g[:, None] * LEAF_TRIS + jnp.arange(LEAF_TRIS)[None, :]
+        tv0 = bvh.tri_v0[tri_idx]
+        te1 = bvh.tri_e1[tri_idx]
+        te2 = bvh.tri_e2[tri_idx]
+        pay = bvh.tri_payload[tri_idx]
+        h, t, u, v = _ray_tri(tv0, te1, te2, o1, d1, s['best_t'][:, None])
+        h = h & (pay >= 0) & has_work[:, None] & is_leaf_level[:, None]
+        t_m = jnp.where(h, t, jnp.inf)
+        k = jnp.argmin(t_m, axis=1)
+        leaf_hit = jnp.any(h, axis=1)
+        t_best = jnp.take_along_axis(t_m, k[:, None], 1)[:, 0]
+        pay_best = jnp.take_along_axis(pay, k[:, None], 1)[:, 0]
+        u_best = jnp.take_along_axis(u, k[:, None], 1)[:, 0]
+        v_best = jnp.take_along_axis(v, k[:, None], 1)[:, 0]
+
+        upd = leaf_hit & (t_best < s['best_t'])
+        best_t = jnp.where(upd, t_best, s['best_t'])
+        hit = s['hit'] | upd
+        tri = jnp.where(upd, pay_best, s['tri'])
+        uu = jnp.where(upd, u_best, s['uu'])
+        vva = jnp.where(upd, v_best, s['vv'])
+
+        # --- internal: test the ARITY children of `node` ---------------------
+        next_level = level + 1
+        child_base = jnp.where(level == 0, 0, node) * ARITY
+        # children of node at level l live at level l+1, indices node*8+k
+        child_ids = (offsets[jnp.minimum(next_level, l_max - 1)][:, None]
+                     + node[:, None] * ARITY
+                     + jnp.arange(ARITY)[None, :])
+        child_ids = jnp.clip(child_ids, 0, bvh.boxes_lo.shape[0] - 1)
+        blo = bvh.boxes_lo[child_ids]
+        bhi = bvh.boxes_hi[child_ids]
+        cmask_hit = _ray_box(blo, bhi, o1, id1, best_t[:, None])
+        cmask = jnp.where(
+            has_work & ~is_leaf_level,
+            jnp.sum(jnp.where(cmask_hit,
+                              jnp.int32(1) << jnp.arange(ARITY)[None, :],
+                              0), axis=1),
+            0)
+
+        # --- state update -----------------------------------------------------
+        # write back the popped mask at `level`
+        mask = _set_at(s['mask'], level, new_mask)
+        path = s['path']
+        descend = has_work & ~is_leaf_level & (cmask != 0)
+        # push: set mask/path at level+1
+        lvl_push = jnp.minimum(next_level, l_max - 1)
+        mask = jnp.where(descend[:, None],
+                         _set_at(mask, lvl_push, cmask), mask)
+        path = jnp.where(descend[:, None],
+                         _set_at(path, lvl_push, node), path)
+        new_lvl = jnp.where(descend, lvl_push, level)
+
+        # pop: if current level empty (and not descending), go up while empty
+        def pop_up(lvl, mask):
+            # one pop per iteration is enough — empty levels fall through
+            cur = jnp.take_along_axis(mask, lvl[:, None], 1)[:, 0]
+            can_pop = (cur == 0) & (lvl > 0)
+            return jnp.where(can_pop, lvl - 1, lvl)
+        new_lvl = jnp.where(~descend & has_work | ~has_work,
+                            pop_up(new_lvl, mask), new_lvl)
+
+        root_mask = mask[:, 0]
+        lvl0_empty = (new_lvl == 0) & (root_mask == 0)
+        done = s['done'] | lvl0_empty
+        if any_hit:
+            done = done | hit
+
+        return dict(level=new_lvl, path=path, mask=mask, done=done,
+                    best_t=best_t, hit=hit, tri=tri, uu=uu, vv=vva,
+                    steps=s['steps'] + 1)
+
+    state = jax.lax.while_loop(cond, body, state)
+    return dict(hit=state['hit'], t=state['best_t'], tri=state['tri'],
+                u=state['uu'], v=state['vv'], steps=state['steps'])
+
+
+def _ctz8(x):
+    """Count trailing zeros for values with one bit set in [1, 128]."""
+    r = jnp.zeros_like(x)
+    for k in range(1, ARITY):
+        r = jnp.where(x == (1 << k), k, r)
+    return r
+
+
+def _set_at(arr, idx, val):
+    """arr (N, L); set arr[i, idx[i]] = val[i]."""
+    l = arr.shape[1]
+    onehot = (jnp.arange(l)[None, :] == idx[:, None])
+    return jnp.where(onehot, val[:, None], arr)
+
+
+def world_triangles(scene, inst_world, pair_inst, pair_meshlet):
+    """Expand (instance, meshlet) pairs to world-space triangles for the
+    BVH (the RT scene build; analogous to the reference's TLAS refresh)."""
+    tris = scene.meshlet_tris[pair_meshlet]          # (Tp, 96, 3)
+    tp, mt, _ = tris.shape
+    tri_in = jnp.broadcast_to(jnp.arange(mt, dtype=jnp.int32)[None], (tp, mt))
+    valid = tri_in < scene.meshlet_tri_count[pair_meshlet][:, None]
+    world = inst_world[pair_inst]                    # (Tp, 4, 4)
+    obj = scene.positions[tris]                      # (Tp, 96, 3, 3)
+    obj_h = jnp.concatenate([obj, jnp.ones_like(obj[..., :1])], -1)
+    w = jnp.einsum('tik,tmvk->tmvi', world, obj_h)[..., :3]
+    w = w.reshape(tp * mt, 3, 3)
+    return w[:, 0], w[:, 1], w[:, 2], valid.reshape(-1)

@@ -239,11 +239,13 @@ def bin_triangles(setup: dict, cfg: RasterConfig):
     return tile_table, jnp.minimum(counts, cfg.max_tris_per_tile), big_list
 
 
-def fill_visibility(setup: dict, tile_table, big_list, cfg: RasterConfig):
+def fill_visibility(setup: dict, tile_table, big_list, cfg: RasterConfig,
+                    init_depth=None, init_tri_id=None, emit_base: int = 0):
     """Rasterize per-tile lists -> (depth (H,W) f32, tri_id (H,W) i32).
 
     depth is reverse-Z (greater == closer, 0 == far/background);
-    tri_id is -1 where nothing was drawn.
+    tri_id is -1 where nothing was drawn.  Optional init planes continue a
+    previous fill (phase 2 of the 2-phase occlusion pipeline).
     """
     th, tw = cfg.tile_h, cfg.tile_w
     tb = cfg.tile_batch
@@ -258,14 +260,20 @@ def fill_visibility(setup: dict, tile_table, big_list, cfg: RasterConfig):
 
     big_b = jnp.broadcast_to(big_list[None, :], (tb, big_list.shape[0]))
 
+    if init_depth is not None:
+        from toyrenderer_tpu.ops.raster_pallas import _image_to_tiles
+        init_z_tiles = _image_to_tiles(init_depth, cfg)
+        init_id_tiles = _image_to_tiles(init_tri_id, cfg)
+
     def raster_chunk(ids, pxn, pyn, best):
         """ids (TB, C); pxn/pyn (TB,1,TH,TW); best = (z, id) per pixel."""
         inside, depth = _coverage_depth(setup, ids, pxn, pyn)
         best_z, best_id = best
+        emit_ids = jnp.where(ids >= 0, ids + emit_base, ids)
         cz = jnp.max(depth, axis=1)                              # (TB,TH,TW)
         carg = jnp.argmax(depth, axis=1)
         cid = jnp.take_along_axis(
-            jnp.broadcast_to(ids[:, :, None, None], depth.shape),
+            jnp.broadcast_to(emit_ids[:, :, None, None], depth.shape),
             carg[:, None], axis=1)[:, 0]
         upd = cz > best_z
         return (jnp.where(upd, cz, best_z),
@@ -287,8 +295,11 @@ def fill_visibility(setup: dict, tile_table, big_list, cfg: RasterConfig):
                + row) * inv_h_img
         table = tile_table[tile_ids]                  # (TB, K)
 
-        best = (jnp.zeros((tb, th, tw), jnp.float32),
-                jnp.full((tb, th, tw), -1, jnp.int32))
+        if init_depth is not None:
+            best = (init_z_tiles[tile_ids], init_id_tiles[tile_ids])
+        else:
+            best = (jnp.zeros((tb, th, tw), jnp.float32),
+                    jnp.full((tb, th, tw), -1, jnp.int32))
 
         def body(i, best):
             ids = jax.lax.dynamic_slice(table, (0, i * c), (tb, c))
@@ -314,11 +325,26 @@ def fill_visibility(setup: dict, tile_table, big_list, cfg: RasterConfig):
     return to_image(z), to_image(tid)
 
 
-def rasterize(geo: dict, cfg: RasterConfig):
-    """setup + bin + fill; returns (setup, depth, tri_id)."""
+def rasterize(geo: dict, cfg: RasterConfig, use_pallas: bool = False,
+              init_depth=None, init_tri_id=None, tri_id_base: int = 0):
+    """setup + bin + fill; returns (setup, depth, tri_id).
+
+    tri_id_base offsets emitted triangle ids (phase-2 fills use it so ids
+    index into the concatenated multi-phase setup).
+    """
     setup = setup_triangles(geo, cfg)
-    tile_table, _, big_list = bin_triangles(setup, cfg)
-    depth, tri_id = fill_visibility(setup, tile_table, big_list, cfg)
+    tile_table, tile_count, big_list = bin_triangles(setup, cfg)
+    if use_pallas:
+        from toyrenderer_tpu.ops.raster_pallas import fill_visibility_pallas
+        depth, tri_id = fill_visibility_pallas(
+            setup, tile_table, tile_count, big_list, cfg,
+            init_depth=init_depth, init_tri_id=init_tri_id,
+            emit_base=tri_id_base)
+    else:
+        depth, tri_id = fill_visibility(
+            setup, tile_table, big_list, cfg,
+            init_depth=init_depth, init_tri_id=init_tri_id,
+            emit_base=tri_id_base)
     return setup, depth, tri_id
 
 

@@ -1,0 +1,190 @@
+"""Pallas TPU kernel for the visibility-buffer fill.
+
+The XLA fill (raster.py:fill_visibility) pays full per-tile capacity cost
+and materializes (C, TH, TW) intermediates through HBM.  This kernel keeps
+the per-tile z/id state in VMEM, streams each tile's triangle records via
+the Pallas pipeline (automatic double-buffered DMA), and — crucially — runs
+a `fori_loop` bounded by the tile's REAL triangle count (scalar-prefetched),
+so cost is proportional to binned work, like the reference's GPU-driven
+indirect dispatch (BasePassRenderers.cpp:497-502).
+
+Triangle records are packed by `pack_tri_records` in XLA (one dense gather,
+sequential per tile) into (tiles, K, 16) f32:
+  [0:9]  edge equations (3 x 3, normalized homogeneous screen space)
+  [9:12] zs (z_clip * inv_scale per vertex)
+  [12:15] ws (w_clip * inv_scale per vertex)
+  [15]   global triangle id as f32 (-1 = empty slot; ids < 2^24 are exact),
+         packed into the record so the kernel streams ONE array — Mosaic
+         requires 128-aligned dynamic slices on the lane dim, which a
+         separate (K,) id vector cannot satisfy at chunk granularity
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from toyrenderer_tpu.ops.raster import RasterConfig
+
+REC = 16
+
+
+def pack_tri_records(setup: dict, ids=None) -> jnp.ndarray:
+    """(T, 16) f32 packed records from the triangle setup.  Slot 15 holds
+    the triangle id as f32 (exact below 2^24); pass explicit `ids` to bake
+    emit offsets / -1 sentinels."""
+    t = setup['valid'].shape[0]
+    if ids is None:
+        ids = jnp.arange(t, dtype=jnp.int32)
+    rec = jnp.concatenate([
+        setup['edges'].reshape(t, 9),
+        setup['zs'],
+        setup['ws'],
+        ids.astype(jnp.float32)[:, None],
+    ], axis=1)
+    return rec
+
+
+def _fill_kernel(counts_ref,            # scalar prefetch: (tiles, 2) i32
+                 rec_ref,               # (1, K, 16) f32 tile triangle recs
+                 bigrec_ref,            # (B, 16) f32 big-triangle records
+                 init_z_ref,            # (1, TH, TW) f32
+                 init_id_ref,           # (1, TH, TW) i32
+                 z_out,                 # (1, TH, TW) f32
+                 id_out,                # (1, TH, TW) i32
+                 *, cfg: RasterConfig, chunk: int, emit_base: int):
+    i = pl.program_id(0)
+    ty = i // cfg.tiles_x
+    tx = i % cfg.tiles_x
+    th, tw = cfg.tile_h, cfg.tile_w
+
+    colf = jax.lax.broadcasted_iota(
+        jnp.int32, (th, tw), 1).astype(jnp.float32) + 0.5
+    rowf = jax.lax.broadcasted_iota(
+        jnp.int32, (th, tw), 0).astype(jnp.float32) + 0.5
+    pxn = (tx.astype(jnp.float32) * tw + colf) * (1.0 / cfg.width)
+    pyn = (ty.astype(jnp.float32) * th + rowf) * (1.0 / cfg.height)
+
+    z_out[...] = init_z_ref[...]
+    id_out[...] = init_id_ref[...]
+
+    c = chunk
+
+    def make_body(rec_src):
+        def body(ci, _):
+            base = pl.multiple_of(ci * c, c)
+            rec = rec_src(base)                       # (C, 16)
+            best_z = z_out[0]
+            best_id = id_out[0]
+            for j in range(c):
+                e = rec[j]
+                l0 = e[0] * pxn + e[1] * pyn + e[2]
+                l1 = e[3] * pxn + e[4] * pyn + e[5]
+                l2 = e[6] * pxn + e[7] * pyn + e[8]
+                num = l0 * e[9] + l1 * e[10] + l2 * e[11]
+                den = l0 * e[12] + l1 * e[13] + l2 * e[14]
+                inside = ((l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)
+                          & (den > 0.0))
+                depth = jnp.where(
+                    inside, num / jnp.where(den == 0.0, 1.0, den), -1.0)
+                tri_id = e[15]                        # f32 id, -1 = empty
+                # chunk overshoot reads -1-id slots — mask them out
+                upd = (depth > best_z) & (tri_id >= 0.0)
+                best_z = jnp.where(upd, depth, best_z)
+                best_id = jnp.where(
+                    upd, tri_id.astype(jnp.int32) + emit_base, best_id)
+            z_out[0] = best_z
+            id_out[0] = best_id
+            return 0
+        return body
+
+    count = counts_ref[i, 0]
+    n_chunks = (count + c - 1) // c
+    jax.lax.fori_loop(
+        0, n_chunks, make_body(lambda b: rec_ref[0, pl.ds(b, c), :]), 0)
+
+    big_count = counts_ref[i, 1]
+    n_big = (big_count + c - 1) // c
+    jax.lax.fori_loop(
+        0, n_big, make_body(lambda b: bigrec_ref[pl.ds(b, c), :]), 0)
+
+
+def fill_visibility_pallas(setup: dict, tile_table, tile_count, big_list,
+                           cfg: RasterConfig, init_depth=None,
+                           init_tri_id=None, chunk: int = 8,
+                           emit_base: int = 0):
+    """Pallas fill: returns (depth (H, W) f32, tri_id (H, W) i32)."""
+    rec = pack_tri_records(setup)                     # (T, 16)
+    safe = jnp.maximum(tile_table, 0)
+    tile_recs = rec[safe]                             # (tiles, K, 16)
+    # re-stamp slot 15 with the TABLE's id (-1 for empty slots)
+    tile_recs = tile_recs.at[:, :, 15].set(tile_table.astype(jnp.float32))
+    big_safe = jnp.maximum(big_list, 0)
+    big_recs = rec[big_safe]                          # (B, 16)
+    big_recs = big_recs.at[:, 15].set(big_list.astype(jnp.float32))
+    big_count = jnp.sum((big_list >= 0).astype(jnp.int32))
+    counts = jnp.stack(
+        [tile_count,
+         jnp.broadcast_to(big_count, tile_count.shape)], axis=1)
+
+    n_tiles = cfg.num_tiles
+    th, tw = cfg.tile_h, cfg.tile_w
+    if init_depth is None:
+        init_z = jnp.zeros((n_tiles, th, tw), jnp.float32)
+        init_id = jnp.full((n_tiles, th, tw), -1, jnp.int32)
+    else:
+        init_z = _image_to_tiles(init_depth, cfg)
+        init_id = _image_to_tiles(init_tri_id, cfg)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, cfg.max_tris_per_tile, REC),
+                         lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cfg.max_big_tris, REC),
+                         lambda i, c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, th, tw), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    z, tid = pl.pallas_call(
+        functools.partial(_fill_kernel, cfg=cfg, chunk=chunk,
+                          emit_base=emit_base),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, th, tw), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, th, tw), jnp.int32),
+        ),
+        grid_spec=grid_spec,
+    )(counts, tile_recs, big_recs, init_z, init_id)
+    return _tiles_to_image(z, cfg), _tiles_to_image(tid, cfg)
+
+
+def _image_to_tiles(img, cfg: RasterConfig):
+    th, tw = cfg.tile_h, cfg.tile_w
+    hpad = cfg.tiles_y * th - cfg.height
+    wpad = cfg.tiles_x * tw - cfg.width
+    p = jnp.pad(img, ((0, hpad), (0, wpad)))
+    p = p.reshape(cfg.tiles_y, th, cfg.tiles_x, tw)
+    return jnp.transpose(p, (0, 2, 1, 3)).reshape(cfg.num_tiles, th, tw)
+
+
+def _tiles_to_image(tiles, cfg: RasterConfig):
+    th, tw = cfg.tile_h, cfg.tile_w
+    img = tiles.reshape(cfg.tiles_y, cfg.tiles_x, th, tw)
+    img = jnp.transpose(img, (0, 2, 1, 3))
+    img = img.reshape(cfg.tiles_y * th, cfg.tiles_x * tw)
+    return img[:cfg.height, :cfg.width]

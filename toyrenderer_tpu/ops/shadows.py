@@ -1,0 +1,86 @@
+"""Ray-traced sun shadows with cone sampling + temporal/spatial denoise.
+
+Counterpart of source/ShadowMaskRenderer.cpp + shadowmask.hlsl:65-145
+(inline-RT shadow rays with blue-noise cone sampling for the soft sun,
+denoised by NRD SIGMA_SHADOW) — rebuilt TPU-first: rays go through the
+jnp LBVH (ops/bvh.py), the noise source is interleaved-gradient noise
+rotated per frame (stand-in for the reference's FFX blue-noise texture,
+CommonResources.cpp:166-202), and the denoiser is a motion-reprojected
+temporal accumulator + depth-aware separable spatial blur (ops/denoise.py)
+standing in for SIGMA.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from toyrenderer_tpu.ops import bvh as bvh_mod
+
+SUN_ANGULAR_RADIUS = float(np.radians(0.265))
+
+
+def interleaved_gradient_noise(h: int, w: int, frame_index):
+    """Per-pixel noise in [0,1), decorrelated across frames (stand-in for
+    the blue-noise texture; same usage pattern as shadowmask.hlsl)."""
+    x = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    y = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    f = frame_index.astype(jnp.float32) % 64.0
+    # golden-ratio temporal rotation of IGN
+    x = x + 5.588238 * f
+    y = y + 5.588238 * f
+    v = 52.9829189 * ((0.06711056 * x + 0.00583715 * y) % 1.0)
+    return v % 1.0
+
+
+def _orthonormal_basis(d):
+    """Branchless ONB (Duff et al.) for directions (..., 3)."""
+    sign = jnp.where(d[..., 2] >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + d[..., 2])
+    b = d[..., 0] * d[..., 1] * a
+    t = jnp.stack([1.0 + sign * d[..., 0] ** 2 * a, sign * b,
+                   -sign * d[..., 0]], -1)
+    bt = jnp.stack([b, sign + d[..., 1] ** 2 * a, -d[..., 1]], -1)
+    return t, bt
+
+
+def cone_sample(direction, r1, r2, half_angle: float):
+    """Sample directions in a cone around `direction` (uniform disc)."""
+    t, bt = _orthonormal_basis(direction)
+    radius = jnp.tan(half_angle) * jnp.sqrt(r1)
+    phi = 2.0 * jnp.pi * r2
+    offs = (t * (radius * jnp.cos(phi))[..., None]
+            + bt * (radius * jnp.sin(phi))[..., None])
+    d = direction + offs
+    return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True),
+                           1e-8)
+
+
+def trace_shadow_mask(bvh, world_pos, normal, hit_mask, sun_dir_to_light,
+                      frame_index, half_angle: float = SUN_ANGULAR_RADIUS,
+                      normal_bias: float = 2e-2, t_max: float = 1e4,
+                      max_steps: int = 96):
+    """1 spp cone-sampled sun visibility per pixel.
+
+    Args:
+      world_pos (H, W, 3), normal (H, W, 3), hit_mask (H, W) bool
+      sun_dir_to_light (3,): surface -> sun unit vector
+    Returns (H, W) f32 raw shadow mask (1 = lit).  Sky pixels return 1.
+    """
+    h, w = hit_mask.shape
+    r1 = interleaved_gradient_noise(h, w, frame_index)
+    r2 = interleaved_gradient_noise(h, w, frame_index + 17)
+    dirs = cone_sample(jnp.broadcast_to(sun_dir_to_light, world_pos.shape),
+                       r1, r2, half_angle)
+    origins = world_pos + normal * normal_bias
+
+    flat_o = origins.reshape(-1, 3)
+    flat_d = dirs.reshape(-1, 3)
+    res = bvh_mod.traverse(bvh, flat_o, flat_d, t_max=t_max,
+                           max_steps=max_steps, any_hit=True)
+    lit = 1.0 - res['hit'].astype(jnp.float32).reshape(h, w)
+    # facing away from the sun is its own shadow; sky stays lit
+    ndotl = jnp.sum(normal * sun_dir_to_light, -1)
+    lit = jnp.where(ndotl <= 0.0, 0.0, lit)
+    return jnp.where(hit_mask, lit, 1.0)

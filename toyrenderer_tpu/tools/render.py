@@ -37,6 +37,8 @@ def main(argv=None):
     p.add_argument("--taa", action="store_true")
     p.add_argument("--culling", action="store_true",
                    help="2-phase GPU-driven occlusion culling + LOD")
+    p.add_argument("--shadows", action="store_true",
+                   help="ray-traced denoised sun shadows")
     p.add_argument("--forcedlod", type=int, default=-1)
     p.add_argument("--platform", default=None,
                    help="force jax platform (cpu for software-WARP parity)")
@@ -77,6 +79,7 @@ def main(argv=None):
         enable_auto_exposure=args.autoexposure,
         enable_taa=args.taa,
         enable_culling=args.culling,
+        enable_shadows=args.shadows,
         forced_lod=args.forcedlod,
         use_bruteforce_raster=args.bruteforceraster)
     view = View.from_scene(scene_host, w, h)
