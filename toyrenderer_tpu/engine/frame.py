@@ -33,7 +33,7 @@ from toyrenderer_tpu.ops import geometry as geo_mod
 from toyrenderer_tpu.ops import hzb as hzb_mod
 from toyrenderer_tpu.ops import raster as raster_mod
 from toyrenderer_tpu.ops import taa as taa_mod
-from toyrenderer_tpu.ops.gbuffer import resolve_gbuffer
+from toyrenderer_tpu.ops.gbuffer import pack_resolve_records, resolve_gbuffer
 from toyrenderer_tpu.ops.lighting import deferred_lighting, debug_view
 from toyrenderer_tpu.ops.postprocess import compose_final
 from toyrenderer_tpu.ops.raster import RasterConfig
@@ -53,6 +53,7 @@ class RenderSettings:
     enable_shadows: bool = False          # ray-traced denoised sun shadows
     shadow_max_steps: int = 96            # BVH traversal budget per ray
     enable_ao: bool = False               # GTAO
+    ao_radius: float = 1.5                # world-space AO radius
     enable_gi: bool = False               # DDGI
     enable_bloom: bool = False
     enable_auto_exposure: bool = False
@@ -157,10 +158,11 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                 geo, cfg, use_pallas=use_pallas)
         cull_aux, new_hzb = {}, None
 
-    gb = resolve_gbuffer(
-        setup, depth, tri_id, scene, inst_world, inst_adj, prev_inst_world,
-        frame_inputs['view_proj_nojitter'],
-        frame_inputs['prev_view_proj_nojitter'], cfg)
+    records = pack_resolve_records(
+        setup, scene, inst_adj, prev_inst_world,
+        frame_inputs['prev_view_proj_nojitter'])
+    gb = resolve_gbuffer(records, depth, tri_id, frame_inputs['jitter'],
+                         cfg)
 
     # -- ShadowMask (ray-traced, denoised) --------------------------------------
     shadow_mask = None
@@ -188,11 +190,22 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
             shadow_history=shadow_hist,
             shadow_valid=jnp.asarray(1.0, jnp.float32))
 
+    # -- AmbientOcclusion (GTAO) -------------------------------------------------
+    ao = None
+    if settings.enable_ao:
+        from toyrenderer_tpu.ops.gbuffer import unpack_gbuffer as _unpack
+        from toyrenderer_tpu.ops.gtao import gtao as gtao_fn
+        m_ao = _unpack(gb)
+        ao = gtao_fn(depth, m_ao['normal'], frame_inputs['cam_pos'],
+                     frame_inputs['inv_view_proj'], carry['frame_index'],
+                     radius=settings.ao_radius)
+        ao = denoise_mod.depth_aware_blur(ao, depth, radius=2)
+
     # -- Deferred lighting + sky ----------------------------------------------
     hdr = deferred_lighting(
         gb, frame_inputs['cam_pos'], frame_inputs['inv_view_proj'],
         frame_inputs['sun_direction'], frame_inputs['sun_color'],
-        frame_inputs['sun_intensity'], shadow_mask=shadow_mask,
+        frame_inputs['sun_intensity'], shadow_mask=shadow_mask, ao=ao,
         sky_turbidity=settings.sky_turbidity,
         ambient_factor=settings.ambient_factor)
 
@@ -209,6 +222,8 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                **cull_aux)
     if shadow_mask is not None:
         aux['shadow'] = shadow_mask
+    if ao is not None:
+        aux['ao'] = ao
 
     # Bloom (from the lighting output, pre-TAA: Scene.cpp pass order)
     bloom_tex = None
@@ -341,6 +356,7 @@ def default_frame_inputs(scene_host, view_matrices: dict) -> dict:
             view_matrices['cull_frustum_planes']),
         cull_cam_pos=jnp.asarray(view_matrices['cull_cam_pos']),
         proj_scale_px=jnp.asarray(view_matrices['proj_scale_px']),
+        jitter=jnp.asarray(view_matrices['jitter']),
         node_translation=jnp.asarray(scene_host.node_translation),
         node_rotation=jnp.asarray(scene_host.node_rotation),
         node_scale=jnp.asarray(scene_host.node_scale),

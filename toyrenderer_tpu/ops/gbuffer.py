@@ -3,12 +3,16 @@
 The reference's pixel shader (PS_Main_GBuffer, source/shaders/basepass.hlsl:
 190-253) samples materials and packs the GBuffer during rasterization.  On
 TPU the raster loop stays minimal (see raster.py) and THIS dense per-pixel
-pass does the equivalent work afterwards: recompute perspective-correct
-barycentrics from the winning triangle's edge equations, interpolate
-attributes, transform normals by the instance adjugate, compute motion
-vectors from the previous frame's transforms, and pack the same 4x uint32
+pass does the equivalent work afterwards, packing the same 4x uint32
 GBuffer encodings as lightingcommon.hlsli:28-57 (albedo RGBA8 / octahedral
 normal / RGB9E5 emissive / roughness+metallic).
+
+Bandwidth design: gathering 10+ separate attribute arrays per pixel is
+gather-latency bound on TPU.  Instead `pack_resolve_records` resolves
+everything to ONE dense (T, 48) f32 record per triangle (world-space
+vertex normals, UVs, previous-frame clip positions, material constants) —
+those gathers run over T triangles, not H*W pixels — and the per-pixel
+stage does a single contiguous row gather + pure VPU math.
 """
 
 from __future__ import annotations
@@ -19,78 +23,106 @@ import jax.numpy as jnp
 from toyrenderer_tpu.mathlib.transforms import normalize
 from toyrenderer_tpu.ops import packing as P
 
+RESOLVE_REC = 48
+# record layout (f32 slots):
+#   0:9   edge equations        9:12  inv_scale
+#  12:21  world-space vertex normals (3 x 3)
+#  21:27  vertex UVs (3 x 2)
+#  27:36  previous-frame clip x,y,w per vertex (3 x 3)
+#  36:40  base color RGBA      40:42  metallic, roughness
+#  42:45  emissive             45    material id
+#  46:48  padding
 
-def resolve_gbuffer(setup: dict, depth, tri_id, scene,
-                    inst_world, inst_adj, prev_inst_world,
-                    view_proj_nojit, prev_view_proj_nojit, cfg):
-    """Returns dict with packed gbuffer channels + raw attribute planes.
 
-    gbuffer0: u32 albedo RGBA8        gbuffer1: u32 octahedral normal
-    gbuffer2: u32 emissive RGB9E5     gbuffer3: u32 roughness/metal/mat-id
-    motion:   (H, W, 2) f32 pixel-space motion (cur - prev), no jitter
-    depth:    (H, W) f32 reverse-Z (pass-through)
+def pack_resolve_records(setup: dict, scene, inst_adj, prev_inst_world,
+                         prev_view_proj_nojit):
+    """(T, 48) f32 per-triangle resolve records (dense over triangles)."""
+    t = setup['valid'].shape[0]
+    vids = setup['vtx_ids']                                # (T, 3)
+    inst = setup['inst_id']
+    mat = setup['mat_id']
+
+    n_obj = scene.normals[vids]                            # (T, 3, 3)
+    adj = inst_adj[inst]                                   # (T, 3, 3)
+    n_w = normalize(jnp.einsum('tij,tvj->tvi', adj, n_obj))
+    uv = scene.uvs[vids]                                   # (T, 3, 2)
+
+    obj = scene.positions[vids]                            # (T, 3, 3)
+    obj_h = jnp.concatenate([obj, jnp.ones_like(obj[..., :1])], -1)
+    pw = prev_inst_world[inst]                             # (T, 4, 4)
+    prev_clip = jnp.einsum('ij,tjk,tvk->tvi',
+                           prev_view_proj_nojit, pw, obj_h)
+    prev_xyw = prev_clip[..., jnp.asarray([0, 1, 3])]      # (T, 3, 3)
+
+    base = scene.mat_base_color[mat]                       # (T, 4)
+    mr = scene.mat_metal_rough[mat]                        # (T, 2)
+    emis = scene.mat_emissive[mat]                         # (T, 3)
+
+    return jnp.concatenate([
+        setup['edges'].reshape(t, 9),
+        setup['inv_s'],
+        n_w.reshape(t, 9),
+        uv.reshape(t, 6),
+        prev_xyw.reshape(t, 9),
+        base, mr, emis,
+        mat.astype(jnp.float32)[:, None],
+        jnp.zeros((t, 2), jnp.float32),
+    ], axis=1)
+
+
+def resolve_gbuffer(records, depth, tri_id, jitter, cfg):
+    """Per-pixel resolve from (T, 48) records + the visibility buffer.
+
+    jitter: (2,) current sub-pixel jitter in pixels (for unjittered motion
+    vectors, like the reference's motion output).
+    Returns the gbuffer dict (see module docstring).
     """
     h, w = depth.shape
     hit = tri_id >= 0
     tid = jnp.maximum(tri_id, 0)
 
-    pxn = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5) / w
-    pyn = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5) / h
+    rec = records[tid]                                     # (H, W, 48)
+    px = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
+    py = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5
+    pxn = px / w
+    pyn = py / h
 
-    # homogeneous edge values -> perspective-correct barycentrics
-    # (lambda_i ∝ L_i * inv_scale_i; see raster.py setup_triangles)
-    from toyrenderer_tpu.ops.raster import eval_edges
-    l = eval_edges(setup, tid, pxn, pyn)                   # (H, W, 3)
-    lw = l * setup['inv_s'][tid]
-    pc = lw / jnp.where(
-        jnp.abs(jnp.sum(lw, -1, keepdims=True)) < 1e-30, 1e-30,
-        jnp.sum(lw, -1, keepdims=True))
+    e = rec[..., 0:9].reshape(h, w, 3, 3)
+    l = (e[..., 0] * pxn[..., None] + e[..., 1] * pyn[..., None]
+         + e[..., 2])                                      # (H, W, 3)
+    lw = l * rec[..., 9:12]
+    denom = jnp.sum(lw, -1, keepdims=True)
+    pc = lw / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
 
-    vids = setup['vtx_ids'][tid]                           # (H, W, 3)
-    inst = setup['inst_id'][tid]
-    mat = setup['mat_id'][tid]
+    n_w = jnp.sum(rec[..., 12:21].reshape(h, w, 3, 3)
+                  * pc[..., None], axis=-2)
+    n_w = normalize(n_w)
+    uv = jnp.sum(rec[..., 21:27].reshape(h, w, 3, 2)
+                 * pc[..., None], axis=-2)
 
-    def interp(attr_per_vertex):
-        a = attr_per_vertex[vids]                          # (H, W, 3, K)
-        return jnp.sum(a * pc[..., None], axis=-2)
+    prev_xyw = jnp.sum(rec[..., 27:36].reshape(h, w, 3, 3)
+                       * pc[..., None], axis=-2)           # (H, W, 3)
+    pw_safe = jnp.where(jnp.abs(prev_xyw[..., 2:3]) < 1e-8, 1e-8,
+                        prev_xyw[..., 2:3])
+    prev_ndc = prev_xyw[..., :2] / pw_safe
+    prev_px = jnp.stack([(prev_ndc[..., 0] * 0.5 + 0.5) * w,
+                         (0.5 - prev_ndc[..., 1] * 0.5) * h], -1)
+    cur_px = jnp.stack([px - jitter[0], py - jitter[1]], -1)
+    motion = jnp.where((hit & (prev_xyw[..., 2] > 0))[..., None],
+                       cur_px - prev_px, 0.0)
 
-    n_obj = interp(scene.normals)                          # (H, W, 3)
-    uv = interp(scene.uvs)                                 # (H, W, 2)
-    obj_pos = interp(scene.positions)                      # (H, W, 3)
+    base_color = rec[..., 36:40]
+    metal = jnp.clip(rec[..., 40], 0.0, 1.0)
+    rough = jnp.clip(rec[..., 41], 0.02, 1.0)
+    emissive = jnp.maximum(rec[..., 42:45], 0.0)
+    mat_id = rec[..., 45].astype(jnp.uint32)
 
-    adj = inst_adj[inst]                                   # (H, W, 3, 3)
-    n_world = normalize(jnp.einsum('...ij,...j->...i', adj, n_obj))
-
-    # material fetch (textures arrive with the virtual-texture stage;
-    # factors only for now, like the reference's untextured fallback)
-    base_color = scene.mat_base_color[mat]                 # (H, W, 4)
-    metal_rough = scene.mat_metal_rough[mat]               # (H, W, 2)
-    emissive = scene.mat_emissive[mat]                     # (H, W, 3)
-
-    # motion vectors: reproject the surface point with previous transforms
-    wmat = inst_world[inst]                                # (H, W, 4, 4)
-    pmat = prev_inst_world[inst]
-    oh = jnp.concatenate([obj_pos, jnp.ones_like(obj_pos[..., :1])], -1)
-    wp = jnp.einsum('...ij,...j->...i', wmat, oh)
-    pp = jnp.einsum('...ij,...j->...i', pmat, oh)
-    cur_clip = jnp.einsum('ij,...j->...i', view_proj_nojit, wp)
-    prev_clip = jnp.einsum('ij,...j->...i', prev_view_proj_nojit, pp)
-
-    def to_pixel(clip):
-        ndc = clip[..., :2] / jnp.maximum(clip[..., 3:4], 1e-8)
-        return jnp.stack([(ndc[..., 0] * 0.5 + 0.5) * w,
-                          (0.5 - ndc[..., 1] * 0.5) * h], -1)
-    motion = to_pixel(cur_clip) - to_pixel(prev_clip)
-    motion = jnp.where(hit[..., None], motion, 0.0)
-
-    rough = jnp.clip(metal_rough[..., 1], 0.02, 1.0)
-    metal = jnp.clip(metal_rough[..., 0], 0.0, 1.0)
     g0 = P.pack_rgba8_u32(base_color)
-    g1 = P.pack_normal_oct_u32(n_world)
-    g2 = P.pack_rgb9e5_u32(jnp.maximum(emissive, 0.0))
+    g1 = P.pack_normal_oct_u32(n_w)
+    g2 = P.pack_rgb9e5_u32(emissive)
     g3 = (P.pack_rgba8_u32(jnp.stack(
         [rough, metal, jnp.zeros_like(rough), jnp.zeros_like(rough)], -1))
-        | (jnp.minimum(mat, 0xFFFF).astype(jnp.uint32) << 16))
+        | (jnp.minimum(mat_id, 0xFFFF) << 16))
     zero = jnp.uint32(0)
     return dict(
         gbuffer0=jnp.where(hit, g0, zero),

@@ -46,7 +46,8 @@ def main(argv=None):
     from toyrenderer_tpu.engine.frame import default_frame_inputs
     from toyrenderer_tpu.ops import geometry as G
     from toyrenderer_tpu.ops import raster as R
-    from toyrenderer_tpu.ops.gbuffer import resolve_gbuffer
+    from toyrenderer_tpu.ops.gbuffer import (
+        pack_resolve_records, resolve_gbuffer)
     from toyrenderer_tpu.ops.lighting import deferred_lighting
     from toyrenderer_tpu.ops.postprocess import compose_final
     from toyrenderer_tpu.ops.geometry import static_meshlet_pairs
@@ -98,10 +99,14 @@ def main(argv=None):
     print(f"fill_visibility       {ms:8.2f} ms   "
           f"coverage={float((np.asarray(tid) >= 0).mean()):.2f}")
 
-    f_resolve = jax.jit(lambda s, d, t, iw, ia, piw: resolve_gbuffer(
-        s, d, t, scene, iw, ia, piw,
-        fi['view_proj_nojitter'], fi['prev_view_proj_nojitter'], cfg))
-    ms, gb = _timeit(f_resolve, setup, depth, tid, iw, iadj, iw)
+    f_pack = jax.jit(lambda s, ia, piw: pack_resolve_records(
+        s, scene, ia, piw, fi['prev_view_proj_nojitter']))
+    ms, records = _timeit(f_pack, setup, iadj, iw)
+    print(f"pack_resolve_records  {ms:8.2f} ms")
+
+    f_resolve = jax.jit(lambda r, d, t: resolve_gbuffer(
+        r, d, t, fi['jitter'], cfg))
+    ms, gb = _timeit(f_resolve, records, depth, tid)
     print(f"resolve_gbuffer       {ms:8.2f} ms")
 
     f_light = jax.jit(lambda gb: deferred_lighting(

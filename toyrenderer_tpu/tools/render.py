@@ -39,6 +39,7 @@ def main(argv=None):
                    help="2-phase GPU-driven occlusion culling + LOD")
     p.add_argument("--shadows", action="store_true",
                    help="ray-traced denoised sun shadows")
+    p.add_argument("--ao", action="store_true", help="GTAO")
     p.add_argument("--forcedlod", type=int, default=-1)
     p.add_argument("--platform", default=None,
                    help="force jax platform (cpu for software-WARP parity)")
@@ -80,6 +81,7 @@ def main(argv=None):
         enable_taa=args.taa,
         enable_culling=args.culling,
         enable_shadows=args.shadows,
+        enable_ao=args.ao,
         forced_lod=args.forcedlod,
         use_bruteforce_raster=args.bruteforceraster)
     view = View.from_scene(scene_host, w, h)
