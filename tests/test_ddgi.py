@@ -1,0 +1,114 @@
+"""DDGI probe GI tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from toyrenderer_tpu.ops import ddgi as D
+
+
+def test_volume_from_aabb():
+    v = D.volume_from_aabb([-10, 0, -10], [10, 5, 10], max_probes_axis=8)
+    assert max(v.counts) == 8
+    assert min(v.counts) >= 2
+    pos = np.asarray(v.probe_positions())
+    assert pos.shape == (v.num_probes, 3)
+    assert pos.min(0)[1] <= 0.0 and pos.max(0)[1] >= 5.0
+
+
+def test_update_probes_uniform_radiance():
+    """Uniform white radiance from all directions -> every irradiance
+    texel equals 1 (cosine-weighted mean of a constant is the constant)."""
+    v = D.DdgiVolume(origin=(0, 0, 0), spacing=(1, 1, 1),
+                     counts=(2, 2, 2), rays_per_probe=128)
+    probes = D.init_probes(v)
+    dirs = jnp.asarray(D._fibonacci_sphere(128))
+    radiance = jnp.ones((8, 128, 3))
+    dist = jnp.full((8, 128), 0.7)
+    out = D.update_probes(v, probes, radiance, dist, dirs,
+                          first_frame=jnp.asarray(True))
+    irr = np.asarray(out['ddgi_irradiance'])
+    np.testing.assert_allclose(irr, 1.0, atol=0.02)
+    d = np.asarray(out['ddgi_distance'])
+    np.testing.assert_allclose(d[..., 0], 0.7, atol=0.02)
+    np.testing.assert_allclose(d[..., 1], 0.49, atol=0.03)
+
+
+def test_update_hysteresis():
+    v = D.DdgiVolume(origin=(0, 0, 0), spacing=(1, 1, 1),
+                     counts=(2, 2, 2), rays_per_probe=64)
+    probes = D.init_probes(v)
+    probes = {k: jnp.ones_like(x) for k, x in probes.items()}
+    dirs = jnp.asarray(D._fibonacci_sphere(64))
+    radiance = jnp.zeros((8, 64, 3))
+    dist = jnp.zeros((8, 64))
+    out = D.update_probes(v, probes, radiance, dist, dirs,
+                          first_frame=jnp.asarray(False))
+    # hysteresis 0.5: halfway between old (1) and new (0)
+    np.testing.assert_allclose(
+        np.asarray(out['ddgi_irradiance']), 0.5, atol=1e-5)
+
+
+def test_sample_trilinear_interpolation():
+    v = D.DdgiVolume(origin=(0, 0, 0), spacing=(1, 1, 1),
+                     counts=(2, 2, 2), rays_per_probe=64)
+    # probe 0 black, all others white
+    irr = jnp.ones((8, D.IRR_RES * D.IRR_RES, 3))
+    irr = irr.at[0].set(0.0)
+    up = jnp.asarray([[0.0, 1.0, 0.0]])
+    near0 = D.sample_irradiance(v, irr, jnp.asarray([[0.05, 0.05, 0.05]]),
+                                up)
+    center = D.sample_irradiance(v, irr, jnp.asarray([[0.5, 0.5, 0.5]]),
+                                 up)
+    far = D.sample_irradiance(v, irr, jnp.asarray([[0.95, 0.95, 0.95]]),
+                              up)
+    assert float(near0[0, 0]) < float(center[0, 0]) < float(far[0, 0])
+    assert float(far[0, 0]) > 0.95
+
+
+def test_fibonacci_covers_sphere():
+    d = D._fibonacci_sphere(256)
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-5)
+    # mean direction ~ 0 (uniform)
+    assert np.abs(d.mean(0)).max() < 0.02
+    # both hemispheres populated
+    assert (d[:, 2] > 0).sum() > 100 and (d[:, 2] < 0).sum() > 100
+
+
+def test_cornell_gi_lights_interior():
+    """The closed Cornell box is fully sun-shadowed inside; with DDGI the
+    interior must receive bounced energy."""
+    import jax
+    from toyrenderer_tpu.scene import load_scene
+    from toyrenderer_tpu.engine import RenderSettings, init_carry, View
+    from toyrenderer_tpu.engine.frame import (
+        make_render_fn, default_frame_inputs)
+    from toyrenderer_tpu.ops.geometry import static_meshlet_pairs
+
+    s = load_scene("resources/cornell.gltf", use_cache=False)
+    d = s.to_device()
+    pi, pm = static_meshlet_pairs(s)
+    pi, pm = jnp.asarray(pi), jnp.asarray(pm)
+    vol = D.volume_from_aabb(s.world_aabb[0], s.world_aabb[1],
+                             max_probes_axis=6, rays_per_probe=32)
+    W, H = 128, 72
+    base = dict(width=W, height=H, enable_shadows=True,
+                manual_exposure=0.02, shadow_max_steps=64, gi_max_steps=64)
+    hdrs = {}
+    for gi in (False, True):
+        settings = RenderSettings(enable_gi=gi, **base)
+        view = View.from_scene(s, W, H)
+        view.enable_jitter = False
+        carry = init_carry(d, settings, vol if gi else None)
+        render = make_render_fn(settings, vol if gi else None)
+        for _ in range(4):
+            mats = view.matrices()
+            fi = default_frame_inputs(s, mats)
+            img, carry, aux = render(d, pi, pm, fi, carry)
+            view.advance(mats)
+        hdrs[gi] = np.asarray(aux['hdr'])
+    # interior (geometry) pixels must be brighter with GI
+    interior = hdrs[True][20:60, 30:100].mean()
+    interior_nogi = hdrs[False][20:60, 30:100].mean()
+    assert interior > interior_nogi * 1.5
+    assert np.isfinite(hdrs[True]).all()

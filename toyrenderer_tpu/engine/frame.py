@@ -26,8 +26,10 @@ import numpy as np
 from toyrenderer_tpu.ops import bloom as bloom_mod
 from toyrenderer_tpu.ops import bvh as bvh_mod
 from toyrenderer_tpu.ops import culling as cull_mod
+from toyrenderer_tpu.ops import ddgi as ddgi_mod
 from toyrenderer_tpu.ops import denoise as denoise_mod
 from toyrenderer_tpu.ops import shadows as shadows_mod
+from toyrenderer_tpu.ops import sky as sky_mod
 from toyrenderer_tpu.ops import exposure as exposure_mod
 from toyrenderer_tpu.ops import geometry as geo_mod
 from toyrenderer_tpu.ops import hzb as hzb_mod
@@ -54,7 +56,8 @@ class RenderSettings:
     shadow_max_steps: int = 96            # BVH traversal budget per ray
     enable_ao: bool = False               # GTAO
     ao_radius: float = 1.5                # world-space AO radius
-    enable_gi: bool = False               # DDGI
+    enable_gi: bool = False               # DDGI probe GI
+    gi_max_steps: int = 64                # probe-ray traversal budget
     enable_bloom: bool = False
     enable_auto_exposure: bool = False
     enable_taa: bool = False
@@ -91,7 +94,8 @@ class RenderSettings:
 FrameCarry = dict
 
 
-def init_carry(scene, settings: RenderSettings) -> FrameCarry:
+def init_carry(scene, settings: RenderSettings, ddgi_volume=None
+               ) -> FrameCarry:
     """Initial cross-frame state (device arrays)."""
     n_inst = scene.inst_node.shape[0]
     eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
@@ -113,11 +117,16 @@ def init_carry(scene, settings: RenderSettings) -> FrameCarry:
         carry['shadow_history'] = jnp.ones(
             (settings.height, settings.width), jnp.float32)
         carry['shadow_valid'] = jnp.asarray(0.0, jnp.float32)
+    if settings.enable_gi:
+        from toyrenderer_tpu.ops.ddgi import init_probes
+        assert ddgi_volume is not None, "enable_gi requires a ddgi_volume"
+        carry.update(init_probes(ddgi_volume))
     return carry
 
 
 def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
-                 carry: FrameCarry, settings: RenderSettings):
+                 carry: FrameCarry, settings: RenderSettings,
+                 ddgi_volume=None):
     """One frame.  jit with static settings via `make_render_fn`.
 
     frame_inputs (all jnp arrays, dynamic):
@@ -164,23 +173,30 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     gb = resolve_gbuffer(records, depth, tri_id, frame_inputs['jitter'],
                          cfg)
 
+    # -- RT acceleration structure (shared by shadows + DDGI) -------------------
+    # the RT scene uses the FULL pair list — off-screen geometry still
+    # casts shadows / bounces light (culling only affects the raster pass)
+    bvh = None
+    if settings.enable_shadows or settings.enable_gi:
+        tv0, tv1, tv2, tvalid = bvh_mod.world_triangles(
+            scene, inst_world, pair_inst, pair_meshlet)
+        bvh = bvh_mod.build_bvh(tv0, tv1, tv2, tvalid)
+
+    from toyrenderer_tpu.ops.gbuffer import unpack_gbuffer
+    from toyrenderer_tpu.ops.lighting import world_pos_from_depth
+    m_gb = unpack_gbuffer(gb) if (settings.enable_shadows
+                                  or settings.enable_gi
+                                  or settings.enable_ao) else None
+    wp = (world_pos_from_depth(depth, frame_inputs['inv_view_proj'],
+                               settings.width, settings.height)
+          if (settings.enable_shadows or settings.enable_gi) else None)
+
     # -- ShadowMask (ray-traced, denoised) --------------------------------------
     shadow_mask = None
     shadow_carry = {}
     if settings.enable_shadows:
-        from toyrenderer_tpu.ops.gbuffer import unpack_gbuffer
-        from toyrenderer_tpu.ops.lighting import world_pos_from_depth
-        # the RT scene uses the FULL pair list — off-screen geometry still
-        # casts shadows (culling only affects the raster pass)
-        tv0, tv1, tv2, tvalid = bvh_mod.world_triangles(
-            scene, inst_world, pair_inst, pair_meshlet)
-        bvh = bvh_mod.build_bvh(tv0, tv1, tv2, tvalid)
-        m = unpack_gbuffer(gb)
-        wp = world_pos_from_depth(
-            depth, frame_inputs['inv_view_proj'],
-            settings.width, settings.height)
         raw = shadows_mod.trace_shadow_mask(
-            bvh, wp, m['normal'], depth > 0.0,
+            bvh, wp, m_gb['normal'], depth > 0.0,
             -frame_inputs['sun_direction'], carry['frame_index'],
             max_steps=settings.shadow_max_steps)
         shadow_mask, shadow_hist = denoise_mod.denoise_shadow(
@@ -190,13 +206,36 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
             shadow_history=shadow_hist,
             shadow_valid=jnp.asarray(1.0, jnp.float32))
 
+    # -- GI (DDGI probe trace + update + per-pixel sampling) --------------------
+    gi_irradiance = None
+    gi_carry = {}
+    if settings.enable_gi:
+        assert ddgi_volume is not None, "enable_gi requires a ddgi_volume"
+        shade_rec = ddgi_mod.build_shade_records(
+            scene, pair_inst, pair_meshlet, tv0, tv1, tv2)
+        to_light = -frame_inputs['sun_direction']
+        sky_fn = lambda d: sky_mod.sky_radiance(  # noqa: E731
+            d, to_light, turbidity=settings.sky_turbidity,
+            sun_intensity=frame_inputs['sun_intensity'])
+        radiance, ray_dist, ray_dirs = ddgi_mod.trace_probes(
+            ddgi_volume, bvh, shade_rec, carry['ddgi_irradiance'],
+            to_light, frame_inputs['sun_color'],
+            frame_inputs['sun_intensity'], carry['frame_index'], sky_fn,
+            max_steps=settings.gi_max_steps)
+        gi_carry = ddgi_mod.update_probes(
+            ddgi_volume, carry, radiance, ray_dist, ray_dirs,
+            first_frame=carry['frame_index'] == 0)
+        gi_irradiance = ddgi_mod.sample_irradiance_visibility(
+            ddgi_volume, gi_carry['ddgi_irradiance'],
+            gi_carry['ddgi_distance'], wp, m_gb['normal'])
+        gi_irradiance = jnp.where((depth > 0)[..., None],
+                                  gi_irradiance, 0.0)
+
     # -- AmbientOcclusion (GTAO) -------------------------------------------------
     ao = None
     if settings.enable_ao:
-        from toyrenderer_tpu.ops.gbuffer import unpack_gbuffer as _unpack
         from toyrenderer_tpu.ops.gtao import gtao as gtao_fn
-        m_ao = _unpack(gb)
-        ao = gtao_fn(depth, m_ao['normal'], frame_inputs['cam_pos'],
+        ao = gtao_fn(depth, m_gb['normal'], frame_inputs['cam_pos'],
                      frame_inputs['inv_view_proj'], carry['frame_index'],
                      radius=settings.ao_radius)
         ao = denoise_mod.depth_aware_blur(ao, depth, radius=2)
@@ -206,6 +245,7 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         gb, frame_inputs['cam_pos'], frame_inputs['inv_view_proj'],
         frame_inputs['sun_direction'], frame_inputs['sun_color'],
         frame_inputs['sun_intensity'], shadow_mask=shadow_mask, ao=ao,
+        gi_irradiance=gi_irradiance,
         sky_turbidity=settings.sky_turbidity,
         ambient_factor=settings.ambient_factor)
 
@@ -218,6 +258,7 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     if settings.enable_culling:
         new_carry['hzb'] = new_hzb
     new_carry.update(shadow_carry)
+    new_carry.update(gi_carry)
     aux = dict(depth=depth, tri_id=tri_id, motion=gb['motion'], hdr=hdr,
                **cull_aux)
     if shadow_mask is not None:
@@ -337,10 +378,12 @@ def _gbuffer_two_phase(scene, inst_world, prev_inst_world, frame_inputs,
 
 
 @functools.lru_cache(maxsize=32)
-def make_render_fn(settings: RenderSettings):
-    """Jitted frame function specialized on static settings."""
+def make_render_fn(settings: RenderSettings, ddgi_volume=None):
+    """Jitted frame function specialized on static settings (+ optional
+    static DdgiVolume when GI is enabled)."""
     return jax.jit(
-        functools.partial(render_frame, settings=settings))
+        functools.partial(render_frame, settings=settings,
+                          ddgi_volume=ddgi_volume))
 
 
 def default_frame_inputs(scene_host, view_matrices: dict) -> dict:

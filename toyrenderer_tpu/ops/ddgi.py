@@ -1,0 +1,286 @@
+"""DDGI: dynamic diffuse global illumination via light-field probes.
+
+Capability counterpart of the reference's RTXGI-DDGI integration
+(source/GIRenderer.cpp:23-596 + giprobetrace.hlsl: a probe grid sized from
+the scene AABB, 256 rays/probe traced per frame with direct lighting +
+recursive irradiance at hits, octahedral irradiance (8x8) and mean/mean^2
+distance (16x16) probe textures blended with hysteresis 0.5, sampled in
+deferred lighting with trilinear + normal + Chebyshev-visibility weights,
+DDGIShaderConfig.h:8-12).
+
+TPU-first design:
+* probe rays are spherical-fibonacci directions rotated per frame; the
+  trace is the shared lockstep BVH traversal (ops/bvh.py);
+* the irradiance/distance texel updates are BATCHED MATMULS — (texels x
+  rays) cosine-power weight matrices contracted against ray radiance on
+  the MXU — no atomics, no scatter;
+* probe textures are dense (P, T, T, C) arrays in the frame carry;
+* relocation/classification are represented by per-probe offsets/states
+  (zero/active in round 1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from toyrenderer_tpu.ops import bvh as bvh_mod
+from toyrenderer_tpu.ops import packing as P
+
+IRR_RES = 8           # octahedral irradiance texels per probe side
+DIST_RES = 16         # distance texels per probe side
+HYSTERESIS = 0.5      # GIRenderer.cpp:115 parity
+
+
+@dataclass(frozen=True)
+class DdgiVolume:
+    """Static probe-grid config (sized from the scene AABB on the host)."""
+    origin: tuple          # world min corner (3,)
+    spacing: tuple         # probe spacing (3,)
+    counts: tuple          # probes per axis (3,)
+    rays_per_probe: int = 64
+
+    @property
+    def num_probes(self) -> int:
+        return int(np.prod(self.counts))
+
+    def probe_positions(self):
+        cx, cy, cz = self.counts
+        ii = np.arange(cx * cy * cz)
+        iz = ii % cz
+        iy = (ii // cz) % cy
+        ix = ii // (cz * cy)
+        grid = np.stack([ix, iy, iz], -1).astype(np.float32)
+        return jnp.asarray(
+            np.asarray(self.origin, np.float32)
+            + grid * np.asarray(self.spacing, np.float32))
+
+
+def volume_from_aabb(bmin, bmax, max_probes_axis: int = 12,
+                     rays_per_probe: int = 64) -> DdgiVolume:
+    """Size a probe grid to a scene AABB (GIRenderer.cpp:43-156 parity:
+    grid covers the scene with a small margin)."""
+    bmin = np.asarray(bmin, np.float32)
+    bmax = np.asarray(bmax, np.float32)
+    ext = np.maximum(bmax - bmin, 1e-3)
+    margin = ext * 0.02
+    bmin = bmin - margin
+    ext = ext + margin * 2
+    counts = np.clip(np.ceil(ext / ext.max() * max_probes_axis), 2,
+                     max_probes_axis).astype(int)
+    spacing = ext / np.maximum(counts - 1, 1)
+    return DdgiVolume(origin=tuple(float(x) for x in bmin),
+                      spacing=tuple(float(x) for x in spacing),
+                      counts=tuple(int(x) for x in counts),
+                      rays_per_probe=rays_per_probe)
+
+
+def init_probes(volume: DdgiVolume):
+    """Initial (dark) probe state for the carry."""
+    p = volume.num_probes
+    return dict(
+        ddgi_irradiance=jnp.zeros((p, IRR_RES * IRR_RES, 3), jnp.float32),
+        ddgi_distance=jnp.zeros((p, DIST_RES * DIST_RES, 2), jnp.float32),
+    )
+
+
+def _fibonacci_sphere(n: int):
+    i = np.arange(n, dtype=np.float64) + 0.5
+    phi = np.arccos(1.0 - 2.0 * i / n)
+    golden = np.pi * (1.0 + 5.0 ** 0.5)
+    theta = golden * i
+    return np.stack([np.sin(phi) * np.cos(theta),
+                     np.sin(phi) * np.sin(theta),
+                     np.cos(phi)], -1).astype(np.float32)
+
+
+def _frame_rotation(frame_index):
+    """Per-frame random rotation matrix (golden-angle axis spin)."""
+    f = frame_index.astype(jnp.float32)
+    a = f * 2.399963
+    b = f * 1.513473 + 1.0
+    axis = jnp.stack([jnp.sin(b), jnp.cos(b) * 0.7 + 0.3,
+                      jnp.sin(b * 1.7)], -1)
+    axis = axis / jnp.maximum(jnp.linalg.norm(axis), 1e-6)
+    c, s = jnp.cos(a), jnp.sin(a)
+    k = jnp.asarray([[0, -axis[2], axis[1]],
+                     [axis[2], 0, -axis[0]],
+                     [-axis[1], axis[0], 0]])
+    return jnp.eye(3) + s * k + (1 - c) * (k @ k)
+
+
+def _oct_texel_dirs(res: int):
+    """(res*res, 3) directions of octahedral texel centers."""
+    u = (np.arange(res) + 0.5) / res
+    uu, vv = np.meshgrid(u, u, indexing='xy')
+    uv = np.stack([uu, vv], -1).reshape(-1, 2).astype(np.float32)
+    return P.oct_decode(jnp.asarray(uv))
+
+
+def trace_probes(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
+                 sun_dir_to_light, sun_color, sun_intensity, frame_index,
+                 sky_fn, max_steps: int = 64):
+    """Trace rays_per_probe rays per probe; returns (radiance (P,R,3),
+    distance (P,R), dirs (R,3) for this frame).
+
+    shade_rec: (T, 9) per-BVH-triangle shading record
+      [0:3] world face normal  [3:6] albedo  [6:9] emissive
+    sky_fn: callable(dirs (N,3)) -> (N,3) sky radiance for misses.
+    """
+    p = volume.num_probes
+    r = volume.rays_per_probe
+    base_dirs = jnp.asarray(_fibonacci_sphere(r))
+    rot = _frame_rotation(frame_index)
+    dirs = base_dirs @ rot.T                         # (R, 3)
+
+    pos = volume.probe_positions()                   # (P, 3)
+    origins = jnp.repeat(pos, r, axis=0)             # (P*R, 3)
+    d_all = jnp.tile(dirs, (p, 1))
+
+    res = bvh_mod.traverse(bvh, origins, d_all, t_max=1e4,
+                           max_steps=max_steps)
+    hit = res['hit']
+    tri = jnp.maximum(res['tri'], 0)
+    t = res['t']
+
+    rec = shade_rec[tri]                             # (P*R, 9)
+    n_w = rec[:, 0:3]
+    albedo = rec[:, 3:6]
+    emissive = rec[:, 6:9]
+    # two-sided shading normal (probe rays hit backfaces too)
+    n_w = jnp.where(jnp.sum(n_w * d_all, -1, keepdims=True) > 0,
+                    -n_w, n_w)
+    hit_pos = origins + d_all * t[:, None]
+
+    # direct sun with a shadow ray from the hit point
+    sh = bvh_mod.traverse(bvh, hit_pos + n_w * 1e-2,
+                          jnp.broadcast_to(sun_dir_to_light,
+                                           hit_pos.shape),
+                          t_max=1e4, max_steps=max_steps, any_hit=True)
+    ndotl = jnp.maximum(jnp.sum(n_w * sun_dir_to_light, -1), 0.0)
+    direct = (albedo / jnp.pi) * (ndotl * (1.0 - sh['hit'].astype(
+        jnp.float32)))[:, None] * (sun_color * sun_intensity)
+
+    # recursive bounce: previous-frame irradiance at the hit point
+    bounce = sample_irradiance(
+        volume, prev_irradiance, hit_pos, n_w) * albedo / jnp.pi
+    radiance = jnp.where(hit[:, None], direct + emissive + bounce,
+                         sky_fn(d_all))
+    dist = jnp.where(hit, t, 1e4)
+    return (radiance.reshape(p, r, 3), dist.reshape(p, r), dirs)
+
+
+def update_probes(volume: DdgiVolume, carry_probes: dict, radiance, dist,
+                  dirs, first_frame):
+    """Cosine/sharp-power weighted texel updates via batched matmul +
+    hysteresis blend."""
+    irr_dirs = _oct_texel_dirs(IRR_RES)              # (Ti, 3)
+    dist_dirs = _oct_texel_dirs(DIST_RES)            # (Td, 3)
+
+    w_irr = jnp.maximum(irr_dirs @ dirs.T, 0.0)      # (Ti, R) cosine lobe
+    w_sum = jnp.maximum(w_irr.sum(1, keepdims=True), 1e-4)
+    new_irr = jnp.einsum('tr,prc->ptc', w_irr, radiance) / w_sum[None]
+
+    w_d = jnp.maximum(dist_dirs @ dirs.T, 0.0) ** 16.0
+    wd_sum = jnp.maximum(w_d.sum(1, keepdims=True), 1e-4)
+    max_d = float(np.linalg.norm(np.asarray(volume.spacing))) * 1.5
+    dc = jnp.minimum(dist, max_d)
+    mean_d = jnp.einsum('tr,pr->pt', w_d, dc) / wd_sum[None, :, 0]
+    mean_d2 = jnp.einsum('tr,pr->pt', w_d, dc * dc) / wd_sum[None, :, 0]
+    new_dist = jnp.stack([mean_d, mean_d2], -1)
+
+    h = jnp.where(first_frame, 0.0, HYSTERESIS)
+    irr = carry_probes['ddgi_irradiance'] * h + new_irr * (1.0 - h)
+    dst = carry_probes['ddgi_distance'] * h + new_dist * (1.0 - h)
+    return dict(ddgi_irradiance=irr, ddgi_distance=dst)
+
+
+def sample_irradiance(volume: DdgiVolume, irradiance, world_pos, normal):
+    """Trilinear probe-grid irradiance lookup (..., 3) for shading points.
+
+    Octahedral texel fetch is nearest-texel (bilinear oct filtering later);
+    probe weights = trilinear x soft backface (no Chebyshev here — it
+    needs the distance texture; see sample_irradiance_visibility)."""
+    return _sample(volume, irradiance, None, world_pos, normal)
+
+
+def sample_irradiance_visibility(volume: DdgiVolume, irradiance, distance,
+                                 world_pos, normal):
+    """Full-weight sampling: trilinear x backface x Chebyshev visibility."""
+    return _sample(volume, irradiance, distance, world_pos, normal)
+
+
+def _sample(volume, irradiance, distance, world_pos, normal):
+    shape = world_pos.shape[:-1]
+    wp = world_pos.reshape(-1, 3)
+    n = normal.reshape(-1, 3)
+    origin = jnp.asarray(volume.origin)
+    spacing = jnp.asarray(volume.spacing)
+    counts = np.asarray(volume.counts)
+    cz = int(counts[2]); cy = int(counts[1]); cx = int(counts[0])
+
+    g = (wp - origin) / spacing
+    g0 = jnp.clip(jnp.floor(g), 0, jnp.asarray(counts, jnp.float32) - 2)
+    frac = jnp.clip(g - g0, 0.0, 1.0)
+    g0 = g0.astype(jnp.int32)
+
+    # octahedral texel of the surface normal
+    uv = P.oct_encode(n)
+    tx = jnp.clip((uv * IRR_RES).astype(jnp.int32), 0, IRR_RES - 1)
+    texel = tx[:, 1] * IRR_RES + tx[:, 0]
+
+    acc = jnp.zeros((wp.shape[0], 3))
+    wacc = jnp.zeros((wp.shape[0], 1))
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                gi = g0 + jnp.asarray([dx, dy, dz])
+                pid = (gi[:, 0] * cy + gi[:, 1]) * cz + gi[:, 2]
+                pid = jnp.clip(pid, 0, cx * cy * cz - 1)
+                w = ((frac[:, 0] if dx else 1 - frac[:, 0])
+                     * (frac[:, 1] if dy else 1 - frac[:, 1])
+                     * (frac[:, 2] if dz else 1 - frac[:, 2]))
+                probe_pos = origin + gi.astype(jnp.float32) * spacing
+                to_probe = probe_pos - wp
+                dist_p = jnp.maximum(jnp.linalg.norm(to_probe, axis=-1), 1e-4)
+                dir_p = to_probe / dist_p[:, None]
+                # soft backface: probes behind the surface contribute less
+                wn = jnp.maximum(jnp.sum(dir_p * n, -1) * 0.5 + 0.5,
+                                 0.0) ** 2 + 0.05
+                w = w * wn
+                if distance is not None:
+                    duv = P.oct_encode(-dir_p)
+                    dt = jnp.clip((duv * DIST_RES).astype(jnp.int32), 0,
+                                  DIST_RES - 1)
+                    dtex = dt[:, 1] * DIST_RES + dt[:, 0]
+                    md = distance[pid, dtex, 0]
+                    md2 = distance[pid, dtex, 1]
+                    var = jnp.maximum(md2 - md * md, 1e-6)
+                    cheb = var / (var + jnp.maximum(
+                        dist_p - md, 0.0) ** 2)
+                    cheb = jnp.clip(cheb ** 3, 0.05, 1.0)
+                    w = w * jnp.where(dist_p > md, cheb, 1.0)
+                e = irradiance[pid, texel]
+                acc = acc + e * w[:, None]
+                wacc = wacc + w[:, None]
+    out = acc / jnp.maximum(wacc, 1e-6)
+    return out.reshape(*shape, 3)
+
+
+def build_shade_records(scene, pair_inst, pair_meshlet, v0, v1, v2):
+    """(T, 9) per-triangle shading records for probe-hit shading:
+    world face normal, albedo, emissive (matched to world_triangles
+    ordering: pairs expanded x 96)."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    fn = jnp.cross(e1, e2)
+    fn = fn / jnp.maximum(
+        jnp.linalg.norm(fn, axis=-1, keepdims=True), 1e-12)
+    prim = scene.meshlet_prim[pair_meshlet]
+    mat = jnp.repeat(scene.prim_material[prim], 96, axis=0)
+    albedo = scene.mat_base_color[mat][:, :3]
+    emissive = scene.mat_emissive[mat]
+    return jnp.concatenate([fn, albedo, emissive], axis=1)

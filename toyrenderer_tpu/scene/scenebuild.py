@@ -27,7 +27,7 @@ from toyrenderer_tpu.scene import gltf as G
 from toyrenderer_tpu.scene import meshlet as ML
 from toyrenderer_tpu.scene import lod as LOD
 
-CACHE_VERSION = 5
+CACHE_VERSION = 6
 MAX_LODS = LOD.MAX_LODS
 
 
@@ -107,6 +107,9 @@ class SceneBuffers:
         default_factory=lambda: np.array([0, 0, 0, 1], np.float32))
     camera_yfov: float = 1.0
     camera_znear: float = 0.1
+    world_aabb: np.ndarray = field(
+        default_factory=lambda: np.asarray(
+            [[-1, -1, -1], [1, 1, 1]], np.float32))
 
     _DEVICE_FIELDS = (
         "positions normals uvs meshlet_tris meshlet_tri_count meshlet_center "
@@ -321,6 +324,21 @@ def build_scene(doc: G.GltfDocument, scale: float = 1.0,
             cam_rot = _mat3_to_quat(r3)
             cam_yfov, cam_znear = cam.yfov, cam.znear
 
+    # world AABB over instanced bounding spheres (rest pose) — sizes the
+    # DDGI probe volume like the reference (GIRenderer.cpp:43-156)
+    aabb_min = np.full(3, 1e30, np.float32)
+    aabb_max = np.full(3, -1e30, np.float32)
+    for n_i, p_i in zip(inst_node, inst_prim):
+        w_m = world[n_i]
+        c = (w_m[:3, :3] @ prim_center[p_i]) + w_m[:3, 3]
+        r = prim_radius[p_i] * float(
+            np.linalg.norm(w_m[:3, :3], axis=0).max())
+        aabb_min = np.minimum(aabb_min, c - r)
+        aabb_max = np.maximum(aabb_max, c + r)
+    if not inst_node:
+        aabb_min, aabb_max = -np.ones(3, np.float32), np.ones(3, np.float32)
+    world_aabb = np.stack([aabb_min, aabb_max]).astype(np.float32)
+
     # pack + pad ---------------------------------------------------------------
     V = _round_up(vert_base, 128)
     cat = lambda xs, d: (np.concatenate(xs, 0) if xs else
@@ -386,7 +404,8 @@ def build_scene(doc: G.GltfDocument, scale: float = 1.0,
         num_primitives=len(prim_offsets), num_instances=len(inst_node),
         num_nodes=n_nodes, sun_direction=sun_dir, sun_color=sun_color,
         sun_intensity=sun_intensity, camera_position=cam_pos,
-        camera_rotation=cam_rot, camera_yfov=cam_yfov, camera_znear=cam_znear)
+        camera_rotation=cam_rot, camera_yfov=cam_yfov,
+        camera_znear=cam_znear, world_aabb=world_aabb)
 
 
 def _world_matrices_host(parent, t, r, s) -> np.ndarray:
@@ -495,7 +514,8 @@ def save_scene_cache(path: Path, scene: SceneBuffers):
                             scene.camera_znear], np.float32),
         sun_direction=scene.sun_direction, sun_color=scene.sun_color,
         camera_position=scene.camera_position,
-        camera_rotation=scene.camera_rotation, **arrays)
+        camera_rotation=scene.camera_rotation,
+        world_aabb=scene.world_aabb, **arrays)
 
 
 def load_scene_cache(path: Path) -> SceneBuffers | None:
@@ -518,7 +538,7 @@ def load_scene_cache(path: Path) -> SceneBuffers | None:
             sun_direction=z["sun_direction"], sun_color=z["sun_color"],
             sun_intensity=float(sc[0]), camera_position=z["camera_position"],
             camera_rotation=z["camera_rotation"], camera_yfov=float(sc[1]),
-            camera_znear=float(sc[2]), **kw)
+            camera_znear=float(sc[2]), world_aabb=z["world_aabb"], **kw)
     except Exception:
         return None
 

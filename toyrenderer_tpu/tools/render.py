@@ -40,6 +40,8 @@ def main(argv=None):
     p.add_argument("--shadows", action="store_true",
                    help="ray-traced denoised sun shadows")
     p.add_argument("--ao", action="store_true", help="GTAO")
+    p.add_argument("--gi", action="store_true", help="DDGI probe GI")
+    p.add_argument("--giraysperprobe", type=int, default=64)
     p.add_argument("--forcedlod", type=int, default=-1)
     p.add_argument("--platform", default=None,
                    help="force jax platform (cpu for software-WARP parity)")
@@ -82,11 +84,21 @@ def main(argv=None):
         enable_culling=args.culling,
         enable_shadows=args.shadows,
         enable_ao=args.ao,
+        enable_gi=args.gi,
         forced_lod=args.forcedlod,
         use_bruteforce_raster=args.bruteforceraster)
+    ddgi_volume = None
+    if args.gi:
+        from toyrenderer_tpu.ops.ddgi import volume_from_aabb
+        ddgi_volume = volume_from_aabb(
+            scene_host.world_aabb[0], scene_host.world_aabb[1],
+            rays_per_probe=args.giraysperprobe)
+        print(f"[gi] probe grid {ddgi_volume.counts}, "
+              f"{ddgi_volume.num_probes} probes x "
+              f"{ddgi_volume.rays_per_probe} rays")
     view = View.from_scene(scene_host, w, h)
-    carry = init_carry(scene, settings)
-    render = make_render_fn(settings)
+    carry = init_carry(scene, settings, ddgi_volume)
+    render = make_render_fn(settings, ddgi_volume)
 
     image = None
     for i in range(args.frames):
