@@ -61,6 +61,7 @@ class RenderSettings:
     enable_bloom: bool = False
     enable_auto_exposure: bool = False
     enable_taa: bool = False
+    enable_textures: bool = True          # material texture sampling
     enable_culling: bool = False          # 2-phase GPU-driven culling
     enable_cone_culling: bool = True
     lod_error_px: float = 1.0             # screen-error LOD threshold
@@ -170,8 +171,16 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     records = pack_resolve_records(
         setup, scene, inst_adj, prev_inst_world,
         frame_inputs['prev_view_proj_nojitter'])
+    atlas = None
+    if settings.enable_textures and scene.num_textures > 0:
+        atlas = scene.atlas_dict()
+        # virtual-texture residency overrides from the streaming manager
+        for k in ('tex_texels', 'tex_offset', 'tex_min_mip'):
+            if k in frame_inputs:
+                atlas = dict(atlas, **{k: frame_inputs[k]})
     gb = resolve_gbuffer(records, depth, tri_id, frame_inputs['jitter'],
-                         cfg)
+                         cfg, atlas=atlas,
+                         num_textures=scene.num_textures)
 
     # -- RT acceleration structure (shared by shadows + DDGI) -------------------
     # the RT scene uses the FULL pair list — off-screen geometry still
@@ -265,6 +274,8 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         aux['shadow'] = shadow_mask
     if ao is not None:
         aux['ao'] = ao
+    if 'tex_feedback' in gb:
+        aux['tex_feedback'] = gb['tex_feedback']
 
     # Bloom (from the lighting output, pre-TAA: Scene.cpp pass order)
     bloom_tex = None

@@ -31,7 +31,7 @@ RESOLVE_REC = 48
 #  27:36  previous-frame clip x,y,w per vertex (3 x 3)
 #  36:40  base color RGBA      40:42  metallic, roughness
 #  42:45  emissive             45    material id
-#  46:48  padding
+#  46     base-color texture id (-1 none)     47    padding
 
 
 def pack_resolve_records(setup: dict, scene, inst_adj, prev_inst_world,
@@ -66,15 +66,21 @@ def pack_resolve_records(setup: dict, scene, inst_adj, prev_inst_world,
         prev_xyw.reshape(t, 9),
         base, mr, emis,
         mat.astype(jnp.float32)[:, None],
-        jnp.zeros((t, 2), jnp.float32),
+        scene.mat_base_color_tex[mat].astype(jnp.float32)[:, None],
+        jnp.zeros((t, 1), jnp.float32),
     ], axis=1)
 
 
-def resolve_gbuffer(records, depth, tri_id, jitter, cfg):
+def resolve_gbuffer(records, depth, tri_id, jitter, cfg, atlas=None,
+                    num_textures: int = 0):
     """Per-pixel resolve from (T, 48) records + the visibility buffer.
 
     jitter: (2,) current sub-pixel jitter in pixels (for unjittered motion
     vectors, like the reference's motion output).
+    atlas: optional texture-atlas dict (DeviceScene.atlas_dict()) — enables
+    base-color texturing with analytic-derivative mip selection and emits
+    'tex_feedback' (per-texture min desired mip, the sampler-feedback
+    equivalent).
     Returns the gbuffer dict (see module docstring).
     """
     h, w = depth.shape
@@ -97,8 +103,8 @@ def resolve_gbuffer(records, depth, tri_id, jitter, cfg):
     n_w = jnp.sum(rec[..., 12:21].reshape(h, w, 3, 3)
                   * pc[..., None], axis=-2)
     n_w = normalize(n_w)
-    uv = jnp.sum(rec[..., 21:27].reshape(h, w, 3, 2)
-                 * pc[..., None], axis=-2)
+    uvs3 = rec[..., 21:27].reshape(h, w, 3, 2)
+    uv = jnp.sum(uvs3 * pc[..., None], axis=-2)
 
     prev_xyw = jnp.sum(rec[..., 27:36].reshape(h, w, 3, 3)
                        * pc[..., None], axis=-2)           # (H, W, 3)
@@ -117,6 +123,28 @@ def resolve_gbuffer(records, depth, tri_id, jitter, cfg):
     emissive = jnp.maximum(rec[..., 42:45], 0.0)
     mat_id = rec[..., 45].astype(jnp.uint32)
 
+    tex_feedback = None
+    if atlas is not None:
+        from toyrenderer_tpu.ops.texture import (
+            sample_texture, texture_feedback)
+        tex_id = rec[..., 46].astype(jnp.int32)
+        tex_id = jnp.where(hit, tex_id, -1)
+        # analytic UV derivatives: re-evaluate the interpolation one pixel
+        # to the right / below (pure register math, no extra gathers)
+        def uv_at(dpx, dpy):
+            l2 = (e[..., 0] * (pxn + dpx / w)[..., None]
+                  + e[..., 1] * (pyn + dpy / h)[..., None] + e[..., 2])
+            lw2 = l2 * rec[..., 9:12]
+            d2 = jnp.sum(lw2, -1, keepdims=True)
+            pc2 = lw2 / jnp.where(jnp.abs(d2) < 1e-30, 1e-30, d2)
+            return jnp.sum(uvs3 * pc2[..., None], axis=-2)
+        duv_dx = uv_at(1.0, 0.0) - uv
+        duv_dy = uv_at(0.0, 1.0) - uv
+        tex_rgba, desired = sample_texture(
+            atlas, tex_id, uv, duv_dx, duv_dy, feedback=True)
+        base_color = base_color * tex_rgba
+        tex_feedback = texture_feedback(tex_id, desired, num_textures)
+
     g0 = P.pack_rgba8_u32(base_color)
     g1 = P.pack_normal_oct_u32(n_w)
     g2 = P.pack_rgb9e5_u32(emissive)
@@ -124,7 +152,7 @@ def resolve_gbuffer(records, depth, tri_id, jitter, cfg):
         [rough, metal, jnp.zeros_like(rough), jnp.zeros_like(rough)], -1))
         | (jnp.minimum(mat_id, 0xFFFF) << 16))
     zero = jnp.uint32(0)
-    return dict(
+    out = dict(
         gbuffer0=jnp.where(hit, g0, zero),
         gbuffer1=jnp.where(hit, g1, zero),
         gbuffer2=jnp.where(hit, g2, zero),
@@ -133,6 +161,9 @@ def resolve_gbuffer(records, depth, tri_id, jitter, cfg):
         depth=depth,
         uv=jnp.where(hit[..., None], uv, 0.0),
     )
+    if tex_feedback is not None:
+        out['tex_feedback'] = tex_feedback
+    return out
 
 
 def unpack_gbuffer(gb: dict):

@@ -1,0 +1,96 @@
+"""Device-side texture sampling from the flat mip atlas.
+
+The shading equivalent of the reference's bindless material sampling
+(lightingcommon.hlsli:358-406: ResourceDescriptorHeap fetch + anisotropic
+sampler + sampler-feedback write + MinMip residency clamp).  Here: dynamic
+gathers into the flat u32 atlas with bilinear filtering, analytic
+mip selection from UV derivatives, and the same min-resident-mip clamp the
+virtual-texture system uses.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from toyrenderer_tpu.ops.packing import unpack_rgba8_u32
+from toyrenderer_tpu.scene.textures import MAX_MIPS, WRAP_REPEAT
+
+
+def mip_from_derivatives(duv_dx, duv_dy, width, height):
+    """Standard isotropic LOD: log2 of the max screen footprint in texels."""
+    fx = jnp.square(duv_dx[..., 0] * width) + jnp.square(
+        duv_dx[..., 1] * height)
+    fy = jnp.square(duv_dy[..., 0] * width) + jnp.square(
+        duv_dy[..., 1] * height)
+    rho2 = jnp.maximum(jnp.maximum(fx, fy), 1e-12)
+    return 0.5 * jnp.log2(rho2)
+
+
+def sample_texture(atlas: dict, tex_id, uv, duv_dx=None, duv_dy=None,
+                   feedback: bool = False):
+    """Bilinear sample (..., 4) RGBA in [0,1].
+
+    tex_id (...,) i32 (values < 0 sample white), uv (..., 2),
+    duv_dx/duv_dy optional (..., 2) analytic derivatives for mip select.
+    feedback=True additionally returns the per-pixel desired mip (for the
+    sampler-feedback/virtual-texture loop).
+    """
+    tid = jnp.maximum(tex_id, 0)
+    n_mips = atlas['tex_num_mips'][tid]                   # (...,)
+    w0 = atlas['tex_width'][tid, 0].astype(jnp.float32)
+    h0 = atlas['tex_height'][tid, 0].astype(jnp.float32)
+
+    if duv_dx is not None:
+        desired = mip_from_derivatives(duv_dx, duv_dy, w0, h0)
+    else:
+        desired = jnp.zeros(uv.shape[:-1], jnp.float32)
+    # residency clamp (MinMip parity) + chain clamp
+    min_mip = atlas['tex_min_mip'][tid].astype(jnp.float32)
+    mip = jnp.clip(jnp.round(desired), min_mip,
+                   n_mips.astype(jnp.float32) - 1.0).astype(jnp.int32)
+
+    off = atlas['tex_offset'][tid, mip]
+    mw = atlas['tex_width'][tid, mip]
+    mh = atlas['tex_height'][tid, mip]
+    wrap = atlas['tex_wrap'][tid]
+
+    u = uv[..., 0] * mw.astype(jnp.float32) - 0.5
+    v = uv[..., 1] * mh.astype(jnp.float32) - 0.5
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    fx = (u - x0)[..., None]
+    fy = (v - y0)[..., None]
+
+    def fetch(xi, yi):
+        rep_x = jnp.mod(xi, jnp.maximum(mw, 1))
+        rep_y = jnp.mod(yi, jnp.maximum(mh, 1))
+        cl_x = jnp.clip(xi, 0, mw - 1)
+        cl_y = jnp.clip(yi, 0, mh - 1)
+        x = jnp.where(wrap == WRAP_REPEAT, rep_x, cl_x)
+        y = jnp.where(wrap == WRAP_REPEAT, rep_y, cl_y)
+        idx = jnp.clip(off + y * mw + x, 0,
+                       atlas['tex_texels'].shape[0] - 1)
+        return unpack_rgba8_u32(atlas['tex_texels'][idx])
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    c = ((fetch(x0i, y0i) * (1 - fx) + fetch(x0i + 1, y0i) * fx)
+         * (1 - fy)
+         + (fetch(x0i, y0i + 1) * (1 - fx)
+            + fetch(x0i + 1, y0i + 1) * fx) * fy)
+    c = jnp.where((tex_id >= 0)[..., None], c, 1.0)
+    if feedback:
+        return c, desired
+    return c
+
+
+def texture_feedback(tex_id, desired_mip, num_textures: int):
+    """Reduce per-pixel desired mips to a per-texture minimum — the
+    sampler-feedback readback equivalent (TextureFeedbackManager consumes
+    this on the host).  Returns (num_textures,) f32; +inf where unused."""
+    import jax
+    flat_id = jnp.where(tex_id >= 0, tex_id, num_textures).reshape(-1)
+    flat_mip = desired_mip.reshape(-1)
+    mins = jax.ops.segment_min(flat_mip, flat_id,
+                               num_segments=num_textures + 1)
+    return mins[:num_textures]

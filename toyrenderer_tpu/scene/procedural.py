@@ -166,10 +166,24 @@ def _quat_from_dir(d: np.ndarray) -> np.ndarray:
 
 
 def make_stress_scene(n_objects: int = 256, sphere_res: int = 24,
-                      seed: int = 0) -> SceneBuffers:
+                      seed: int = 0, textured: bool = False) -> SceneBuffers:
     doc = make_stress_doc(n_objects=n_objects, sphere_res=sphere_res,
                           seed=seed)
     scene = build_scene(doc)
+    if textured:
+        from toyrenderer_tpu.scene import textures as TX
+        atlas = TX.build_atlas(images=[
+            TX.checkerboard(512, 8),
+            TX.checkerboard(512, 32, (230, 120, 60), (80, 40, 200)),
+            TX.checkerboard(256, 4, (255, 255, 255), (128, 128, 128)),
+        ])
+        scene.attach_atlas(atlas)
+        # ground gets the big checker; every 3rd material gets one too
+        k = scene.mat_base_color_tex.shape[0]
+        tex_ids = np.full((k,), -1, np.int32)
+        tex_ids[::3] = np.arange((k + 2) // 3) % 2
+        tex_ids[-1] = 2   # ground material (appended last in the doc)
+        scene.mat_base_color_tex = tex_ids
     # benchmark camera: elevated, looking across the field
     scene.camera_position = np.asarray([0.0, 6.0, 55.0], np.float32)
     scene.camera_rotation = np.asarray(

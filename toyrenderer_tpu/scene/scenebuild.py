@@ -26,8 +26,9 @@ import numpy as np
 from toyrenderer_tpu.scene import gltf as G
 from toyrenderer_tpu.scene import meshlet as ML
 from toyrenderer_tpu.scene import lod as LOD
+from toyrenderer_tpu.scene import textures as TX
 
-CACHE_VERSION = 6
+CACHE_VERSION = 8
 MAX_LODS = LOD.MAX_LODS
 
 
@@ -110,6 +111,54 @@ class SceneBuffers:
     world_aabb: np.ndarray = field(
         default_factory=lambda: np.asarray(
             [[-1, -1, -1], [1, 1, 1]], np.float32))
+    # texture mip atlas (see scene/textures.py); defaults = 1 white texel
+    tex_texels: np.ndarray = field(
+        default_factory=lambda: np.full((128,), 0xFFFFFFFF, np.uint32))
+    tex_offset: np.ndarray = field(
+        default_factory=lambda: np.zeros((1, TX.MAX_MIPS), np.int32))
+    tex_width: np.ndarray = field(
+        default_factory=lambda: np.ones((1, TX.MAX_MIPS), np.int32))
+    tex_height: np.ndarray = field(
+        default_factory=lambda: np.ones((1, TX.MAX_MIPS), np.int32))
+    tex_num_mips: np.ndarray = field(
+        default_factory=lambda: np.ones((1,), np.int32))
+    tex_wrap: np.ndarray = field(
+        default_factory=lambda: np.zeros((1,), np.int32))
+    tex_min_mip: np.ndarray = field(
+        default_factory=lambda: np.zeros((1,), np.int32))
+    num_textures: int = 0
+    # packed animation channels (scene/animation.py)
+    anim_node: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, np.int32))
+    anim_path: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, np.int32))
+    anim_interp: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, np.int32))
+    anim_key_offset: np.ndarray = field(
+        default_factory=lambda: np.zeros(1, np.int32))
+    anim_times: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, np.float32))
+    anim_values: np.ndarray = field(
+        default_factory=lambda: np.zeros((0, 4), np.float32))
+    anim_duration: float = 0.0
+
+    def animation_data(self):
+        from toyrenderer_tpu.scene.animation import AnimationData
+        return AnimationData(
+            node=self.anim_node, path=self.anim_path,
+            interp=self.anim_interp, key_offset=self.anim_key_offset,
+            times=self.anim_times, values=self.anim_values,
+            duration=self.anim_duration)
+
+    def attach_atlas(self, atlas: "TX.TextureAtlas"):
+        self.tex_texels = atlas.texels
+        self.tex_offset = atlas.desc_offset
+        self.tex_width = atlas.desc_width
+        self.tex_height = atlas.desc_height
+        self.tex_num_mips = atlas.num_mips
+        self.tex_wrap = atlas.wrap_mode
+        self.tex_min_mip = atlas.min_resident_mip
+        self.num_textures = atlas.num_textures
 
     _DEVICE_FIELDS = (
         "positions normals uvs meshlet_tris meshlet_tri_count meshlet_center "
@@ -118,7 +167,9 @@ class SceneBuffers:
         "prim_center prim_radius prim_material inst_node inst_prim "
         "node_parent node_translation node_rotation node_scale "
         "mat_base_color mat_metal_rough mat_emissive mat_alpha_mode "
-        "mat_alpha_cutoff mat_double_sided mat_base_color_tex").split()
+        "mat_alpha_cutoff mat_double_sided mat_base_color_tex "
+        "tex_texels tex_offset tex_width tex_height tex_num_mips "
+        "tex_wrap tex_min_mip").split()
 
     def to_device(self) -> "DeviceScene":
         import jax.numpy as jnp
@@ -130,6 +181,7 @@ class SceneBuffers:
             num_primitives=self.num_primitives,
             num_instances=self.num_instances,
             num_nodes=self.num_nodes,
+            num_textures=self.num_textures,
             **kw)
 
 
@@ -170,19 +222,35 @@ class DeviceScene:
     mat_alpha_cutoff: object
     mat_double_sided: object
     mat_base_color_tex: object
+    tex_texels: object = None
+    tex_offset: object = None
+    tex_width: object = None
+    tex_height: object = None
+    tex_num_mips: object = None
+    tex_wrap: object = None
+    tex_min_mip: object = None
     node_depth: int = 0
     num_vertices: int = 0
     num_meshlets: int = 0
     num_primitives: int = 0
     num_instances: int = 0
     num_nodes: int = 0
+    num_textures: int = 0
+
+    def atlas_dict(self):
+        return dict(
+            tex_texels=self.tex_texels, tex_offset=self.tex_offset,
+            tex_width=self.tex_width, tex_height=self.tex_height,
+            tex_num_mips=self.tex_num_mips, tex_wrap=self.tex_wrap,
+            tex_min_mip=self.tex_min_mip)
 
 
 def _register_device_scene():
     import jax
     arr_fields = SceneBuffers._DEVICE_FIELDS
     static_fields = ("node_depth", "num_vertices", "num_meshlets",
-                     "num_primitives", "num_instances", "num_nodes")
+                     "num_primitives", "num_instances", "num_nodes",
+                     "num_textures")
 
     def flatten(s):
         return tuple(getattr(s, f) for f in arr_fields), tuple(
@@ -370,7 +438,7 @@ def build_scene(doc: G.GltfDocument, scale: float = 1.0,
     K = max(len(doc.materials), 1)
 
     mats = doc.materials
-    return SceneBuffers(
+    scene_out = SceneBuffers(
         positions=pos_all, normals=nrm_all, uvs=uv_all,
         meshlet_tris=mt, meshlet_tri_count=mtc, meshlet_center=mc,
         meshlet_radius=mr, meshlet_cone_axis=ma, meshlet_cone_cutoff=mcut,
@@ -406,6 +474,19 @@ def build_scene(doc: G.GltfDocument, scale: float = 1.0,
         sun_intensity=sun_intensity, camera_position=cam_pos,
         camera_rotation=cam_rot, camera_yfov=cam_yfov,
         camera_znear=cam_znear, world_aabb=world_aabb)
+    if doc.textures:
+        scene_out.attach_atlas(TX.build_atlas(doc))
+    if doc.animations:
+        from toyrenderer_tpu.scene.animation import pack_animations
+        ad = pack_animations(doc.animations)
+        scene_out.anim_node = ad.node
+        scene_out.anim_path = ad.path
+        scene_out.anim_interp = ad.interp
+        scene_out.anim_key_offset = ad.key_offset
+        scene_out.anim_times = ad.times
+        scene_out.anim_values = ad.values
+        scene_out.anim_duration = ad.duration
+    return scene_out
 
 
 def _world_matrices_host(parent, t, r, s) -> np.ndarray:
@@ -505,13 +586,18 @@ def save_scene_cache(path: Path, scene: SceneBuffers):
     meta = np.array([
         CACHE_VERSION, scene.node_depth, scene.num_vertices,
         scene.num_meshlets, scene.num_primitives, scene.num_instances,
-        scene.num_nodes], np.int64)
+        scene.num_nodes, scene.num_textures], np.int64)
     np.savez_compressed(
         _cache_path(path), __meta=meta,
         __digest=np.frombuffer(
             _source_digest(path).encode(), dtype=np.uint8),
         __scalars=np.array([scene.sun_intensity, scene.camera_yfov,
-                            scene.camera_znear], np.float32),
+                            scene.camera_znear, scene.anim_duration],
+                           np.float32),
+        anim_node=scene.anim_node, anim_path=scene.anim_path,
+        anim_interp=scene.anim_interp,
+        anim_key_offset=scene.anim_key_offset,
+        anim_times=scene.anim_times, anim_values=scene.anim_values,
         sun_direction=scene.sun_direction, sun_color=scene.sun_color,
         camera_position=scene.camera_position,
         camera_rotation=scene.camera_rotation,
@@ -535,10 +621,16 @@ def load_scene_cache(path: Path) -> SceneBuffers | None:
             node_depth=int(meta[1]), num_vertices=int(meta[2]),
             num_meshlets=int(meta[3]), num_primitives=int(meta[4]),
             num_instances=int(meta[5]), num_nodes=int(meta[6]),
+            num_textures=int(meta[7]) if len(meta) > 7 else 0,
             sun_direction=z["sun_direction"], sun_color=z["sun_color"],
             sun_intensity=float(sc[0]), camera_position=z["camera_position"],
             camera_rotation=z["camera_rotation"], camera_yfov=float(sc[1]),
-            camera_znear=float(sc[2]), world_aabb=z["world_aabb"], **kw)
+            camera_znear=float(sc[2]), world_aabb=z["world_aabb"],
+            anim_node=z["anim_node"], anim_path=z["anim_path"],
+            anim_interp=z["anim_interp"],
+            anim_key_offset=z["anim_key_offset"],
+            anim_times=z["anim_times"], anim_values=z["anim_values"],
+            anim_duration=float(sc[3]) if len(sc) > 3 else 0.0, **kw)
     except Exception:
         return None
 

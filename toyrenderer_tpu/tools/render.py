@@ -42,6 +42,8 @@ def main(argv=None):
     p.add_argument("--ao", action="store_true", help="GTAO")
     p.add_argument("--gi", action="store_true", help="DDGI probe GI")
     p.add_argument("--giraysperprobe", type=int, default=64)
+    p.add_argument("--animate", action="store_true",
+                   help="play scene animations at 60 fps frame steps")
     p.add_argument("--forcedlod", type=int, default=-1)
     p.add_argument("--platform", default=None,
                    help="force jax platform (cpu for software-WARP parity)")
@@ -100,10 +102,24 @@ def main(argv=None):
     carry = init_carry(scene, settings, ddgi_volume)
     render = make_render_fn(settings, ddgi_volume)
 
+    player = None
+    if args.animate:
+        from toyrenderer_tpu.scene.animation import AnimationPlayer
+        player = AnimationPlayer(scene_host.animation_data())
+        print(f"[anim] {player.data.num_channels} channels, "
+              f"{player.data.duration:.2f}s")
+
     image = None
     for i in range(args.frames):
         mats = view.matrices()
         fi = default_frame_inputs(scene_host, mats)
+        if player is not None and player.enabled:
+            t, r, s = player.evaluate(
+                i / 60.0, scene_host.node_translation,
+                scene_host.node_rotation, scene_host.node_scale)
+            fi['node_translation'] = jnp.asarray(t)
+            fi['node_rotation'] = jnp.asarray(r)
+            fi['node_scale'] = jnp.asarray(s)
         t0 = time.time()
         image, carry, aux = render(scene, pair_inst, pair_meshlet, fi, carry)
         image.block_until_ready()
