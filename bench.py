@@ -42,10 +42,13 @@ def main():
     width = int(os.environ.get("BENCH_WIDTH", "1920"))
     height = int(os.environ.get("BENCH_HEIGHT", "1080"))
     n_frames = int(os.environ.get("BENCH_FRAMES", "8"))
+    culling = os.environ.get("BENCH_CULLING", "1") == "1"
+    textured = os.environ.get("BENCH_TEXTURED", "1") == "1"
 
     t0 = time.time()
     scene_host = make_stress_scene(n_objects=n_objects,
-                                   sphere_res=sphere_res)
+                                   sphere_res=sphere_res,
+                                   textured=textured)
     build_s = time.time() - t0
     tri_count = int(scene_host.meshlet_tri_count[
         :scene_host.num_meshlets].sum())
@@ -55,7 +58,8 @@ def main():
     pi, pm = jnp.asarray(pi), jnp.asarray(pm)
 
     settings = RenderSettings(width=width, height=height,
-                              manual_exposure=0.1)
+                              manual_exposure=0.1,
+                              enable_culling=culling)
     view = View.from_scene(scene_host, width, height)
     carry = init_carry(scene, settings)
     render = make_render_fn(settings)
@@ -77,8 +81,10 @@ def main():
 
     ms = float(np.median(times))
     covered = float((np.asarray(aux['tri_id']) >= 0).mean())
+    pipeline = ("2-phase-culled GPU-driven deferred" if culling
+                else "deferred")
     result = {
-        "metric": f"ms/frame {width}x{height} deferred "
+        "metric": f"ms/frame {width}x{height} {pipeline} "
                   f"(sponza-class {tri_count} tris, "
                   f"{scene_host.num_instances} instances)",
         "value": round(ms, 3),

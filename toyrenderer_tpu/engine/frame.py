@@ -28,6 +28,7 @@ from toyrenderer_tpu.ops import bvh as bvh_mod
 from toyrenderer_tpu.ops import culling as cull_mod
 from toyrenderer_tpu.ops import ddgi as ddgi_mod
 from toyrenderer_tpu.ops import denoise as denoise_mod
+from toyrenderer_tpu.ops import restir as restir_mod
 from toyrenderer_tpu.ops import shadows as shadows_mod
 from toyrenderer_tpu.ops import sky as sky_mod
 from toyrenderer_tpu.ops import exposure as exposure_mod
@@ -58,6 +59,10 @@ class RenderSettings:
     ao_radius: float = 1.5                # world-space AO radius
     enable_gi: bool = False               # DDGI probe GI
     gi_max_steps: int = 64                # probe-ray traversal budget
+    show_gi_probes: bool = False          # probe visualization overlay
+    enable_restir: bool = False           # ReSTIR DI (off: reference parity)
+    restir_candidates: int = 8
+    restir_max_lights: int = 256
     enable_bloom: bool = False
     enable_auto_exposure: bool = False
     enable_taa: bool = False
@@ -122,6 +127,11 @@ def init_carry(scene, settings: RenderSettings, ddgi_volume=None
         from toyrenderer_tpu.ops.ddgi import init_probes
         assert ddgi_volume is not None, "enable_gi requires a ddgi_volume"
         carry.update(init_probes(ddgi_volume))
+    if settings.enable_restir:
+        hw = (settings.height, settings.width)
+        carry['restir_reservoir'] = dict(
+            li=jnp.zeros(hw, jnp.int32), r1=jnp.zeros(hw),
+            r2=jnp.zeros(hw), w=jnp.zeros(hw), m=jnp.zeros(hw))
     return carry
 
 
@@ -186,19 +196,19 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     # the RT scene uses the FULL pair list — off-screen geometry still
     # casts shadows / bounces light (culling only affects the raster pass)
     bvh = None
-    if settings.enable_shadows or settings.enable_gi:
+    needs_rt = (settings.enable_shadows or settings.enable_gi
+                or settings.enable_restir)
+    if needs_rt:
         tv0, tv1, tv2, tvalid = bvh_mod.world_triangles(
             scene, inst_world, pair_inst, pair_meshlet)
         bvh = bvh_mod.build_bvh(tv0, tv1, tv2, tvalid)
 
     from toyrenderer_tpu.ops.gbuffer import unpack_gbuffer
     from toyrenderer_tpu.ops.lighting import world_pos_from_depth
-    m_gb = unpack_gbuffer(gb) if (settings.enable_shadows
-                                  or settings.enable_gi
-                                  or settings.enable_ao) else None
+    m_gb = unpack_gbuffer(gb) if (needs_rt or settings.enable_ao) else None
     wp = (world_pos_from_depth(depth, frame_inputs['inv_view_proj'],
                                settings.width, settings.height)
-          if (settings.enable_shadows or settings.enable_gi) else None)
+          if needs_rt else None)
 
     # -- ShadowMask (ray-traced, denoised) --------------------------------------
     shadow_mask = None
@@ -240,6 +250,22 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         gi_irradiance = jnp.where((depth > 0)[..., None],
                                   gi_irradiance, 0.0)
 
+    # -- ReSTIR DI (implemented, off by default — reference parity: the
+    #    renderer is registered but unscheduled, ReSTIRRenderer.cpp) --------
+    restir_light = None
+    restir_carry = {}
+    if settings.enable_restir:
+        lights = restir_mod.collect_emissive_lights(
+            scene, pair_inst, pair_meshlet, tv0, tv1, tv2,
+            max_lights=settings.restir_max_lights)
+        restir_light, reservoir = restir_mod.restir_di(
+            bvh, lights, wp, m_gb['normal'], m_gb['albedo'], depth > 0.0,
+            carry['frame_index'],
+            prev_reservoir=carry.get('restir_reservoir'),
+            motion=gb['motion'],
+            num_candidates=settings.restir_candidates)
+        restir_carry['restir_reservoir'] = reservoir
+
     # -- AmbientOcclusion (GTAO) -------------------------------------------------
     ao = None
     if settings.enable_ao:
@@ -257,6 +283,12 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         gi_irradiance=gi_irradiance,
         sky_turbidity=settings.sky_turbidity,
         ambient_factor=settings.ambient_factor)
+    if restir_light is not None:
+        hdr = hdr + jnp.where((depth > 0)[..., None], restir_light, 0.0)
+    if settings.show_gi_probes and settings.enable_gi:
+        hdr = ddgi_mod.visualize_probes(
+            hdr, depth, ddgi_volume, gi_carry['ddgi_irradiance'],
+            frame_inputs['view_proj_nojitter'], frame_inputs['cam_pos'])
 
     # -- HDR post chain ---------------------------------------------------------
     new_carry = dict(
@@ -268,6 +300,7 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         new_carry['hzb'] = new_hzb
     new_carry.update(shadow_carry)
     new_carry.update(gi_carry)
+    new_carry.update(restir_carry)
     aux = dict(depth=depth, tri_id=tri_id, motion=gb['motion'], hdr=hdr,
                **cull_aux)
     if shadow_mask is not None:

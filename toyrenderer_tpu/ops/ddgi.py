@@ -284,3 +284,54 @@ def build_shade_records(scene, pair_inst, pair_meshlet, v0, v1, v2):
     albedo = scene.mat_base_color[mat][:, :3]
     emissive = scene.mat_emissive[mat]
     return jnp.concatenate([fn, albedo, emissive], axis=1)
+
+
+def visualize_probes(hdr, depth, volume: DdgiVolume, irradiance,
+                     view_proj, cam_pos, radius_world: float = None):
+    """Debug overlay: depth-tested lit probe spheres showing their own
+    irradiance (GIDebugRenderer / giprobevisualization.hlsl parity).
+
+    Splats a bounded patch per probe with a fori_loop — bounded, jit-safe.
+    """
+    h, w = depth.shape
+    patch = 32
+    if radius_world is None:
+        radius_world = float(min(volume.spacing)) * 0.12
+    pos = volume.probe_positions()                    # (P, 3)
+    ph = jnp.concatenate([pos, jnp.ones_like(pos[:, :1])], -1)
+    clip = ph @ view_proj.T
+    wc = clip[:, 3]
+    in_front = wc > 1e-3
+    wsafe = jnp.where(in_front, wc, 1.0)
+    sx = (clip[:, 0] / wsafe * 0.5 + 0.5) * w
+    sy = (0.5 - clip[:, 1] / wsafe * 0.5) * h
+    pd = clip[:, 2] / wsafe                           # reverse-Z depth
+    dist = jnp.linalg.norm(pos - cam_pos[None], axis=-1)
+    r_px = jnp.clip(radius_world / jnp.maximum(dist, 1e-3)
+                    * 0.5 * h * 1.2, 1.0, patch * 0.45)
+
+    # camera basis for fake sphere shading
+    mean_irr = irradiance.mean(axis=1)                # (P, 3)
+
+    yy = jax.lax.broadcasted_iota(jnp.float32, (patch, patch), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (patch, patch), 1)
+
+    def body(i, img):
+        cx = sx[i]
+        cy = sy[i]
+        x0 = jnp.clip(cx.astype(jnp.int32) - patch // 2, 0, w - patch)
+        y0 = jnp.clip(cy.astype(jnp.int32) - patch // 2, 0, h - patch)
+        tile = jax.lax.dynamic_slice(img, (y0, x0, 0), (patch, patch, 3))
+        dtile = jax.lax.dynamic_slice(depth, (y0, x0), (patch, patch))
+        dx = (xx + x0.astype(jnp.float32) + 0.5 - cx) / r_px[i]
+        dy = (yy + y0.astype(jnp.float32) + 0.5 - cy) / r_px[i]
+        rr = dx * dx + dy * dy
+        inside = (rr < 1.0) & in_front[i] & (pd[i] > dtile)
+        # fake sphere shade: brighten toward the rim-normal facing up
+        nz = jnp.sqrt(jnp.maximum(1.0 - rr, 0.0))
+        shade = 0.3 + 0.7 * jnp.maximum(nz * 0.7 - dy * 0.6, 0.0)
+        color = mean_irr[i][None, None, :] * shade[..., None] + 1e-3
+        out = jnp.where(inside[..., None], color, tile)
+        return jax.lax.dynamic_update_slice(img, out, (y0, x0, 0))
+
+    return jax.lax.fori_loop(0, volume.num_probes, body, hdr)

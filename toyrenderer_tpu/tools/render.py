@@ -41,6 +41,9 @@ def main(argv=None):
                    help="ray-traced denoised sun shadows")
     p.add_argument("--ao", action="store_true", help="GTAO")
     p.add_argument("--gi", action="store_true", help="DDGI probe GI")
+    p.add_argument("--showprobes", action="store_true",
+                   help="GI probe visualization overlay")
+    p.add_argument("--restir", action="store_true", help="ReSTIR DI")
     p.add_argument("--giraysperprobe", type=int, default=64)
     p.add_argument("--animate", action="store_true",
                    help="play scene animations at 60 fps frame steps")
@@ -87,6 +90,8 @@ def main(argv=None):
         enable_shadows=args.shadows,
         enable_ao=args.ao,
         enable_gi=args.gi,
+        show_gi_probes=args.showprobes,
+        enable_restir=args.restir,
         forced_lod=args.forcedlod,
         use_bruteforce_raster=args.bruteforceraster)
     ddgi_volume = None
