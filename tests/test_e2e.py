@@ -140,3 +140,35 @@ def test_full_hdr_pipeline(cornell):
     assert (inner == 255).mean() < 0.5
     # TAA history carried
     assert 'taa_history' in carry and carry['taa_history'].shape == (H, W, 3)
+
+
+def test_state_snapshot_roundtrip(cornell, tmp_path):
+    """Carry (incl. nested HZB tuple) survives save/load; resumed render
+    is bitwise-identical to the uninterrupted one."""
+    from toyrenderer_tpu.engine.snapshot import save_state, load_state
+    settings = RenderSettings(width=W, height=H, manual_exposure=0.01,
+                              enable_culling=True, enable_taa=True)
+    scene_host, scene, pi, pm = cornell
+    render = make_render_fn(settings)
+
+    def run(n, carry, view):
+        img = None
+        for _ in range(n):
+            mats = view.matrices()
+            fi = default_frame_inputs(scene_host, mats)
+            img, carry, _ = render(scene, pi, pm, fi, carry)
+            view.advance(mats)
+        return img, carry, view
+
+    view = View.from_scene(scene_host, W, H)
+    carry = init_carry(scene, settings)
+    img_a, carry, view = run(2, carry, view)
+    save_state(tmp_path / "state.npz", carry, view)
+
+    view2 = View.from_scene(scene_host, W, H)
+    carry2 = load_state(tmp_path / "state.npz", view2)
+    assert view2.frame_index == view.frame_index
+    img_resume, _, _ = run(1, carry2, view2)
+    img_cont, _, _ = run(1, carry, view)
+    np.testing.assert_array_equal(np.asarray(img_resume),
+                                  np.asarray(img_cont))
