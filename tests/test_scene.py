@@ -120,3 +120,24 @@ def test_scene_cache_roundtrip(tmp_path):
     with open(dst, "a") as f:
         f.write(" ")
     assert SB.load_scene_cache(dst) is None
+
+
+def test_native_meshlet_builder_matches_python():
+    """The C++ builder must be bit-identical to the Python reference."""
+    from toyrenderer_tpu.native import meshlet_lib
+    if meshlet_lib() is None:
+        import pytest
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(11)
+    pos = rng.normal(size=(700, 3)).astype(np.float32)
+    idx = rng.integers(0, 700, size=(9000,)).astype(np.uint32)
+    a = ML.build_meshlets(idx, pos, use_native=False)
+    b = ML.build_meshlets(idx, pos, use_native=True)
+    assert a.count == b.count
+    np.testing.assert_array_equal(a.tri_vertex_indices,
+                                  b.tri_vertex_indices)
+    np.testing.assert_array_equal(a.tri_count, b.tri_count)
+    np.testing.assert_allclose(a.center, b.center, atol=1e-5)
+    np.testing.assert_allclose(a.radius, b.radius, atol=1e-4)
+    np.testing.assert_allclose(a.cone_axis, b.cone_axis, atol=1e-4)
+    np.testing.assert_allclose(a.cone_cutoff, b.cone_cutoff, atol=1e-4)

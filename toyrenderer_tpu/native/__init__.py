@@ -1,0 +1,57 @@
+"""Native (C++) host-side components, built on demand with g++.
+
+The reference's whole host runtime is C++; here native code backs the hot
+content-pipeline loops (meshletization) behind Python fallbacks — importing
+this package never fails, `meshlet_lib()` just returns None when no
+toolchain is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import sysconfig
+from pathlib import Path
+
+_DIR = Path(__file__).parent
+_LIB = None
+_TRIED = False
+
+
+def _build(src: Path, out: Path) -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+             str(src), "-o", str(out)],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def meshlet_lib():
+    """ctypes handle to the meshlet builder, or None."""
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    src = _DIR / "meshlet.cpp"
+    so = _DIR / "_meshlet.so"
+    if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+        if not _build(src, so):
+            return None
+    try:
+        lib = ctypes.CDLL(str(so))
+        lib.build_meshlets.restype = ctypes.c_int64
+        lib.build_meshlets.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,   # indices, n_tris
+            ctypes.c_void_p, ctypes.c_int64,   # positions, n_verts
+            ctypes.c_void_p, ctypes.c_void_p,  # out_tris, out_tri_count
+            ctypes.c_void_p, ctypes.c_void_p,  # out_center, out_radius
+            ctypes.c_void_p, ctypes.c_void_p,  # out_axis, out_cutoff
+            ctypes.c_int64,                    # max_meshlets
+        ]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB

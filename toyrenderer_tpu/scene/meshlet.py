@@ -37,12 +37,19 @@ class Meshlets:
         return self.tri_vertex_indices.shape[0]
 
 
-def build_meshlets(indices: np.ndarray, positions: np.ndarray) -> Meshlets:
+def build_meshlets(indices: np.ndarray, positions: np.ndarray,
+                   use_native: bool = True) -> Meshlets:
     """Greedy scan-order meshletization under the 64v/96t budget.
 
     meshoptimizer's spatial clustering is an optimization, not a semantic —
     greedy order preserves the index-locality most exporters already have.
+    Dispatches to the C++ builder (native/meshlet.cpp, bit-identical
+    output) when the toolchain is available; Python fallback below.
     """
+    if use_native:
+        out = _build_meshlets_native(indices, positions)
+        if out is not None:
+            return out
     tris = np.asarray(indices, np.int64).reshape(-1, 3)
     n_tris = len(tris)
 
@@ -126,3 +133,34 @@ def build_meshlets(indices: np.ndarray, positions: np.ndarray) -> Meshlets:
         radius=np.asarray(bounds_radius, np.float32),
         cone_axis=np.stack(cone_axes, axis=0),
         cone_cutoff=np.asarray(cone_cutoffs, np.float32))
+
+
+def _build_meshlets_native(indices, positions) -> Meshlets | None:
+    from toyrenderer_tpu.native import meshlet_lib
+    lib = meshlet_lib()
+    if lib is None:
+        return None
+    idx = np.ascontiguousarray(indices, np.int32).reshape(-1)
+    pos = np.ascontiguousarray(positions, np.float32)
+    n_tris = len(idx) // 3
+    if n_tris == 0:
+        return build_meshlets(indices, positions, use_native=False)
+    # min 21 tris per flushed meshlet (64 verts / 3 new per tri) + final
+    cap = n_tris // (MESHLET_MAX_VERTS // 3 - 1) + 2
+    out_tris = np.zeros((cap, MESHLET_MAX_TRIS, 3), np.int32)
+    out_tc = np.zeros((cap,), np.int32)
+    out_c = np.zeros((cap, 3), np.float32)
+    out_r = np.zeros((cap,), np.float32)
+    out_a = np.zeros((cap, 3), np.float32)
+    out_cut = np.zeros((cap,), np.float32)
+    import ctypes
+    n = lib.build_meshlets(
+        idx.ctypes.data, n_tris, pos.ctypes.data, len(pos),
+        out_tris.ctypes.data, out_tc.ctypes.data,
+        out_c.ctypes.data, out_r.ctypes.data,
+        out_a.ctypes.data, out_cut.ctypes.data, cap)
+    n = int(n)
+    return Meshlets(
+        tri_vertex_indices=out_tris[:n], tri_count=out_tc[:n],
+        center=out_c[:n], radius=out_r[:n],
+        cone_axis=out_a[:n], cone_cutoff=out_cut[:n])
