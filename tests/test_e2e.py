@@ -172,3 +172,43 @@ def test_state_snapshot_roundtrip(cornell, tmp_path):
     img_cont, _, _ = run(1, carry, view)
     np.testing.assert_array_equal(np.asarray(img_resume),
                                   np.asarray(img_cont))
+
+
+def test_transparent_forward_pass():
+    """A blend-mode quad in front of the camera tints what's behind it."""
+    from toyrenderer_tpu.scene.procedural import make_stress_scene
+    from toyrenderer_tpu.scene.gltf import ALPHA_BLEND
+    s = make_stress_scene(n_objects=8, sphere_res=8, seed=9)
+    # make one material transparent red glass
+    k = int(np.asarray(s.inst_prim)[1])
+    mat = int(s.prim_material[k])
+    s.mat_alpha_mode[mat] = ALPHA_BLEND
+    s.mat_base_color[mat] = [0.9, 0.1, 0.1, 0.5]
+    d = s.to_device()
+    from toyrenderer_tpu.ops.geometry import static_meshlet_pairs
+    pi, pm = static_meshlet_pairs(s, 'opaque')
+    ti, tm = static_meshlet_pairs(s, 'blend')
+    assert len(ti) > 0
+    settings = RenderSettings(width=192, height=96, manual_exposure=0.05,
+                              enable_transparency=True,
+                              max_tris_per_tile=256, max_big_tris=64,
+                              tile_batch=4)
+    view = View.from_scene(s, 192, 96)
+    view.enable_jitter = False
+    carry = init_carry(d, settings)
+    render = make_render_fn(settings)
+    fi = default_frame_inputs(s, view.matrices())
+    img_t, _, _ = render(d, jnp.asarray(pi), jnp.asarray(pm), fi, carry,
+                         trans_pair_inst=jnp.asarray(ti),
+                         trans_pair_meshlet=jnp.asarray(tm))
+    # without the pass: transparent geometry invisible
+    s2 = RenderSettings(width=192, height=96, manual_exposure=0.05,
+                        max_tris_per_tile=256, max_big_tris=64,
+                        tile_batch=4)
+    render2 = make_render_fn(s2)
+    carry2 = init_carry(d, s2)
+    img_o, _, _ = render2(d, jnp.asarray(pi), jnp.asarray(pm), fi, carry2)
+    diff = np.abs(np.asarray(img_t).astype(int)
+                  - np.asarray(img_o).astype(int))
+    assert diff.max() > 20          # the glass visibly tints pixels
+    assert (diff.sum(-1) > 0).mean() < 0.5   # but only locally

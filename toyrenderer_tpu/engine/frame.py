@@ -60,6 +60,7 @@ class RenderSettings:
     enable_gi: bool = False               # DDGI probe GI
     gi_max_steps: int = 64                # probe-ray traversal budget
     show_gi_probes: bool = False          # probe visualization overlay
+    enable_transparency: bool = False     # forward blend (reference: stub)
     enable_restir: bool = False           # ReSTIR DI (off: reference parity)
     restir_candidates: int = 8
     restir_max_lights: int = 256
@@ -137,7 +138,8 @@ def init_carry(scene, settings: RenderSettings, ddgi_volume=None
 
 def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                  carry: FrameCarry, settings: RenderSettings,
-                 ddgi_volume=None):
+                 ddgi_volume=None, trans_pair_inst=None,
+                 trans_pair_meshlet=None):
     """One frame.  jit with static settings via `make_render_fn`.
 
     frame_inputs (all jnp arrays, dynamic):
@@ -285,6 +287,34 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         ambient_factor=settings.ambient_factor)
     if restir_light is not None:
         hdr = hdr + jnp.where((depth > 0)[..., None], restir_light, 0.0)
+
+    # -- TransparentForward (single-layer alpha blend; the reference stubs
+    #    this pass out — Setup returns false, BasePassRenderers.cpp:729 —
+    #    here implemented but likewise off by default) ----------------------
+    if (settings.enable_transparency and trans_pair_inst is not None
+            and trans_pair_inst.shape[0] > 0):
+        geo_t = geo_mod.meshlet_clip_triangles(
+            scene, inst_world, frame_inputs['view_proj'],
+            trans_pair_inst, trans_pair_meshlet)
+        setup_t, depth_t, tid_t = raster_mod.rasterize(
+            geo_t, cfg, use_pallas=use_pallas)
+        rec_t = pack_resolve_records(
+            setup_t, scene, inst_adj, prev_inst_world,
+            frame_inputs['prev_view_proj_nojitter'])
+        gb_t = resolve_gbuffer(rec_t, depth_t, tid_t,
+                               frame_inputs['jitter'], cfg, atlas=atlas,
+                               num_textures=scene.num_textures)
+        hdr_t = deferred_lighting(
+            gb_t, frame_inputs['cam_pos'], frame_inputs['inv_view_proj'],
+            frame_inputs['sun_direction'], frame_inputs['sun_color'],
+            frame_inputs['sun_intensity'], gi_irradiance=gi_irradiance,
+            sky_turbidity=settings.sky_turbidity,
+            ambient_factor=settings.ambient_factor)
+        from toyrenderer_tpu.ops.packing import unpack_rgba8_u32
+        alpha_t = unpack_rgba8_u32(gb_t['gbuffer0'])[..., 3]
+        front = (depth_t > depth) & (depth_t > 0.0)
+        blend = jnp.where(front, alpha_t, 0.0)[..., None]
+        hdr = hdr * (1.0 - blend) + hdr_t * blend
     if settings.show_gi_probes and settings.enable_gi:
         hdr = ddgi_mod.visualize_probes(
             hdr, depth, ddgi_volume, gi_carry['ddgi_irradiance'],

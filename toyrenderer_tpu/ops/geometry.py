@@ -93,20 +93,31 @@ def meshlet_clip_triangles(scene, inst_world, view_proj,
     )
 
 
-def static_meshlet_pairs(scene_host):
+def static_meshlet_pairs(scene_host, alpha_filter: str = 'all'):
     """Host helper: the no-culling (instance, meshlet) LOD0 pair list.
 
     Uses the *host* SceneBuffers (numpy) — this is the pre-culling fallback
     and the capacity bound for the culling kernel's compacted output.
+    alpha_filter: 'all' | 'opaque' (opaque + alpha-masked) | 'blend'
+    (the transparent-forward set, SceneLoading's alpha-mode split).
     """
     import numpy as np
+    from toyrenderer_tpu.scene.gltf import ALPHA_BLEND
     pi, pm = [], []
     for i in range(scene_host.num_instances):
         p = int(scene_host.inst_prim[i])
+        mode = int(scene_host.mat_alpha_mode[
+            int(scene_host.prim_material[p])])
+        if alpha_filter == 'opaque' and mode == ALPHA_BLEND:
+            continue
+        if alpha_filter == 'blend' and mode != ALPHA_BLEND:
+            continue
         off = int(scene_host.prim_meshlet_offset[p, 0])
         cnt = int(scene_host.prim_meshlet_count[p, 0])
         pi.extend([i] * cnt)
         pm.extend(range(off, off + cnt))
     if not pi:
         pi, pm = [0], [0]
+        if alpha_filter == 'blend':
+            return (np.zeros(0, np.int32), np.zeros(0, np.int32))
     return (np.asarray(pi, np.int32), np.asarray(pm, np.int32))

@@ -44,6 +44,8 @@ def main(argv=None):
     p.add_argument("--showprobes", action="store_true",
                    help="GI probe visualization overlay")
     p.add_argument("--restir", action="store_true", help="ReSTIR DI")
+    p.add_argument("--transparency", action="store_true",
+                   help="forward alpha-blend pass")
     p.add_argument("--giraysperprobe", type=int, default=64)
     p.add_argument("--animate", action="store_true",
                    help="play scene animations at 60 fps frame steps")
@@ -76,9 +78,15 @@ def main(argv=None):
           f"({time.time() - t0:.2f}s)")
 
     scene = scene_host.to_device()
-    pair_inst, pair_meshlet = static_meshlet_pairs(scene_host)
+    pair_inst, pair_meshlet = static_meshlet_pairs(
+        scene_host, 'opaque' if args.transparency else 'all')
     pair_inst = jnp.asarray(pair_inst)
     pair_meshlet = jnp.asarray(pair_meshlet)
+    tp_i = tp_m = None
+    if args.transparency:
+        tp_i, tp_m = static_meshlet_pairs(scene_host, 'blend')
+        tp_i, tp_m = jnp.asarray(tp_i), jnp.asarray(tp_m)
+        print(f"[transparency] {tp_i.shape[0]} blend pairs")
 
     settings = RenderSettings(
         width=w, height=h, debug_mode=args.debugview,
@@ -92,6 +100,7 @@ def main(argv=None):
         enable_gi=args.gi,
         show_gi_probes=args.showprobes,
         enable_restir=args.restir,
+        enable_transparency=args.transparency,
         forced_lod=args.forcedlod,
         use_bruteforce_raster=args.bruteforceraster)
     ddgi_volume = None
@@ -126,7 +135,9 @@ def main(argv=None):
             fi['node_rotation'] = jnp.asarray(r)
             fi['node_scale'] = jnp.asarray(s)
         t0 = time.time()
-        image, carry, aux = render(scene, pair_inst, pair_meshlet, fi, carry)
+        image, carry, aux = render(scene, pair_inst, pair_meshlet, fi,
+                                   carry, trans_pair_inst=tp_i,
+                                   trans_pair_meshlet=tp_m)
         image.block_until_ready()
         dt = (time.time() - t0) * 1000
         view.advance(mats)
