@@ -53,17 +53,27 @@ class TextureAtlas:
         )
 
 
-def _decode_image(tex) -> np.ndarray | None:
-    """GltfTexture -> (H, W, 4) u8 RGBA, or None."""
+def _decode_image(tex) -> np.ndarray | list | None:
+    """GltfTexture -> (H, W, 4) u8 RGBA, a DDS mip list, or None."""
     from PIL import Image
     try:
         base_dir = getattr(tex, 'base_dir', None)
+        raw = None
         if tex.image_bytes is not None:
-            img = Image.open(io.BytesIO(tex.image_bytes))
+            raw = tex.image_bytes
         elif tex.uri is not None and base_dir is not None:
-            img = Image.open(base_dir / tex.uri)
+            raw = (base_dir / tex.uri).read_bytes()
         else:
             return None
+        if raw[:4] == b"DDS ":
+            from toyrenderer_tpu.scene.dds import load_dds
+            mips = load_dds(raw)
+            if mips is not None:
+                # drop mips above the size cap (keep the chain aligned)
+                return [m for m in mips
+                        if max(m.shape[:2]) <= MAX_TEXTURE_DIM] or mips[-1:]
+            return None
+        img = Image.open(io.BytesIO(raw))
         img = img.convert("RGBA")
         w, h = img.size
         scale = max(w, h) / MAX_TEXTURE_DIM
@@ -124,7 +134,8 @@ def build_atlas(doc=None, images: list[np.ndarray] | None = None,
         if img is None:
             # 1x1 white fallback (CommonResources default-texture parity)
             img = np.full((1, 1, 4), 255, np.uint8)
-        for mi, mip in enumerate(build_mips(img)):
+        mips = img if isinstance(img, list) else build_mips(img)
+        for mi, mip in enumerate(mips[:MAX_MIPS]):
             packed = _pack_rgba8(mip).reshape(-1)
             offsets[ti, mi] = cursor
             heights[ti, mi], widths[ti, mi] = mip.shape[:2]
