@@ -54,8 +54,8 @@ class RasterConfig:
     tile_w: int = 128
     max_tris_per_tile: int = 512     # K: per-tile list capacity
     chunk: int = 32                  # C: triangles processed per inner step
-    bin_slots_y: int = 10            # static per-triangle tile-slot grid
-    bin_slots_x: int = 3
+    bin_slots_y: int = 8             # static per-triangle tile-slot grid
+    bin_slots_x: int = 2
     max_big_tris: int = 256          # B: full-screen-tested triangle budget
     tile_batch: int = 32             # TB: tiles processed per map step
 
@@ -211,10 +211,19 @@ def bin_triangles(setup: dict, cfg: RasterConfig):
     tile_id = ty * cfg.tiles_x + tx                    # (T, Sy, Sx)
     sentinel = jnp.int32(cfg.num_tiles)
     keys = jnp.where(in_range, tile_id, sentinel).reshape(-1)
-    vals = jnp.broadcast_to(
+    tri_ids = jnp.broadcast_to(
         jnp.arange(t, dtype=jnp.int32)[:, None, None],
         tile_id.shape).reshape(-1)
-    keys_s, vals_s = jax.lax.sort((keys, vals), num_keys=1)
+    tri_bits = max(t - 1, 1).bit_length()
+    if tri_bits + (cfg.num_tiles + 1).bit_length() <= 31:
+        # single-key sort: (tile << tri_bits) | tri — ~2x faster than a
+        # lexicographic two-operand sort
+        combined = (keys << tri_bits) | tri_ids
+        combined = jax.lax.sort(combined)
+        keys_s = combined >> tri_bits
+        vals_s = combined & ((1 << tri_bits) - 1)
+    else:
+        keys_s, vals_s = jax.lax.sort((keys, tri_ids), num_keys=1)
 
     tile_range = jnp.arange(cfg.num_tiles + 1, dtype=jnp.int32)
     offs = jnp.searchsorted(keys_s, tile_range, side='left')

@@ -61,23 +61,18 @@ def sample_texture(atlas: dict, tex_id, uv, duv_dx=None, duv_dy=None,
     fx = (u - x0)[..., None]
     fy = (v - y0)[..., None]
 
-    def fetch(xi, yi):
-        rep_x = jnp.mod(xi, jnp.maximum(mw, 1))
-        rep_y = jnp.mod(yi, jnp.maximum(mh, 1))
-        cl_x = jnp.clip(xi, 0, mw - 1)
-        cl_y = jnp.clip(yi, 0, mh - 1)
-        x = jnp.where(wrap == WRAP_REPEAT, rep_x, cl_x)
-        y = jnp.where(wrap == WRAP_REPEAT, rep_y, cl_y)
-        idx = jnp.clip(off + y * mw + x, 0,
-                       atlas['tex_texels'].shape[0] - 1)
-        return unpack_rgba8_u32(atlas['tex_texels'][idx])
-
+    # single quad-row gather: the atlas row holds the full 2x2 footprint
+    # (wrap mode baked at build), so only the BASE texel needs wrapping
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
-    c = ((fetch(x0i, y0i) * (1 - fx) + fetch(x0i + 1, y0i) * fx)
-         * (1 - fy)
-         + (fetch(x0i, y0i + 1) * (1 - fx)
-            + fetch(x0i + 1, y0i + 1) * fx) * fy)
+    rep_x = jnp.mod(x0i, jnp.maximum(mw, 1))
+    rep_y = jnp.mod(y0i, jnp.maximum(mh, 1))
+    x = jnp.where(wrap == WRAP_REPEAT, rep_x, jnp.clip(x0i, 0, mw - 1))
+    y = jnp.where(wrap == WRAP_REPEAT, rep_y, jnp.clip(y0i, 0, mh - 1))
+    idx = jnp.clip(off + y * mw + x, 0, atlas['tex_texels'].shape[0] - 1)
+    quad = unpack_rgba8_u32(atlas['tex_texels'][idx])   # (..., 4, 4)
+    c = ((quad[..., 0, :] * (1 - fx) + quad[..., 1, :] * fx) * (1 - fy)
+         + (quad[..., 2, :] * (1 - fx) + quad[..., 3, :] * fx) * fy)
     c = jnp.where((tex_id >= 0)[..., None], c, 1.0)
     if feedback:
         return c, desired
@@ -87,8 +82,20 @@ def sample_texture(atlas: dict, tex_id, uv, duv_dx=None, duv_dy=None,
 def texture_feedback(tex_id, desired_mip, num_textures: int):
     """Reduce per-pixel desired mips to a per-texture minimum — the
     sampler-feedback readback equivalent (TextureFeedbackManager consumes
-    this on the host).  Returns (num_textures,) f32; +inf where unused."""
+    this on the host).  Returns (num_textures,) f32; +inf where unused.
+
+    Small texture counts use masked VPU reductions (scatter-based
+    segment_min is slow on TPU); large counts fall back to segment_min.
+    """
     import jax
+    if num_textures <= 64:
+        flat_id = tex_id.reshape(-1)
+        flat_mip = desired_mip.reshape(-1)
+        outs = []
+        for t in range(num_textures):
+            outs.append(jnp.min(jnp.where(flat_id == t, flat_mip,
+                                          jnp.inf)))
+        return jnp.stack(outs)
     flat_id = jnp.where(tex_id >= 0, tex_id, num_textures).reshape(-1)
     flat_mip = desired_mip.reshape(-1)
     mins = jax.ops.segment_min(flat_mip, flat_id,

@@ -113,7 +113,7 @@ class SceneBuffers:
             [[-1, -1, -1], [1, 1, 1]], np.float32))
     # texture mip atlas (see scene/textures.py); defaults = 1 white texel
     tex_texels: np.ndarray = field(
-        default_factory=lambda: np.full((128,), 0xFFFFFFFF, np.uint32))
+        default_factory=lambda: np.full((128, 4), 0xFFFFFFFF, np.uint32))
     tex_offset: np.ndarray = field(
         default_factory=lambda: np.zeros((1, TX.MAX_MIPS), np.int32))
     tex_width: np.ndarray = field(

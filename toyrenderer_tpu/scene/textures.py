@@ -29,8 +29,16 @@ WRAP_CLAMP = 1
 
 @dataclass
 class TextureAtlas:
-    """Host-side atlas; `to_device()` -> dict of jnp arrays."""
-    texels: np.ndarray          # (N,) u32 packed RGBA8
+    """Host-side atlas; `to_device()` -> dict of jnp arrays.
+
+    Texel storage is QUAD-EXPANDED: row i holds the 2x2 bilinear footprint
+    of texel i — [T(x,y), T(x+1,y), T(x,y+1), T(x+1,y+1)] with the
+    texture's wrap mode baked at the edges — so a bilinear sample is ONE
+    16-byte row gather per pixel instead of four scalar gathers (row
+    gathers are an order of magnitude faster on TPU).  4x memory, bounded
+    by MAX_TEXTURE_DIM.
+    """
+    texels: np.ndarray          # (N, 4) u32 packed RGBA8 quad rows
     # descriptor per (texture, mip): -1 offset == mip not resident
     desc_offset: np.ndarray     # (T, MAX_MIPS) i32
     desc_width: np.ndarray      # (T, MAX_MIPS) i32
@@ -90,6 +98,19 @@ def _pack_rgba8(img: np.ndarray) -> np.ndarray:
     return i[..., 0] | (i[..., 1] << 8) | (i[..., 2] << 16) | (i[..., 3] << 24)
 
 
+def _quad_expand(packed: np.ndarray, wrap: int) -> np.ndarray:
+    """(H, W) u32 -> (H*W, 4) u32 rows of each texel's 2x2 footprint."""
+    if wrap == WRAP_REPEAT:
+        xp = np.roll(packed, -1, axis=1)
+        yp = np.roll(packed, -1, axis=0)
+        xyp = np.roll(yp, -1, axis=1)
+    else:
+        xp = np.concatenate([packed[:, 1:], packed[:, -1:]], axis=1)
+        yp = np.concatenate([packed[1:], packed[-1:]], axis=0)
+        xyp = np.concatenate([yp[:, 1:], yp[:, -1:]], axis=1)
+    return np.stack([packed, xp, yp, xyp], -1).reshape(-1, 4)
+
+
 def _downsample2x(img: np.ndarray) -> np.ndarray:
     """Box-filter 2x downsample of (H, W, 4) u8 (sRGB-naive, like most
     runtime mippers)."""
@@ -134,20 +155,21 @@ def build_atlas(doc=None, images: list[np.ndarray] | None = None,
         if img is None:
             # 1x1 white fallback (CommonResources default-texture parity)
             img = np.full((1, 1, 4), 255, np.uint8)
+        wrap = wraps[ti] if ti < len(wraps) else WRAP_REPEAT
         mips = img if isinstance(img, list) else build_mips(img)
         for mi, mip in enumerate(mips[:MAX_MIPS]):
-            packed = _pack_rgba8(mip).reshape(-1)
+            packed = _quad_expand(_pack_rgba8(mip), wrap)
             offsets[ti, mi] = cursor
             heights[ti, mi], widths[ti, mi] = mip.shape[:2]
             chunks.append(packed)
-            cursor += packed.size
+            cursor += packed.shape[0]
             num_mips[ti] = mi + 1
     texels = (np.concatenate(chunks) if chunks
-              else np.full((1,), 0xFFFFFFFF, np.uint32))
+              else np.full((1, 4), 0xFFFFFFFF, np.uint32))
     # pad to a lane multiple
     pad = (-len(texels)) % 128
     if pad:
-        texels = np.concatenate([texels, np.zeros(pad, np.uint32)])
+        texels = np.concatenate([texels, np.zeros((pad, 4), np.uint32)])
     return TextureAtlas(
         texels=texels.astype(np.uint32),
         desc_offset=offsets, desc_width=widths, desc_height=heights,
