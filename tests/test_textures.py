@@ -66,8 +66,11 @@ def test_mip_selection_and_clamp():
     c_far = np.asarray(TS.sample_texture(atlas, tid, uv, big,
                                          jnp.asarray([[0.0, 1.0]])))[0]
     assert abs(c_far[:3].mean() - (255 + 40) / 2 / 255) < 0.08
-    # residency clamp: min_mip forces coarse even when derivatives are 0
-    clamped = dict(atlas, tex_min_mip=jnp.asarray([6]))
+    # residency clamp: min_resident_mip redirects the desc rows so even
+    # derivative-0 samples land on the coarse mip
+    host = TX.build_atlas(images=[img])
+    host.min_resident_mip[:] = 6
+    clamped = host.to_device()
     tiny = jnp.zeros((1, 2))
     c_clamped = np.asarray(TS.sample_texture(clamped, tid, uv, tiny, tiny))
     c_fine = np.asarray(TS.sample_texture(atlas, tid, uv, tiny, tiny))

@@ -187,7 +187,7 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     if settings.enable_textures and scene.num_textures > 0:
         atlas = scene.atlas_dict()
         # virtual-texture residency overrides from the streaming manager
-        for k in ('tex_texels', 'tex_offset', 'tex_min_mip'):
+        for k in ('tex_texels', 'tex_desc', 'tex_min_mip'):
             if k in frame_inputs:
                 atlas = dict(atlas, **{k: frame_inputs[k]})
     gb = resolve_gbuffer(records, depth, tri_id, frame_inputs['jitter'],

@@ -150,6 +150,23 @@ class TextureStreamingManager:
         import jax.numpy as jnp
         return dict(
             tex_texels=self.pool,
-            tex_offset=jnp.asarray(self.desc_offset),
+            tex_desc=jnp.asarray(self._packed_desc()),
             tex_min_mip=jnp.asarray(self.resident_min),
         )
+
+    def _packed_desc(self) -> np.ndarray:
+        """Redirected (T*MAX_MIPS, 4) desc rows over the POOL offsets:
+        each requested mip resolves to the finest resident one."""
+        from toyrenderer_tpu.scene.textures import MAX_MIPS
+        t = self.n_tex
+        desc = np.zeros((t, MAX_MIPS, 4), np.int32)
+        for ti in range(t):
+            last = max(int(self.n_mips[ti]) - 1, 0)
+            for m in range(MAX_MIPS):
+                r = min(max(m, int(self.resident_min[ti])), last)
+                while r < last and self.desc_offset[ti, r] < 0:
+                    r += 1
+                desc[ti, m] = (self.desc_offset[ti, r],
+                               self.full.desc_width[ti, r],
+                               self.full.desc_height[ti, r], 0)
+        return desc.reshape(t * MAX_MIPS, 4)

@@ -31,12 +31,16 @@ RESOLVE_REC = 48
 #  27:36  previous-frame clip x,y,w per vertex (3 x 3)
 #  36:40  base color RGBA      40:42  metallic, roughness
 #  42:45  emissive             45    material id
-#  46     base-color texture id (-1 none)     47    padding
+#  46     base-color texture id (-1 none)
+#  47     texture statics: w0 + 2048*h0 + 2048^2*wrap (f32-exact < 2^24)
 
 
 def pack_resolve_records(setup: dict, scene, inst_adj, prev_inst_world,
                          prev_view_proj_nojit):
-    """(T, 48) f32 per-triangle resolve records (dense over triangles)."""
+    """(T, 48) f32 per-triangle resolve records (dense over triangles).
+
+    Texture statics (base size, wrap) ride in the record so per-pixel
+    sampling never touches the tiny per-texture tables."""
     t = setup['valid'].shape[0]
     vids = setup['vtx_ids']                                # (T, 3)
     inst = setup['inst_id']
@@ -58,6 +62,13 @@ def pack_resolve_records(setup: dict, scene, inst_adj, prev_inst_world,
     mr = scene.mat_metal_rough[mat]                        # (T, 2)
     emis = scene.mat_emissive[mat]                         # (T, 3)
 
+    tex = scene.mat_base_color_tex[mat]
+    tex_safe = jnp.maximum(tex, 0)
+    tw0 = scene.tex_width[tex_safe, 0]
+    th0 = scene.tex_height[tex_safe, 0]
+    twrap = scene.tex_wrap[tex_safe]
+    tex_statics = (tw0 + 2048 * th0 + 2048 * 2048 * twrap)
+
     return jnp.concatenate([
         setup['edges'].reshape(t, 9),
         setup['inv_s'],
@@ -66,8 +77,8 @@ def pack_resolve_records(setup: dict, scene, inst_adj, prev_inst_world,
         prev_xyw.reshape(t, 9),
         base, mr, emis,
         mat.astype(jnp.float32)[:, None],
-        scene.mat_base_color_tex[mat].astype(jnp.float32)[:, None],
-        jnp.zeros((t, 1), jnp.float32),
+        tex.astype(jnp.float32)[:, None],
+        tex_statics.astype(jnp.float32)[:, None],
     ], axis=1)
 
 
@@ -140,8 +151,13 @@ def resolve_gbuffer(records, depth, tri_id, jitter, cfg, atlas=None,
             return jnp.sum(uvs3 * pc2[..., None], axis=-2)
         duv_dx = uv_at(1.0, 0.0) - uv
         duv_dy = uv_at(0.0, 1.0) - uv
+        statics = rec[..., 47].astype(jnp.int32)
+        tw0 = (statics % 2048).astype(jnp.float32)
+        th0 = ((statics // 2048) % 2048).astype(jnp.float32)
+        twrap = statics // (2048 * 2048)
         tex_rgba, desired = sample_texture(
-            atlas, tex_id, uv, duv_dx, duv_dy, feedback=True)
+            atlas, tex_id, uv, duv_dx, duv_dy, feedback=True,
+            wrap=twrap, base_wh=(tw0, th0))
         base_color = base_color * tex_rgba
         tex_feedback = texture_feedback(tex_id, desired, num_textures)
 

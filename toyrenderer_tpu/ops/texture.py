@@ -27,32 +27,41 @@ def mip_from_derivatives(duv_dx, duv_dy, width, height):
 
 
 def sample_texture(atlas: dict, tex_id, uv, duv_dx=None, duv_dy=None,
-                   feedback: bool = False):
+                   feedback: bool = False, wrap=None, base_wh=None):
     """Bilinear sample (..., 4) RGBA in [0,1].
 
     tex_id (...,) i32 (values < 0 sample white), uv (..., 2),
     duv_dx/duv_dy optional (..., 2) analytic derivatives for mip select.
     feedback=True additionally returns the per-pixel desired mip (for the
     sampler-feedback/virtual-texture loop).
+
+    Per-pixel memory traffic is exactly TWO row gathers: one packed
+    descriptor row [offset, w, h] (mip clamping + residency redirection
+    baked at build, see TextureAtlas.packed_desc) and one 2x2 texel quad.
+    `wrap`/`base_wh` can be supplied per-pixel (e.g. baked into resolve
+    records) to avoid two more tiny-table gathers.
     """
     tid = jnp.maximum(tex_id, 0)
-    n_mips = atlas['tex_num_mips'][tid]                   # (...,)
-    w0 = atlas['tex_width'][tid, 0].astype(jnp.float32)
-    h0 = atlas['tex_height'][tid, 0].astype(jnp.float32)
+    if base_wh is None:
+        d0 = atlas['tex_desc'][tid * MAX_MIPS]
+        w0 = d0[..., 1].astype(jnp.float32)
+        h0 = d0[..., 2].astype(jnp.float32)
+    else:
+        w0, h0 = base_wh
+    if wrap is None:
+        wrap = atlas['tex_wrap'][tid]
 
     if duv_dx is not None:
         desired = mip_from_derivatives(duv_dx, duv_dy, w0, h0)
     else:
         desired = jnp.zeros(uv.shape[:-1], jnp.float32)
-    # residency clamp (MinMip parity) + chain clamp
-    min_mip = atlas['tex_min_mip'][tid].astype(jnp.float32)
-    mip = jnp.clip(jnp.round(desired), min_mip,
-                   n_mips.astype(jnp.float32) - 1.0).astype(jnp.int32)
+    mip = jnp.clip(jnp.round(desired), 0.0,
+                   MAX_MIPS - 1.0).astype(jnp.int32)
 
-    off = atlas['tex_offset'][tid, mip]
-    mw = atlas['tex_width'][tid, mip]
-    mh = atlas['tex_height'][tid, mip]
-    wrap = atlas['tex_wrap'][tid]
+    row = atlas['tex_desc'][tid * MAX_MIPS + mip]         # (..., 4)
+    off = row[..., 0]
+    mw = row[..., 1]
+    mh = row[..., 2]
 
     u = uv[..., 0] * mw.astype(jnp.float32) - 0.5
     v = uv[..., 1] * mh.astype(jnp.float32) - 0.5

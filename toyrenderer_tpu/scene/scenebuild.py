@@ -28,7 +28,7 @@ from toyrenderer_tpu.scene import meshlet as ML
 from toyrenderer_tpu.scene import lod as LOD
 from toyrenderer_tpu.scene import textures as TX
 
-CACHE_VERSION = 8
+CACHE_VERSION = 9
 MAX_LODS = LOD.MAX_LODS
 
 
@@ -126,6 +126,9 @@ class SceneBuffers:
         default_factory=lambda: np.zeros((1,), np.int32))
     tex_min_mip: np.ndarray = field(
         default_factory=lambda: np.zeros((1,), np.int32))
+    tex_desc: np.ndarray = field(
+        default_factory=lambda: np.tile(
+            np.asarray([[0, 1, 1, 0]], np.int32), (TX.MAX_MIPS, 1)))
     num_textures: int = 0
     # packed animation channels (scene/animation.py)
     anim_node: np.ndarray = field(
@@ -158,6 +161,7 @@ class SceneBuffers:
         self.tex_num_mips = atlas.num_mips
         self.tex_wrap = atlas.wrap_mode
         self.tex_min_mip = atlas.min_resident_mip
+        self.tex_desc = atlas.packed_desc()
         self.num_textures = atlas.num_textures
 
     _DEVICE_FIELDS = (
@@ -169,7 +173,7 @@ class SceneBuffers:
         "mat_base_color mat_metal_rough mat_emissive mat_alpha_mode "
         "mat_alpha_cutoff mat_double_sided mat_base_color_tex "
         "tex_texels tex_offset tex_width tex_height tex_num_mips "
-        "tex_wrap tex_min_mip").split()
+        "tex_wrap tex_min_mip tex_desc").split()
 
     def to_device(self) -> "DeviceScene":
         import jax.numpy as jnp
@@ -229,6 +233,7 @@ class DeviceScene:
     tex_num_mips: object = None
     tex_wrap: object = None
     tex_min_mip: object = None
+    tex_desc: object = None
     node_depth: int = 0
     num_vertices: int = 0
     num_meshlets: int = 0
@@ -239,10 +244,8 @@ class DeviceScene:
 
     def atlas_dict(self):
         return dict(
-            tex_texels=self.tex_texels, tex_offset=self.tex_offset,
-            tex_width=self.tex_width, tex_height=self.tex_height,
-            tex_num_mips=self.tex_num_mips, tex_wrap=self.tex_wrap,
-            tex_min_mip=self.tex_min_mip)
+            tex_texels=self.tex_texels, tex_desc=self.tex_desc,
+            tex_wrap=self.tex_wrap, tex_min_mip=self.tex_min_mip)
 
 
 def _register_device_scene():

@@ -48,14 +48,31 @@ class TextureAtlas:
     min_resident_mip: np.ndarray  # (T,) i32 (virtual-texture clamp)
     num_textures: int = 0
 
+    def packed_desc(self) -> np.ndarray:
+        """(T * MAX_MIPS, 4) i32 rows [offset, width, height, 0] with mip
+        clamping and residency REDIRECTION baked in: the row for (t, m)
+        points at the finest RESIDENT mip >= m.  Sampling needs exactly one
+        desc-row gather — no separate num_mips / min_mip / offset fetches.
+        """
+        t = self.desc_offset.shape[0]
+        desc = np.zeros((t, MAX_MIPS, 4), np.int32)
+        for ti in range(t):
+            last = max(int(self.num_mips[ti]) - 1, 0)
+            for m in range(MAX_MIPS):
+                r = min(max(m, int(self.min_resident_mip[ti])), last)
+                # walk coarser until resident
+                while r < last and self.desc_offset[ti, r] < 0:
+                    r += 1
+                desc[ti, m] = (self.desc_offset[ti, r],
+                               self.desc_width[ti, r],
+                               self.desc_height[ti, r], 0)
+        return desc.reshape(t * MAX_MIPS, 4)
+
     def to_device(self):
         import jax.numpy as jnp
         return dict(
             tex_texels=jnp.asarray(self.texels),
-            tex_offset=jnp.asarray(self.desc_offset),
-            tex_width=jnp.asarray(self.desc_width),
-            tex_height=jnp.asarray(self.desc_height),
-            tex_num_mips=jnp.asarray(self.num_mips),
+            tex_desc=jnp.asarray(self.packed_desc()),
             tex_wrap=jnp.asarray(self.wrap_mode),
             tex_min_mip=jnp.asarray(self.min_resident_mip),
         )
