@@ -151,7 +151,9 @@ def test_two_phase_culling_image_matches_unculled():
     pi, pm = static_meshlet_pairs(s)
     pi, pm = jnp.asarray(pi), jnp.asarray(pm)
     common = dict(width=192, height=96, manual_exposure=0.1,
-                  max_tris_per_tile=256, max_big_tris=64, tile_batch=4)
+                  max_tris_per_tile=256, max_big_tris=64, tile_batch=4,
+                  forced_lod=0)   # LOD selection legitimately changes
+    #                               geometry; equivalence needs LOD0
     imgs = {}
     for name, en in (("off", False), ("on", True)):
         settings = RenderSettings(enable_culling=en, **common)

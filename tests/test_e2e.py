@@ -212,3 +212,51 @@ def test_transparent_forward_pass():
                   - np.asarray(img_o).astype(int))
     assert diff.max() > 20          # the glass visibly tints pixels
     assert (diff.sum(-1) > 0).mean() < 0.5   # but only locally
+
+
+def test_alpha_masked_cutout():
+    """A masked material with a mostly-transparent texture must show
+    cutouts (background visible through failed-alpha pixels)."""
+    from toyrenderer_tpu.scene.procedural import make_stress_scene
+    from toyrenderer_tpu.scene.gltf import ALPHA_MASK
+    from toyrenderer_tpu.scene import textures as TX
+    s = make_stress_scene(n_objects=6, sphere_res=8, seed=13)
+    # texture: left half opaque white, right half alpha 0
+    img = np.full((64, 64, 4), 255, np.uint8)
+    img[:, 32:, 3] = 0
+    atlas = TX.build_atlas(images=[img])
+    s.attach_atlas(atlas)
+    # mask the GROUND material (instance 0 — covers half the screen)
+    mat = int(s.prim_material[int(s.inst_prim[0])])
+    s.mat_alpha_mode[mat] = ALPHA_MASK
+    s.mat_base_color_tex[mat] = 0
+    s.mat_base_color[mat] = [1, 1, 1, 1]
+    d = s.to_device()
+    from toyrenderer_tpu.ops.geometry import static_meshlet_pairs
+    pi, pm = static_meshlet_pairs(s, 'not_mask')
+    mi, mm = static_meshlet_pairs(s, 'mask')
+    assert len(mi) > 0
+    settings = RenderSettings(width=192, height=96, manual_exposure=0.05,
+                              max_tris_per_tile=256, max_big_tris=64,
+                              tile_batch=4)
+    view = View.from_scene(s, 192, 96)
+    view.enable_jitter = False
+    carry = init_carry(d, settings)
+    render = make_render_fn(settings)
+    fi = default_frame_inputs(s, view.matrices())
+    img_mask, _, aux_m = render(
+        d, jnp.asarray(pi), jnp.asarray(pm), fi, carry,
+        mask_pair_inst=jnp.asarray(mi), mask_pair_meshlet=jnp.asarray(mm))
+    # compare with the same geometry treated fully opaque
+    pi_all, pm_all = static_meshlet_pairs(s, 'all')
+    carry2 = init_carry(d, settings)
+    img_op, _, aux_o = render(d, jnp.asarray(pi_all), jnp.asarray(pm_all),
+                              fi, carry2)
+    cov_mask = (np.asarray(aux_m['depth']) > 0).mean()
+    cov_op = (np.asarray(aux_o['depth']) > 0).mean()
+    # cutout removes covered pixels
+    assert cov_mask < cov_op - 0.001
+    # but the opaque half still renders
+    diff = (np.asarray(img_mask).astype(int)
+            - np.asarray(img_op).astype(int))
+    assert np.abs(diff).max() > 10

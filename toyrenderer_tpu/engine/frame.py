@@ -61,6 +61,7 @@ class RenderSettings:
     gi_max_steps: int = 64                # probe-ray traversal budget
     show_gi_probes: bool = False          # probe visualization overlay
     enable_transparency: bool = False     # forward blend (reference: stub)
+    enable_alpha_test: bool = True        # alpha-masked cutout set
     enable_restir: bool = False           # ReSTIR DI (off: reference parity)
     restir_candidates: int = 8
     restir_max_lights: int = 256
@@ -70,7 +71,9 @@ class RenderSettings:
     enable_textures: bool = True          # material texture sampling
     enable_culling: bool = False          # 2-phase GPU-driven culling
     enable_cone_culling: bool = True
-    lod_error_px: float = 1.0             # screen-error LOD threshold
+    lod_error_px: float = 2.0             # screen-error LOD threshold
+    #  (grid-cluster LOD errors are conservative upper bounds; ~2px with
+    #   TAA matches the reference's quadric-simplify quality visually)
     forced_lod: int = -1                  # Scene.h:128-132 debug parity
     late_capacity_frac: float = 0.25      # late-phase pair budget
     debug_mode: int = 0                   # lighting.DEBUG_*
@@ -139,7 +142,8 @@ def init_carry(scene, settings: RenderSettings, ddgi_volume=None
 def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                  carry: FrameCarry, settings: RenderSettings,
                  ddgi_volume=None, trans_pair_inst=None,
-                 trans_pair_meshlet=None):
+                 trans_pair_meshlet=None, mask_pair_inst=None,
+                 mask_pair_meshlet=None):
     """One frame.  jit with static settings via `make_render_fn`.
 
     frame_inputs (all jnp arrays, dynamic):
@@ -193,6 +197,33 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     gb = resolve_gbuffer(records, depth, tri_id, frame_inputs['jitter'],
                          cfg, atlas=atlas,
                          num_textures=scene.num_textures)
+
+    # -- Alpha-masked set (second base-pass set, basepass.hlsl
+    #    ALPHA_MASK_MODE parity): rasterized separately, alpha-tested at
+    #    resolve, merged into the GBuffer where it passes and is closer ----
+    if (settings.enable_alpha_test and mask_pair_inst is not None
+            and mask_pair_inst.shape[0] > 0):
+        geo_m = geo_mod.meshlet_clip_triangles(
+            scene, inst_world, frame_inputs['view_proj'],
+            mask_pair_inst, mask_pair_meshlet)
+        setup_m, depth_m, tid_m = raster_mod.rasterize(
+            geo_m, cfg, use_pallas=use_pallas)
+        rec_m = pack_resolve_records(
+            setup_m, scene, inst_adj, prev_inst_world,
+            frame_inputs['prev_view_proj_nojitter'])
+        gb_m = resolve_gbuffer(rec_m, depth_m, tid_m,
+                               frame_inputs['jitter'], cfg, atlas=atlas,
+                               num_textures=scene.num_textures)
+        passes = ((gb_m['alpha'] >= gb_m['alpha_cutoff'])
+                  & (depth_m > depth) & (depth_m > 0.0))
+        for k in ('gbuffer0', 'gbuffer1', 'gbuffer2', 'gbuffer3'):
+            gb[k] = jnp.where(passes, gb_m[k], gb[k])
+        for k in ('motion', 'uv'):
+            gb[k] = jnp.where(passes[..., None], gb_m[k], gb[k])
+        depth = jnp.where(passes, depth_m, depth)
+        gb['depth'] = depth
+        tri_id = jnp.where(passes, tid_m, tri_id)   # ids index the MASKED
+        # setup for those pixels; aux-only (shading reads the gbuffer)
 
     # -- RT acceleration structure (shared by shadows + DDGI) -------------------
     # the RT scene uses the FULL pair list — off-screen geometry still

@@ -64,10 +64,13 @@ def frustum_visible(planes, center_w, radius_w):
 
 
 def select_lod(scene, prim_ids, dist, proj_scale_px,
-               error_threshold_px: float = 1.0, forced_lod: int = -1):
+               error_threshold_px: float = 1.0, forced_lod: int = -1,
+               error_scale=None):
     """Screen-error LOD pick (gpuculling.hlsl:39-58 semantics): choose the
     coarsest LOD whose object-space error projects below the threshold."""
     errors = scene.prim_lod_error[prim_ids]            # (N, L)
+    if error_scale is not None:
+        errors = errors * error_scale[:, None]
     counts = scene.prim_lod_count[prim_ids]            # (N,)
     l = errors.shape[1]
     err_px = errors * (proj_scale_px / jnp.maximum(dist, 1e-3))[:, None]
@@ -101,8 +104,12 @@ def cull_instances(scene, inst_world, planes, cam_pos, proj_scale_px,
     vis = vis & real
 
     dist = jnp.linalg.norm(c_w - cam_pos[None], axis=-1)
+    # LOD errors are object-space: scale by the instance's max axis scale
+    inst_scale = jnp.max(
+        jnp.linalg.norm(inst_world[..., :3, :3], axis=-2), axis=-1)
     lod = select_lod(scene, prim, jnp.maximum(dist - r_w, 1e-3),
-                     proj_scale_px, error_threshold_px, forced_lod)
+                     proj_scale_px, error_threshold_px, forced_lod,
+                     error_scale=inst_scale)
 
     occluded = jnp.zeros_like(vis)
     if hzb is not None:

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from toyrenderer_tpu.mathlib.transforms import normalize
 from toyrenderer_tpu.ops import packing as P
 
-RESOLVE_REC = 48
+RESOLVE_REC = 52
 # record layout (f32 slots):
 #   0:9   edge equations        9:12  inv_scale
 #  12:21  world-space vertex normals (3 x 3)
@@ -33,11 +33,12 @@ RESOLVE_REC = 48
 #  42:45  emissive             45    material id
 #  46     base-color texture id (-1 none)
 #  47     texture statics: w0 + 2048*h0 + 2048^2*wrap (f32-exact < 2^24)
+#  48     alpha cutoff (alpha-masked set)      49:52  padding
 
 
 def pack_resolve_records(setup: dict, scene, inst_adj, prev_inst_world,
                          prev_view_proj_nojit):
-    """(T, 48) f32 per-triangle resolve records (dense over triangles).
+    """(T, 52) f32 per-triangle resolve records (dense over triangles).
 
     Texture statics (base size, wrap) ride in the record so per-pixel
     sampling never touches the tiny per-texture tables."""
@@ -79,6 +80,8 @@ def pack_resolve_records(setup: dict, scene, inst_adj, prev_inst_world,
         mat.astype(jnp.float32)[:, None],
         tex.astype(jnp.float32)[:, None],
         tex_statics.astype(jnp.float32)[:, None],
+        scene.mat_alpha_cutoff[mat][:, None],
+        jnp.zeros((t, 3), jnp.float32),
     ], axis=1)
 
 
@@ -168,7 +171,10 @@ def resolve_gbuffer(records, depth, tri_id, jitter, cfg, atlas=None,
         [rough, metal, jnp.zeros_like(rough), jnp.zeros_like(rough)], -1))
         | (jnp.minimum(mat_id, 0xFFFF) << 16))
     zero = jnp.uint32(0)
+    alpha = jnp.where(hit, base_color[..., 3], 0.0)
     out = dict(
+        alpha=alpha,
+        alpha_cutoff=rec[..., 48],
         gbuffer0=jnp.where(hit, g0, zero),
         gbuffer1=jnp.where(hit, g1, zero),
         gbuffer2=jnp.where(hit, g2, zero),

@@ -98,17 +98,24 @@ def static_meshlet_pairs(scene_host, alpha_filter: str = 'all'):
 
     Uses the *host* SceneBuffers (numpy) — this is the pre-culling fallback
     and the capacity bound for the culling kernel's compacted output.
-    alpha_filter: 'all' | 'opaque' (opaque + alpha-masked) | 'blend'
-    (the transparent-forward set, SceneLoading's alpha-mode split).
+    alpha_filter: 'all' | 'opaque' (opaque + alpha-masked) |
+    'opaque_strict' (no masked) | 'mask' | 'blend' — the alpha-mode set
+    split of the reference's base pass / transparent forward.
     """
     import numpy as np
-    from toyrenderer_tpu.scene.gltf import ALPHA_BLEND
+    from toyrenderer_tpu.scene.gltf import ALPHA_BLEND, ALPHA_MASK
     pi, pm = [], []
     for i in range(scene_host.num_instances):
         p = int(scene_host.inst_prim[i])
         mode = int(scene_host.mat_alpha_mode[
             int(scene_host.prim_material[p])])
         if alpha_filter == 'opaque' and mode == ALPHA_BLEND:
+            continue
+        if alpha_filter == 'opaque_strict' and mode != 0:
+            continue
+        if alpha_filter == 'not_mask' and mode == ALPHA_MASK:
+            continue
+        if alpha_filter == 'mask' and mode != ALPHA_MASK:
             continue
         if alpha_filter == 'blend' and mode != ALPHA_BLEND:
             continue
@@ -117,7 +124,7 @@ def static_meshlet_pairs(scene_host, alpha_filter: str = 'all'):
         pi.extend([i] * cnt)
         pm.extend(range(off, off + cnt))
     if not pi:
-        pi, pm = [0], [0]
-        if alpha_filter == 'blend':
+        if alpha_filter in ('blend', 'mask'):
             return (np.zeros(0, np.int32), np.zeros(0, np.int32))
+        pi, pm = [0], [0]
     return (np.asarray(pi, np.int32), np.asarray(pm, np.int32))

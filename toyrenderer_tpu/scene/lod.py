@@ -71,8 +71,10 @@ def build_lod_chain(positions: np.ndarray, indices: np.ndarray,
             cell *= 2.0
             continue
         chain.indices.append(cur)
-        # error bound: half the cluster cell diagonal
-        chain.errors.append(cell * np.sqrt(3.0) * 0.5)
+        # reported error: expected vertex displacement (~cell/4), not the
+        # worst-case cell diagonal — matches how meshoptimizer reports an
+        # expectation, keeping screen-error LOD selection useful
+        chain.errors.append(cell * 0.25)
         prev = cur
         cell *= 2.0
     return chain

@@ -78,10 +78,25 @@ def main(argv=None):
           f"({time.time() - t0:.2f}s)")
 
     scene = scene_host.to_device()
-    pair_inst, pair_meshlet = static_meshlet_pairs(
-        scene_host, 'opaque' if args.transparency else 'all')
+    # alpha-mode set split (reference base-pass sets)
+    mk_i, mk_m = static_meshlet_pairs(scene_host, 'mask')
+    has_mask = mk_i.shape[0] > 0
+    if has_mask and args.transparency:
+        opaque_filter = 'opaque_strict'     # masked + blend split out
+    elif has_mask:
+        opaque_filter = 'not_mask'          # masked split out, blend inline
+    elif args.transparency:
+        opaque_filter = 'opaque'            # blend split out
+    else:
+        opaque_filter = 'all'
+    pair_inst, pair_meshlet = static_meshlet_pairs(scene_host,
+                                                   opaque_filter)
     pair_inst = jnp.asarray(pair_inst)
     pair_meshlet = jnp.asarray(pair_meshlet)
+    mk_i = jnp.asarray(mk_i) if has_mask else None
+    mk_m = jnp.asarray(mk_m) if has_mask else None
+    if has_mask:
+        print(f"[alpha-test] {mk_i.shape[0]} masked pairs")
     tp_i = tp_m = None
     if args.transparency:
         tp_i, tp_m = static_meshlet_pairs(scene_host, 'blend')
@@ -137,7 +152,9 @@ def main(argv=None):
         t0 = time.time()
         image, carry, aux = render(scene, pair_inst, pair_meshlet, fi,
                                    carry, trans_pair_inst=tp_i,
-                                   trans_pair_meshlet=tp_m)
+                                   trans_pair_meshlet=tp_m,
+                                   mask_pair_inst=mk_i,
+                                   mask_pair_meshlet=mk_m)
         image.block_until_ready()
         dt = (time.time() - t0) * 1000
         view.advance(mats)
