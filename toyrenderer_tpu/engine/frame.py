@@ -399,9 +399,11 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         new_carry['taa_valid'] = jnp.asarray(1.0, jnp.float32)
 
     if settings.debug_mode != 0:
-        dbg = debug_view(gb, settings.debug_mode,
-                         extras=dict(motion=gb['motion'], uv=gb['uv'],
-                                     tri_id=tri_id))
+        extras = dict(motion=gb['motion'], uv=gb['uv'],
+                      tex_desired_mip=gb.get('tex_desired_mip'),
+                      shadow=shadow_mask, ao=ao, tri_id=tri_id)
+        extras = {k: v for k, v in extras.items() if v is not None}
+        dbg = debug_view(gb, settings.debug_mode, extras=extras)
         image = jnp.clip(dbg * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
     else:
         image = compose_final(aa, exposure=exposure, bloom=bloom_tex,

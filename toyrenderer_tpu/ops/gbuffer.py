@@ -163,6 +163,7 @@ def resolve_gbuffer(records, depth, tri_id, jitter, cfg, atlas=None,
             wrap=twrap, base_wh=(tw0, th0))
         base_color = base_color * tex_rgba
         tex_feedback = texture_feedback(tex_id, desired, num_textures)
+        desired_plane = jnp.where(hit & (tex_id >= 0), desired, -1.0)
 
     g0 = P.pack_rgba8_u32(base_color)
     g1 = P.pack_normal_oct_u32(n_w)
@@ -185,6 +186,7 @@ def resolve_gbuffer(records, depth, tri_id, jitter, cfg, atlas=None,
     )
     if tex_feedback is not None:
         out['tex_feedback'] = tex_feedback
+        out['tex_desired_mip'] = desired_plane
     return out
 
 

@@ -31,6 +31,7 @@ DEBUG_GI = 10
 DEBUG_MESHLET = 11
 DEBUG_LOD = 12
 DEBUG_UV = 13
+DEBUG_MIP = 14   # texture-feedback / MinMip viewer parity
 
 
 def world_pos_from_depth(depth, inv_view_proj, width, height):
@@ -114,6 +115,12 @@ def debug_view(gb: dict, mode: int, extras: dict | None = None):
         uv = extras['uv']
         return jnp.stack([uv[..., 0] % 1.0, uv[..., 1] % 1.0,
                           jnp.zeros_like(uv[..., 0])], -1)
+    if mode == DEBUG_MIP and 'tex_desired_mip' in extras:
+        # mip heatmap: fine mips hot (red), coarse cool (blue), no-tex grey
+        m = extras['tex_desired_mip']
+        t = jnp.clip(m / 10.0, 0.0, 1.0)
+        color = jnp.stack([1.0 - t, 0.2 + 0.3 * t, t], -1)
+        return jnp.where((m >= 0)[..., None], color, 0.3)
     if mode == DEBUG_MESHLET and 'tri_id' in extras:
         tid = jnp.maximum(extras['tri_id'], 0) // 96
         c = (tid.astype(jnp.uint32) * jnp.uint32(2654435761))
