@@ -55,6 +55,13 @@ def main():
 
     scene = scene_host.to_device()
     pi, pm = static_meshlet_pairs(scene_host)
+    if culling:
+        # in the culled path the static pair list only sets the compaction
+        # CAPACITY (overflow drops, like the reference's bounded
+        # amplification buffer) — LOD keeps the real count far below LOD0
+        frac = float(os.environ.get("BENCH_PAIR_CAPACITY_FRAC", "0.6"))
+        cap = max(int(len(pi) * frac), 256)
+        pi, pm = pi[:cap], pm[:cap]
     pi, pm = jnp.asarray(pi), jnp.asarray(pm)
 
     settings = RenderSettings(width=width, height=height,

@@ -52,6 +52,8 @@ def main(argv=None):
     p.add_argument("--forcedlod", type=int, default=-1)
     p.add_argument("--platform", default=None,
                    help="force jax platform (cpu for software-WARP parity)")
+    p.add_argument("--stats", default=None,
+                   help="write per-frame stats JSON to this path")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -139,6 +141,7 @@ def main(argv=None):
               f"{player.data.duration:.2f}s")
 
     image = None
+    stats_rows = []
     for i in range(args.frames):
         mats = view.matrices()
         fi = default_frame_inputs(scene_host, mats)
@@ -160,6 +163,20 @@ def main(argv=None):
         view.advance(mats)
         label = "compile+run" if i == 0 else "frame"
         print(f"[frame {i}] {label}: {dt:.2f} ms")
+        if args.stats:
+            rec = dict(frame=i, ms=round(dt, 3),
+                       coverage=round(float(
+                           (np.asarray(aux['tri_id']) >= 0).mean()), 4),
+                       exposure=float(carry['exposure']))
+            for k in ('early_instances', 'late_instances',
+                      'early_meshlets', 'late_meshlets'):
+                if k in aux:
+                    rec[k] = int(aux[k])
+            if 'tex_feedback' in aux:
+                fb = np.asarray(aux['tex_feedback'])
+                rec['tex_feedback_min'] = float(np.nanmin(
+                    np.where(np.isfinite(fb), fb, np.nan)))
+            stats_rows.append(rec)
 
     from PIL import Image
     img = np.asarray(image)
@@ -168,6 +185,11 @@ def main(argv=None):
     npx = int(np.sum(np.asarray(aux['tri_id']) >= 0))
     print(f"[stats] covered pixels: {npx}/{w*h} "
           f"({100.0*npx/(w*h):.1f}%)")
+    if args.stats:
+        import json
+        with open(args.stats, "w") as f:
+            json.dump(stats_rows, f, indent=1)
+        print(f"[stats] wrote {args.stats}")
     return 0
 
 
