@@ -139,6 +139,34 @@ def init_carry(scene, settings: RenderSettings, ddgi_volume=None
     return carry
 
 
+def _raster_with_records(scene, geo, cfg, use_pallas, inst_adj,
+                         prev_inst_world, prev_vp, init_depth=None,
+                         init_tri_id=None, init_rec=None,
+                         emit_base: int = 0):
+    """setup + bin + fill, producing per-pixel resolve records.
+
+    Pallas path: the fused fill+resolve kernel fetches records via one-hot
+    MXU matmuls (no per-pixel gather).  Returns
+    (setup, records, depth, tri_id, rec_tiles-or-None); `records` is the
+    (T, R) array (CPU resolve gathers it), rec_tiles the fused output.
+    """
+    setup = raster_mod.setup_triangles(geo, cfg)
+    table, counts, big = raster_mod.bin_triangles(setup, cfg)
+    records = pack_resolve_records(setup, scene, inst_adj,
+                                   prev_inst_world, prev_vp)
+    if use_pallas:
+        from toyrenderer_tpu.ops.raster_pallas import fill_resolve_pallas
+        depth, tid, rec_tiles = fill_resolve_pallas(
+            setup, records, table, counts, big, cfg,
+            init_depth=init_depth, init_tri_id=init_tri_id,
+            init_rec=init_rec, emit_base=emit_base)
+        return setup, records, depth, tid, rec_tiles
+    depth, tid = raster_mod.fill_visibility(
+        setup, table, big, cfg, init_depth=init_depth,
+        init_tri_id=init_tri_id, emit_base=emit_base)
+    return setup, records, depth, tid, None
+
+
 def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                  carry: FrameCarry, settings: RenderSettings,
                  ddgi_volume=None, trans_pair_inst=None,
@@ -168,25 +196,33 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         # axon is the tunneled-TPU platform name in this environment
         use_pallas = jax.default_backend() in ('tpu', 'axon')
 
+    prev_vp = frame_inputs['prev_view_proj_nojitter']
+
     # -- Geometry + raster (GBuffer pass) -------------------------------------
     if settings.enable_culling and not settings.use_bruteforce_raster:
-        setup, depth, tri_id, cull_aux, new_hzb = _gbuffer_two_phase(
-            scene, inst_world, prev_inst_world, frame_inputs, carry,
-            pair_inst, pair_meshlet, cfg, settings, use_pallas)
+        records, depth, tri_id, cull_aux, new_hzb = _gbuffer_two_phase(
+            scene, inst_world, inst_adj, prev_inst_world, frame_inputs,
+            carry, pair_inst, pair_meshlet, cfg, settings, use_pallas)
     else:
         geo = geo_mod.meshlet_clip_triangles(
             scene, inst_world, frame_inputs['view_proj'],
             pair_inst, pair_meshlet)
         if settings.use_bruteforce_raster:
             setup, depth, tri_id = raster_mod.rasterize_bruteforce(geo, cfg)
+            records = pack_resolve_records(
+                setup, scene, inst_adj, prev_inst_world, prev_vp)
         else:
-            setup, depth, tri_id = raster_mod.rasterize(
-                geo, cfg, use_pallas=use_pallas)
+            _, recs_t, depth, tri_id, rec_tiles = _raster_with_records(
+                scene, geo, cfg, use_pallas, inst_adj, prev_inst_world,
+                prev_vp)
+            if rec_tiles is not None:
+                from toyrenderer_tpu.ops.raster_pallas import (
+                    rec_tiles_to_image)
+                records = rec_tiles_to_image(rec_tiles, cfg)
+            else:
+                records = recs_t
         cull_aux, new_hzb = {}, None
 
-    records = pack_resolve_records(
-        setup, scene, inst_adj, prev_inst_world,
-        frame_inputs['prev_view_proj_nojitter'])
     atlas = None
     if settings.enable_textures and scene.num_textures > 0:
         atlas = scene.atlas_dict()
@@ -206,11 +242,15 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         geo_m = geo_mod.meshlet_clip_triangles(
             scene, inst_world, frame_inputs['view_proj'],
             mask_pair_inst, mask_pair_meshlet)
-        setup_m, depth_m, tid_m = raster_mod.rasterize(
-            geo_m, cfg, use_pallas=use_pallas)
-        rec_m = pack_resolve_records(
-            setup_m, scene, inst_adj, prev_inst_world,
-            frame_inputs['prev_view_proj_nojitter'])
+        _, recs_m, depth_m, tid_m, rtiles_m = _raster_with_records(
+            scene, geo_m, cfg, use_pallas, inst_adj, prev_inst_world,
+            prev_vp)
+        if rtiles_m is not None:
+            from toyrenderer_tpu.ops.raster_pallas import (
+                rec_tiles_to_image)
+            rec_m = rec_tiles_to_image(rtiles_m, cfg)
+        else:
+            rec_m = recs_m
         gb_m = resolve_gbuffer(rec_m, depth_m, tid_m,
                                frame_inputs['jitter'], cfg, atlas=atlas,
                                num_textures=scene.num_textures)
@@ -327,11 +367,15 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         geo_t = geo_mod.meshlet_clip_triangles(
             scene, inst_world, frame_inputs['view_proj'],
             trans_pair_inst, trans_pair_meshlet)
-        setup_t, depth_t, tid_t = raster_mod.rasterize(
-            geo_t, cfg, use_pallas=use_pallas)
-        rec_t = pack_resolve_records(
-            setup_t, scene, inst_adj, prev_inst_world,
-            frame_inputs['prev_view_proj_nojitter'])
+        _, recs_t2, depth_t, tid_t, rtiles_t = _raster_with_records(
+            scene, geo_t, cfg, use_pallas, inst_adj, prev_inst_world,
+            prev_vp)
+        if rtiles_t is not None:
+            from toyrenderer_tpu.ops.raster_pallas import (
+                rec_tiles_to_image)
+            rec_t = rec_tiles_to_image(rtiles_t, cfg)
+        else:
+            rec_t = recs_t2
         gb_t = resolve_gbuffer(rec_t, depth_t, tid_t,
                                frame_inputs['jitter'], cfg, atlas=atlas,
                                num_textures=scene.num_textures)
@@ -411,9 +455,9 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     return image, new_carry, aux
 
 
-def _gbuffer_two_phase(scene, inst_world, prev_inst_world, frame_inputs,
-                       carry, pair_inst, pair_meshlet, cfg, settings,
-                       use_pallas):
+def _gbuffer_two_phase(scene, inst_world, inst_adj, prev_inst_world,
+                       frame_inputs, carry, pair_inst, pair_meshlet, cfg,
+                       settings, use_pallas):
     """GPU-driven 2-phase occlusion-culled GBuffer pass.
 
     Phase 1 (early): instances that pass frustum AND were visible against
@@ -445,8 +489,9 @@ def _gbuffer_two_phase(scene, inst_world, prev_inst_world, frame_inputs,
         cone_cull=settings.enable_cone_culling)
     geo1 = geo_mod.meshlet_clip_triangles(
         scene, inst_world, frame_inputs['view_proj'], pi1, pm1, pv1)
-    setup1, depth1, tid1 = raster_mod.rasterize(
-        geo1, cfg, use_pallas=use_pallas)
+    prev_vp = frame_inputs['prev_view_proj_nojitter']
+    setup1, recs1, depth1, tid1, rec_tiles1 = _raster_with_records(
+        scene, geo1, cfg, use_pallas, inst_adj, prev_inst_world, prev_vp)
 
     hzb_mid = hzb_mod.build_hzb(depth1, w, h)
 
@@ -468,12 +513,17 @@ def _gbuffer_two_phase(scene, inst_world, prev_inst_world, frame_inputs,
     geo2 = geo_mod.meshlet_clip_triangles(
         scene, inst_world, frame_inputs['view_proj'], pi2, pm2, pv2)
     t1 = setup1['valid'].shape[0]
-    setup2, depth, tri_id = raster_mod.rasterize(
-        geo2, cfg, use_pallas=use_pallas,
-        init_depth=depth1, init_tri_id=tid1, tri_id_base=t1)
+    setup2, recs2, depth, tri_id, rec_tiles = _raster_with_records(
+        scene, geo2, cfg, use_pallas, inst_adj, prev_inst_world, prev_vp,
+        init_depth=depth1, init_tri_id=tid1, init_rec=rec_tiles1,
+        emit_base=t1)
 
-    setup = {k: jnp.concatenate([setup1[k], setup2[k]], axis=0)
-             for k in setup1}
+    if rec_tiles is not None:
+        from toyrenderer_tpu.ops.raster_pallas import rec_tiles_to_image
+        records = rec_tiles_to_image(rec_tiles, cfg)
+    else:
+        # CPU path: per-pixel gather over the concatenated phase records
+        records = jnp.concatenate([recs1, recs2], axis=0)
     new_hzb = hzb_mod.build_hzb(depth, w, h)
     cull_aux = dict(
         early_instances=jnp.sum(cull1['visible'].astype(jnp.int32)),
@@ -481,7 +531,7 @@ def _gbuffer_two_phase(scene, inst_world, prev_inst_world, frame_inputs,
         early_pairs=total1, late_pairs=total2,
         early_meshlets=jnp.sum(pv1.astype(jnp.int32)),
         late_meshlets=jnp.sum(pv2.astype(jnp.int32)))
-    return setup, depth, tri_id, cull_aux, new_hzb
+    return records, depth, tri_id, cull_aux, new_hzb
 
 
 @functools.lru_cache(maxsize=32)

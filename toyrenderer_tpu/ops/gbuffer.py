@@ -101,7 +101,10 @@ def resolve_gbuffer(records, depth, tri_id, jitter, cfg, atlas=None,
     hit = tri_id >= 0
     tid = jnp.maximum(tri_id, 0)
 
-    rec = records[tid]                                     # (H, W, 48)
+    if records.ndim == 3:
+        rec = records          # (H, W, R) pre-fetched (fused Pallas path)
+    else:
+        rec = records[tid]     # (T, R) -> per-pixel gather (CPU path)
     px = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
     py = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5
     pxn = px / w

@@ -188,3 +188,200 @@ def _tiles_to_image(tiles, cfg: RasterConfig):
     img = jnp.transpose(img, (0, 2, 1, 3))
     img = img.reshape(cfg.tiles_y * th, cfg.tiles_x * tw)
     return img[:cfg.height, :cfg.width]
+
+
+# ---------------------------------------------------------------------------
+# Fused fill + resolve-record fetch
+# ---------------------------------------------------------------------------
+#
+# The per-pixel gather of 52-float resolve records (records[tri_id]) is the
+# single most expensive op of the frame on TPU (~34 ms at 1080p: 2M random
+# 208-byte rows).  This kernel removes it entirely: the fill tracks each
+# pixel's winning LOCAL slot in the tile's triangle list, then fetches the
+# records with ONE-HOT MATMULS on the MXU — (pixels x slots) @ (slots x 52)
+# — the classic TPU gather-as-matmul reshaping.  Everything stays in the
+# transposed (R, lanes) orientation so no lane<->sublane reshapes are
+# needed: per pixel ROW, one-hot^T (slots x 128 lanes) contracts with
+# records^T (R x slots) into (R x 128).  Output records are written in
+# (tiles, TH, R, TW) layout and reassembled to an (H, W, R) image by pure
+# transposes in XLA.
+
+
+def _fill_resolve_kernel(counts_ref,     # scalar prefetch (tiles, 2) i32
+                         rec_ref,        # (1, K, 16) f32 fill records
+                         res_ref,        # (1, R, K) f32 resolve records^T
+                         bigrec_ref,     # (B, 16) f32
+                         bigres_ref,     # (R, B) f32
+                         init_z_ref,     # (1, TH, TW) f32
+                         init_id_ref,    # (1, TH, TW) i32
+                         init_rec_ref,   # (1, TH, R, TW) f32
+                         z_out,          # (1, TH, TW) f32
+                         id_out,         # (1, TH, TW) i32
+                         rec_out,        # (1, TH, R, TW) f32
+                         slot_scr,       # scratch (TH, TW) i32
+                         *, cfg: RasterConfig, chunk: int, emit_base: int,
+                         rec_width: int):
+    i = pl.program_id(0)
+    ty = i // cfg.tiles_x
+    tx = i % cfg.tiles_x
+    th, tw = cfg.tile_h, cfg.tile_w
+    k_cap = cfg.max_tris_per_tile
+    b_cap = cfg.max_big_tris
+
+    colf = jax.lax.broadcasted_iota(
+        jnp.int32, (th, tw), 1).astype(jnp.float32) + 0.5
+    rowf = jax.lax.broadcasted_iota(
+        jnp.int32, (th, tw), 0).astype(jnp.float32) + 0.5
+    pxn = (tx.astype(jnp.float32) * tw + colf) * (1.0 / cfg.width)
+    pyn = (ty.astype(jnp.float32) * th + rowf) * (1.0 / cfg.height)
+
+    z_out[...] = init_z_ref[...]
+    id_out[...] = init_id_ref[...]
+    slot_scr[...] = jnp.full((th, tw), -1, jnp.int32)
+
+    c = chunk
+
+    def make_body(rec_src, slot_base):
+        def body(ci, _):
+            base = pl.multiple_of(ci * c, c)
+            rec = rec_src(base)                       # (C, 16)
+            best_z = z_out[0]
+            best_id = id_out[0]
+            best_slot = slot_scr[...]
+            for j in range(c):
+                e = rec[j]
+                l0 = e[0] * pxn + e[1] * pyn + e[2]
+                l1 = e[3] * pxn + e[4] * pyn + e[5]
+                l2 = e[6] * pxn + e[7] * pyn + e[8]
+                num = l0 * e[9] + l1 * e[10] + l2 * e[11]
+                den = l0 * e[12] + l1 * e[13] + l2 * e[14]
+                inside = ((l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)
+                          & (den > 0.0))
+                depth = jnp.where(
+                    inside, num / jnp.where(den == 0.0, 1.0, den), -1.0)
+                tri_id = e[15]
+                upd = (depth > best_z) & (tri_id >= 0.0)
+                best_z = jnp.where(upd, depth, best_z)
+                best_id = jnp.where(
+                    upd, tri_id.astype(jnp.int32) + emit_base, best_id)
+                best_slot = jnp.where(upd, slot_base + base + j, best_slot)
+            z_out[0] = best_z
+            id_out[0] = best_id
+            slot_scr[...] = best_slot
+            return 0
+        return body
+
+    count = counts_ref[i, 0]
+    jax.lax.fori_loop(
+        0, (count + c - 1) // c,
+        make_body(lambda b: rec_ref[0, pl.ds(b, c), :], 0), 0)
+    big_count = counts_ref[i, 1]
+    jax.lax.fori_loop(
+        0, (big_count + c - 1) // c,
+        make_body(lambda b: bigrec_ref[pl.ds(b, c), :], k_cap), 0)
+
+    # --- one-hot MXU record fetch (transposed orientation) -----------------
+    res_t = res_ref[0]                                 # (R, K)
+    big_t = bigres_ref[...]                            # (R, B)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (k_cap, tw), 0)
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (b_cap, tw), 0)
+    for r in range(th):                                # static unroll
+        srow = slot_scr[r:r + 1, :]                    # (1, TW)
+        oh_k = (iota_k == srow).astype(jnp.float32)    # (K, TW)
+        oh_b = (iota_b == (srow - k_cap)).astype(jnp.float32)
+        fetched = (jnp.dot(res_t, oh_k,
+                           preferred_element_type=jnp.float32)
+                   + jnp.dot(big_t, oh_b,
+                             preferred_element_type=jnp.float32))
+        keep = srow < 0                                # init/background
+        init = init_rec_ref[0, r]                      # (R, TW)
+        rec_out[0, r] = jnp.where(keep, init, fetched)
+
+
+def fill_resolve_pallas(setup: dict, resolve_records, tile_table,
+                        tile_count, big_list, cfg: RasterConfig,
+                        init_depth=None, init_tri_id=None, init_rec=None,
+                        chunk: int = 8, emit_base: int = 0):
+    """Fused fill + record fetch.
+
+    resolve_records: (T, R) f32 from gbuffer.pack_resolve_records.
+    init_rec: optional (tiles, TH, R, TW) from a previous phase.
+    Returns (depth (H,W), tri_id (H,W), rec_tiles (tiles, TH, R, TW)).
+    Use rec_tiles_to_image() after the LAST phase.
+    """
+    r = resolve_records.shape[1]
+    rec = pack_tri_records(setup)
+    safe = jnp.maximum(tile_table, 0)
+    tile_recs = rec[safe]
+    tile_recs = tile_recs.at[:, :, 15].set(tile_table.astype(jnp.float32))
+    tile_res = jnp.swapaxes(resolve_records[safe], 1, 2)  # (tiles, R, K)
+    big_safe = jnp.maximum(big_list, 0)
+    big_recs = rec[big_safe]
+    big_recs = big_recs.at[:, 15].set(big_list.astype(jnp.float32))
+    big_res = resolve_records[big_safe].T              # (R, B)
+    big_count = jnp.sum((big_list >= 0).astype(jnp.int32))
+    counts = jnp.stack(
+        [tile_count, jnp.broadcast_to(big_count, tile_count.shape)], 1)
+
+    n_tiles = cfg.num_tiles
+    th, tw = cfg.tile_h, cfg.tile_w
+    if init_depth is None:
+        init_z = jnp.zeros((n_tiles, th, tw), jnp.float32)
+        init_id = jnp.full((n_tiles, th, tw), -1, jnp.int32)
+    else:
+        init_z = _image_to_tiles(init_depth, cfg)
+        init_id = _image_to_tiles(init_tri_id, cfg)
+    if init_rec is None:
+        init_rec = jnp.zeros((n_tiles, th, r, tw), jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, cfg.max_tris_per_tile, REC),
+                         lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, cfg.max_tris_per_tile),
+                         lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cfg.max_big_tris, REC),
+                         lambda i, c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, cfg.max_big_tris),
+                         lambda i, c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, r, tw), lambda i, c: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, th, tw), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, r, tw), lambda i, c: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((th, tw), jnp.int32)],
+    )
+    z, tid, rec_tiles = pl.pallas_call(
+        functools.partial(_fill_resolve_kernel, cfg=cfg, chunk=chunk,
+                          emit_base=emit_base, rec_width=r),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, th, tw), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, th, tw), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, th, r, tw), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+    )(counts, tile_recs, tile_res, big_recs, big_res,
+      init_z, init_id, init_rec)
+    return _tiles_to_image(z, cfg), _tiles_to_image(tid, cfg), rec_tiles
+
+
+def rec_tiles_to_image(rec_tiles, cfg: RasterConfig):
+    """(tiles, TH, R, TW) -> (H, W, R)."""
+    th, tw = cfg.tile_h, cfg.tile_w
+    r = rec_tiles.shape[2]
+    x = rec_tiles.reshape(cfg.tiles_y, cfg.tiles_x, th, r, tw)
+    x = jnp.transpose(x, (0, 2, 1, 4, 3))   # (ty, th, tx, tw, r)
+    x = x.reshape(cfg.tiles_y * th, cfg.tiles_x * tw, r)
+    return x[:cfg.height, :cfg.width]
