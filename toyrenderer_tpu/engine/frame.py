@@ -142,7 +142,7 @@ def init_carry(scene, settings: RenderSettings, ddgi_volume=None
 def _raster_with_records(scene, geo, cfg, use_pallas, inst_adj,
                          prev_inst_world, prev_vp, init_depth=None,
                          init_tri_id=None, init_rec=None,
-                         emit_base: int = 0):
+                         emit_base: int = 0, tiles_io: bool = False):
     """setup + bin + fill, producing per-pixel resolve records.
 
     Pallas path: the fused fill+resolve kernel fetches records via one-hot
@@ -159,7 +159,7 @@ def _raster_with_records(scene, geo, cfg, use_pallas, inst_adj,
         depth, tid, rec_tiles = fill_resolve_pallas(
             setup, records, table, counts, big, cfg,
             init_depth=init_depth, init_tri_id=init_tri_id,
-            init_rec=init_rec, emit_base=emit_base)
+            init_rec=init_rec, emit_base=emit_base, tiles_io=tiles_io)
         return setup, records, depth, tid, rec_tiles
     depth, tid = raster_mod.fill_visibility(
         setup, table, big, cfg, init_depth=init_depth,
@@ -491,9 +491,15 @@ def _gbuffer_two_phase(scene, inst_world, inst_adj, prev_inst_world,
         scene, inst_world, frame_inputs['view_proj'], pi1, pm1, pv1)
     prev_vp = frame_inputs['prev_view_proj_nojitter']
     setup1, recs1, depth1, tid1, rec_tiles1 = _raster_with_records(
-        scene, geo1, cfg, use_pallas, inst_adj, prev_inst_world, prev_vp)
+        scene, geo1, cfg, use_pallas, inst_adj, prev_inst_world, prev_vp,
+        tiles_io=use_pallas)
 
-    hzb_mid = hzb_mod.build_hzb(depth1, w, h)
+    if use_pallas:
+        from toyrenderer_tpu.ops.raster_pallas import _tiles_to_image
+        depth1_img = _tiles_to_image(depth1, cfg)
+    else:
+        depth1_img = depth1
+    hzb_mid = hzb_mod.build_hzb(depth1_img, w, h)
 
     # LATE: re-test early-occluded candidates vs the fresh HZB
     cull2 = cull_mod.cull_instances(
@@ -516,11 +522,14 @@ def _gbuffer_two_phase(scene, inst_world, inst_adj, prev_inst_world,
     setup2, recs2, depth, tri_id, rec_tiles = _raster_with_records(
         scene, geo2, cfg, use_pallas, inst_adj, prev_inst_world, prev_vp,
         init_depth=depth1, init_tri_id=tid1, init_rec=rec_tiles1,
-        emit_base=t1)
+        emit_base=t1, tiles_io=use_pallas)
 
     if rec_tiles is not None:
-        from toyrenderer_tpu.ops.raster_pallas import rec_tiles_to_image
+        from toyrenderer_tpu.ops.raster_pallas import (
+            _tiles_to_image, rec_tiles_to_image)
         records = rec_tiles_to_image(rec_tiles, cfg)
+        depth = _tiles_to_image(depth, cfg)
+        tri_id = _tiles_to_image(tri_id, cfg)
     else:
         # CPU path: per-pixel gather over the concatenated phase records
         records = jnp.concatenate([recs1, recs2], axis=0)

@@ -46,9 +46,9 @@ def build_hzb(depth, width: int, height: int):
     p = jnp.pad(depth, ((0, hp - depth.shape[0]), (0, wp - depth.shape[1])))
 
     def min2x2(x):
-        h, w = x.shape
-        x = x.reshape(h // 2, 2, w // 2, 2)
-        return x.min(axis=(1, 3))
+        # native windowed reduce — avoids reshape/transpose data formatting
+        return jax.lax.reduce_window(
+            x, jnp.inf, jax.lax.min, (2, 2), (2, 2), 'VALID')
 
     mips = []
     m = min2x2(p)

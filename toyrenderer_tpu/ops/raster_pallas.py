@@ -301,13 +301,18 @@ def _fill_resolve_kernel(counts_ref,     # scalar prefetch (tiles, 2) i32
 def fill_resolve_pallas(setup: dict, resolve_records, tile_table,
                         tile_count, big_list, cfg: RasterConfig,
                         init_depth=None, init_tri_id=None, init_rec=None,
-                        chunk: int = 8, emit_base: int = 0):
+                        chunk: int = 8, emit_base: int = 0,
+                        tiles_io: bool = False):
     """Fused fill + record fetch.
 
     resolve_records: (T, R) f32 from gbuffer.pack_resolve_records.
     init_rec: optional (tiles, TH, R, TW) from a previous phase.
     Returns (depth (H,W), tri_id (H,W), rec_tiles (tiles, TH, R, TW)).
     Use rec_tiles_to_image() after the LAST phase.
+
+    tiles_io=True keeps depth/id in (tiles, TH, TW) layout on BOTH ends
+    (multi-phase pipelines avoid the tile<->image transposes between
+    phases — they are pure data formatting, ~1.5 ms each at 1080p).
     """
     r = resolve_records.shape[1]
     rec = pack_tri_records(setup)
@@ -328,6 +333,8 @@ def fill_resolve_pallas(setup: dict, resolve_records, tile_table,
     if init_depth is None:
         init_z = jnp.zeros((n_tiles, th, tw), jnp.float32)
         init_id = jnp.full((n_tiles, th, tw), -1, jnp.int32)
+    elif tiles_io:
+        init_z, init_id = init_depth, init_tri_id
     else:
         init_z = _image_to_tiles(init_depth, cfg)
         init_id = _image_to_tiles(init_tri_id, cfg)
@@ -374,6 +381,8 @@ def fill_resolve_pallas(setup: dict, resolve_records, tile_table,
         grid_spec=grid_spec,
     )(counts, tile_recs, tile_res, big_recs, big_res,
       init_z, init_id, init_rec)
+    if tiles_io:
+        return z, tid, rec_tiles
     return _tiles_to_image(z, cfg), _tiles_to_image(tid, cfg), rec_tiles
 
 
