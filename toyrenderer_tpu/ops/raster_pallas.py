@@ -208,10 +208,8 @@ def _tiles_to_image(tiles, cfg: RasterConfig):
 
 
 def _fill_resolve_kernel(counts_ref,     # scalar prefetch (tiles, 2) i32
-                         rec_ref,        # (1, K, 16) f32 fill records
-                         res_ref,        # (1, R, K) f32 resolve records^T
-                         bigrec_ref,     # (B, 16) f32
-                         bigres_ref,     # (R, B) f32
+                         comb_ref,       # (1, K, 16+R) f32 fill+resolve recs
+                         bigcomb_ref,    # (B, 16+R) f32
                          init_z_ref,     # (1, TH, TW) f32
                          init_id_ref,    # (1, TH, TW) i32
                          init_rec_ref,   # (1, TH, R, TW) f32
@@ -241,7 +239,7 @@ def _fill_resolve_kernel(counts_ref,     # scalar prefetch (tiles, 2) i32
 
     c = chunk
 
-    def make_body(rec_src, slot_base):
+    def make_body(rec_src, slot_base, limit):
         def body(ci, _):
             base = pl.multiple_of(ci * c, c)
             rec = rec_src(base)                       # (C, 16)
@@ -259,11 +257,12 @@ def _fill_resolve_kernel(counts_ref,     # scalar prefetch (tiles, 2) i32
                           & (den > 0.0))
                 depth = jnp.where(
                     inside, num / jnp.where(den == 0.0, 1.0, den), -1.0)
-                tri_id = e[15]
-                upd = (depth > best_z) & (tri_id >= 0.0)
+                # chunk overshoot guarded by the REAL count (no id
+                # re-stamping needed; slot 15 keeps the true global id)
+                upd = (depth > best_z) & (base + j < limit)
                 best_z = jnp.where(upd, depth, best_z)
                 best_id = jnp.where(
-                    upd, tri_id.astype(jnp.int32) + emit_base, best_id)
+                    upd, e[15].astype(jnp.int32) + emit_base, best_id)
                 best_slot = jnp.where(upd, slot_base + base + j, best_slot)
             z_out[0] = best_z
             id_out[0] = best_id
@@ -274,25 +273,30 @@ def _fill_resolve_kernel(counts_ref,     # scalar prefetch (tiles, 2) i32
     count = counts_ref[i, 0]
     jax.lax.fori_loop(
         0, (count + c - 1) // c,
-        make_body(lambda b: rec_ref[0, pl.ds(b, c), :], 0), 0)
+        make_body(lambda b: comb_ref[0, pl.ds(b, c), :16], 0, count), 0)
     big_count = counts_ref[i, 1]
     jax.lax.fori_loop(
         0, (big_count + c - 1) // c,
-        make_body(lambda b: bigrec_ref[pl.ds(b, c), :], k_cap), 0)
+        make_body(lambda b: bigcomb_ref[pl.ds(b, c), :16], k_cap,
+                  big_count), 0)
 
-    # --- one-hot MXU record fetch (transposed orientation) -----------------
-    res_t = res_ref[0]                                 # (R, K)
-    big_t = bigres_ref[...]                            # (R, B)
+    # --- one-hot MXU record fetch: contract slots on dim 0 (no transposes)
+    res_tile = comb_ref[0, :, 16:]                     # (K, R)
+    res_big = bigcomb_ref[:, 16:]                      # (B, R)
+    dn = (((0,), (0,)), ((), ()))                      # contract slot dims
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (k_cap, tw), 0)
     iota_b = jax.lax.broadcasted_iota(jnp.int32, (b_cap, tw), 0)
     for r in range(th):                                # static unroll
         srow = slot_scr[r:r + 1, :]                    # (1, TW)
         oh_k = (iota_k == srow).astype(jnp.float32)    # (K, TW)
         oh_b = (iota_b == (srow - k_cap)).astype(jnp.float32)
-        fetched = (jnp.dot(res_t, oh_k,
-                           preferred_element_type=jnp.float32)
-                   + jnp.dot(big_t, oh_b,
-                             preferred_element_type=jnp.float32))
+        # contracting dim0 of (K,R) with dim0 of (K,TW) yields (R, TW)
+        fetched = (jax.lax.dot_general(
+                       res_tile, oh_k, dn,
+                       preferred_element_type=jnp.float32)
+                   + jax.lax.dot_general(
+                       res_big, oh_b, dn,
+                       preferred_element_type=jnp.float32))
         keep = srow < 0                                # init/background
         init = init_rec_ref[0, r]                      # (R, TW)
         rec_out[0, r] = jnp.where(keep, init, fetched)
@@ -315,15 +319,14 @@ def fill_resolve_pallas(setup: dict, resolve_records, tile_table,
     phases — they are pure data formatting, ~1.5 ms each at 1080p).
     """
     r = resolve_records.shape[1]
-    rec = pack_tri_records(setup)
+    # ONE fused (16 + R)-wide row gather per (tile, slot): fill setup and
+    # resolve record travel together; validity comes from the counts, so
+    # no id re-stamping copies are needed
+    comb = jnp.concatenate([pack_tri_records(setup), resolve_records], 1)
     safe = jnp.maximum(tile_table, 0)
-    tile_recs = rec[safe]
-    tile_recs = tile_recs.at[:, :, 15].set(tile_table.astype(jnp.float32))
-    tile_res = jnp.swapaxes(resolve_records[safe], 1, 2)  # (tiles, R, K)
+    tile_comb = comb[safe]                             # (tiles, K, 16+R)
     big_safe = jnp.maximum(big_list, 0)
-    big_recs = rec[big_safe]
-    big_recs = big_recs.at[:, 15].set(big_list.astype(jnp.float32))
-    big_res = resolve_records[big_safe].T              # (R, B)
+    big_comb = comb[big_safe]                          # (B, 16+R)
     big_count = jnp.sum((big_list >= 0).astype(jnp.int32))
     counts = jnp.stack(
         [tile_count, jnp.broadcast_to(big_count, tile_count.shape)], 1)
@@ -345,13 +348,9 @@ def fill_resolve_pallas(setup: dict, resolve_records, tile_table,
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, cfg.max_tris_per_tile, REC),
+            pl.BlockSpec((1, cfg.max_tris_per_tile, REC + r),
                          lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r, cfg.max_tris_per_tile),
-                         lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cfg.max_big_tris, REC),
-                         lambda i, c: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, cfg.max_big_tris),
+            pl.BlockSpec((cfg.max_big_tris, REC + r),
                          lambda i, c: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, th, tw), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -379,8 +378,7 @@ def fill_resolve_pallas(setup: dict, resolve_records, tile_table,
             jax.ShapeDtypeStruct((n_tiles, th, r, tw), jnp.float32),
         ),
         grid_spec=grid_spec,
-    )(counts, tile_recs, tile_res, big_recs, big_res,
-      init_z, init_id, init_rec)
+    )(counts, tile_comb, big_comb, init_z, init_id, init_rec)
     if tiles_io:
         return z, tid, rec_tiles
     return _tiles_to_image(z, cfg), _tiles_to_image(tid, cfg), rec_tiles
