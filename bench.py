@@ -88,6 +88,31 @@ def main():
 
     ms = float(np.median(times))
     covered = float((np.asarray(aux['tri_id']) >= 0).mean())
+
+    # RT throughput (Mrays/s): shadow pass = 1 ray/pixel (BASELINE.json
+    # asks for ray metrics alongside ms/frame)
+    rt = {}
+    if os.environ.get("BENCH_RT", "1") == "1":
+        rt_settings = RenderSettings(
+            width=width, height=height, manual_exposure=0.1,
+            enable_shadows=True)
+        rt_render = make_render_fn(rt_settings)
+        rt_carry = init_carry(scene, rt_settings)
+        rt_times = []
+        for i in range(4):
+            mats = view.matrices()
+            fi = default_frame_inputs(scene_host, mats)
+            t0 = time.time()
+            image, rt_carry, aux2 = rt_render(scene, pi, pm, fi, rt_carry)
+            image.block_until_ready()
+            if i:
+                rt_times.append(time.time() - t0)
+            view.advance(mats)
+        rt_ms = float(np.median(rt_times)) * 1000.0
+        rays = width * height
+        rt['rt_frame_ms'] = round(rt_ms, 3)
+        rt['shadow_mrays_s'] = round(
+            rays / ((rt_ms - ms) * 1e3 + 1e-6), 2)
     pipeline = ("2-phase-culled GPU-driven deferred" if culling
                 else "deferred")
     result = {
@@ -104,6 +129,7 @@ def main():
         "scene_build_s": round(build_s, 2),
         "coverage": round(covered, 3),
         "device": str(jax.devices()[0]),
+        **rt,
     }
     print(json.dumps(result))
     return 0
