@@ -48,20 +48,24 @@ def morton3d(p01):
 
 @dataclass
 class Bvh:
-    """Pytree: flattened level AABBs + sorted triangle data."""
-    boxes_lo: jnp.ndarray        # (total_nodes, 3) f32
-    boxes_hi: jnp.ndarray        # (total_nodes, 3) f32
-    level_offset: tuple          # static: offset of each level in the atlas
+    """Pytree: row-gather-friendly flattened tree.
+
+    Gather discipline (the TPU bottleneck is per-element gather count, not
+    bytes): everything a traversal step needs is ONE contiguous row —
+    `child_boxes` packs all 8 children's lo/hi per PARENT row (48 f32);
+    `leaf_rows` packs the 8 leaf triangles' v0/e1/e2 + payload per GROUP
+    row (80 f32).
+    """
+    child_boxes: jnp.ndarray     # (total_parents, 48) f32:
+    #                              8 x [lo.xyz, hi.xyz] per parent node
+    level_offset: tuple          # static: offset of each PARENT level
     num_levels: int              # static: leaf level == num_levels - 1
-    tri_v0: jnp.ndarray          # (Ng * 8, 3) sorted triangle vertices
-    tri_e1: jnp.ndarray          # (Ng * 8, 3) v1 - v0
-    tri_e2: jnp.ndarray          # (Ng * 8, 3) v2 - v0
-    tri_payload: jnp.ndarray     # (Ng * 8,) i32 original triangle id; -1 pad
+    leaf_rows: jnp.ndarray       # (Ng, 80) f32: 8 x [v0.xyz e1.xyz e2.xyz
+    #                              payload-as-f32]; payload -1 = padding
 
 
 def _register():
-    arr = ('boxes_lo', 'boxes_hi', 'tri_v0', 'tri_e1', 'tri_e2',
-           'tri_payload')
+    arr = ('child_boxes', 'leaf_rows')
     static = ('level_offset', 'num_levels')
     jax.tree_util.register_pytree_node(
         Bvh,
@@ -129,15 +133,28 @@ def build_bvh(v0, v1, v2, valid, n_levels: int | None = None) -> Bvh:
         level_lo.insert(0, level_lo[0].reshape(-1, ARITY, 3).min(1))
         level_hi.insert(0, level_hi[0].reshape(-1, ARITY, 3).max(1))
 
+    # pack CHILD boxes per parent row: level l parents hold level l+1
+    # children: (8^l, 8 children x [lo.xyz hi.xyz]) = (8^l, 48)
+    rows = []
+    for l in range(n_levels - 1):
+        clo = level_lo[l + 1].reshape(-1, ARITY, 3)
+        chi = level_hi[l + 1].reshape(-1, ARITY, 3)
+        rows.append(jnp.concatenate([clo, chi], axis=-1).reshape(-1, 48))
+    child_boxes = (jnp.concatenate(rows, axis=0) if rows
+                   else jnp.zeros((1, 48), jnp.float32))
     offsets = tuple(int(x) for x in
                     np.cumsum([0] + [ARITY ** l
-                                     for l in range(n_levels)])[:-1])
-    return Bvh(
-        boxes_lo=jnp.concatenate([x.reshape(-1, 3) for x in level_lo]),
-        boxes_hi=jnp.concatenate([x.reshape(-1, 3) for x in level_hi]),
-        level_offset=offsets, num_levels=n_levels,
-        tri_v0=v0s, tri_e1=v1s - v0s, tri_e2=v2s - v0s,
-        tri_payload=payload)
+                                     for l in range(n_levels - 1)])[:-1])
+
+    # pack leaf rows: (Ng, 8 tris x [v0 e1 e2 payload]) = (Ng, 80)
+    leaf = jnp.concatenate([
+        v0s, v1s - v0s, v2s - v0s,
+        payload.astype(jnp.float32)[:, None],
+    ], axis=1)                                          # (Ng*8, 10)
+    leaf_rows = leaf.reshape(n_groups, LEAF_TRIS * 10)
+
+    return Bvh(child_boxes=child_boxes, level_offset=offsets,
+               num_levels=n_levels, leaf_rows=leaf_rows)
 
 
 def _ray_box(lo, hi, origin, inv_dir, t_max):
@@ -183,7 +200,9 @@ def traverse(bvh: Bvh, origins, directions, t_max, max_steps: int = 128,
     inv_dir = 1.0 / jnp.where(jnp.abs(directions) < 1e-12,
                               jnp.full_like(directions, 1e-12), directions)
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    offsets = jnp.asarray(bvh.level_offset, jnp.int32)
+    # single-level trees (tiny scenes) have no parent rows; keep the
+    # offsets array non-empty so the (inert) internal branch stays valid
+    offsets = jnp.asarray(bvh.level_offset or (0,), jnp.int32)
 
     state = dict(
         level=jnp.zeros((n,), jnp.int32),            # current stack depth
@@ -222,13 +241,13 @@ def traverse(bvh: Bvh, origins, directions, t_max, max_steps: int = 128,
 
         is_leaf_level = level == (l_max - 1)
 
-        # --- leaf: intersect its 8 triangles --------------------------------
-        g = jnp.clip(node, 0, bvh.tri_payload.shape[0] // LEAF_TRIS - 1)
-        tri_idx = g[:, None] * LEAF_TRIS + jnp.arange(LEAF_TRIS)[None, :]
-        tv0 = bvh.tri_v0[tri_idx]
-        te1 = bvh.tri_e1[tri_idx]
-        te2 = bvh.tri_e2[tri_idx]
-        pay = bvh.tri_payload[tri_idx]
+        # --- leaf: ONE row gather -> 8 triangles --------------------------
+        g = jnp.clip(node, 0, bvh.leaf_rows.shape[0] - 1)
+        leaf = bvh.leaf_rows[g].reshape(n, LEAF_TRIS, 10)
+        tv0 = leaf[..., 0:3]
+        te1 = leaf[..., 3:6]
+        te2 = leaf[..., 6:9]
+        pay = leaf[..., 9].astype(jnp.int32)
         h, t, u, v = _ray_tri(tv0, te1, te2, o1, d1, s['best_t'][:, None])
         h = h & (pay >= 0) & has_work[:, None] & is_leaf_level[:, None]
         t_m = jnp.where(h, t, jnp.inf)
@@ -246,16 +265,13 @@ def traverse(bvh: Bvh, origins, directions, t_max, max_steps: int = 128,
         uu = jnp.where(upd, u_best, s['uu'])
         vva = jnp.where(upd, v_best, s['vv'])
 
-        # --- internal: test the ARITY children of `node` ---------------------
-        next_level = level + 1
-        child_base = jnp.where(level == 0, 0, node) * ARITY
-        # children of node at level l live at level l+1, indices node*8+k
-        child_ids = (offsets[jnp.minimum(next_level, l_max - 1)][:, None]
-                     + node[:, None] * ARITY
-                     + jnp.arange(ARITY)[None, :])
-        child_ids = jnp.clip(child_ids, 0, bvh.boxes_lo.shape[0] - 1)
-        blo = bvh.boxes_lo[child_ids]
-        bhi = bvh.boxes_hi[child_ids]
+        # --- internal: ONE row gather -> 8 child AABBs --------------------
+        parent_row = (offsets[jnp.minimum(level, l_max - 2)] + node)
+        parent_row = jnp.clip(parent_row, 0,
+                              bvh.child_boxes.shape[0] - 1)
+        boxes = bvh.child_boxes[parent_row].reshape(n, ARITY, 6)
+        blo = boxes[..., 0:3]
+        bhi = boxes[..., 3:6]
         cmask_hit = _ray_box(blo, bhi, o1, id1, best_t[:, None])
         cmask = jnp.where(
             has_work & ~is_leaf_level,
@@ -270,6 +286,7 @@ def traverse(bvh: Bvh, origins, directions, t_max, max_steps: int = 128,
         path = s['path']
         descend = has_work & ~is_leaf_level & (cmask != 0)
         # push: set mask/path at level+1
+        next_level = level + 1
         lvl_push = jnp.minimum(next_level, l_max - 1)
         mask = jnp.where(descend[:, None],
                          _set_at(mask, lvl_push, cmask), mask)
