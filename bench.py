@@ -89,13 +89,14 @@ def main():
     ms = float(np.median(times))
     covered = float((np.asarray(aux['tri_id']) >= 0).mean())
 
-    # RT throughput (Mrays/s): shadow pass = 1 ray/pixel (BASELINE.json
-    # asks for ray metrics alongside ms/frame)
+    # Shadowed-frame time (default rasterized shadow-map technique) and
+    # raw BVH ray throughput (BASELINE.json asks for ray metrics)
     rt = {}
     if os.environ.get("BENCH_RT", "1") == "1":
         rt_settings = RenderSettings(
             width=width, height=height, manual_exposure=0.1,
-            enable_shadows=True)
+            enable_culling=culling, enable_shadows=True,
+            shadow_technique='map')
         rt_render = make_render_fn(rt_settings)
         rt_carry = init_carry(scene, rt_settings)
         rt_times = []
@@ -108,11 +109,39 @@ def main():
             if i:
                 rt_times.append(time.time() - t0)
             view.advance(mats)
-        rt_ms = float(np.median(rt_times)) * 1000.0
-        rays = width * height
-        rt['rt_frame_ms'] = round(rt_ms, 3)
-        rt['shadow_mrays_s'] = round(
-            rays / ((rt_ms - ms) * 1e3 + 1e-6), 2)
+        rt['shadowed_frame_ms'] = round(
+            float(np.median(rt_times)) * 1000.0, 3)
+
+        # raw any-hit ray throughput through the BVH (shadow-ray config)
+        import jax.numpy as jnp
+        from toyrenderer_tpu.ops import bvh as bvh_mod
+        from toyrenderer_tpu.ops import geometry as G
+
+        @jax.jit
+        def trace_block(scene, fi):
+            world = G.node_world_matrices(
+                scene, fi['node_translation'], fi['node_rotation'],
+                fi['node_scale'])
+            iw, _ = G.instance_transforms(scene, world)
+            v0, v1, v2, valid = bvh_mod.world_triangles(scene, iw, pi, pm)
+            bvh = bvh_mod.build_bvh(v0, v1, v2, valid)
+            n = 1 << 18
+            ii = jnp.arange(n, dtype=jnp.float32)
+            origins = jnp.stack([(ii % 512) / 512 * 60 - 30,
+                                 jnp.zeros(n) + 0.5,
+                                 (ii // 512) / 512 * 60 - 30], -1)
+            dirs = jnp.broadcast_to(-fi['sun_direction'], (n, 3))
+            res = bvh_mod.traverse(bvh, origins, dirs, t_max=1e4,
+                                   max_steps=64, any_hit=True)
+            return res['hit']
+        mats = view.matrices()
+        fi = default_frame_inputs(scene_host, mats)
+        hit = trace_block(scene, fi)
+        hit.block_until_ready()
+        t0 = time.time()
+        hit = trace_block(scene, fi)
+        hit.block_until_ready()
+        rt['rt_mrays_s'] = round((1 << 18) / (time.time() - t0) / 1e6, 2)
     pipeline = ("2-phase-culled GPU-driven deferred" if culling
                 else "deferred")
     result = {

@@ -105,3 +105,42 @@ def test_depth_aware_blur_respects_edges():
     # blur must not leak much across the depth edge
     assert out[:, 10].mean() < 0.12
     assert out[:, 4].mean() > 0.9
+
+
+def test_shadow_map_matches_rt_reference():
+    """The default shadow-map technique must agree with the BVH ray-traced
+    ground truth (up to bias/edge texels) on the stress scene."""
+    import jax.numpy as jnp
+    from toyrenderer_tpu.scene.procedural import make_stress_scene
+    from toyrenderer_tpu.engine import RenderSettings, init_carry, View
+    from toyrenderer_tpu.engine.frame import (
+        make_render_fn, default_frame_inputs)
+    from toyrenderer_tpu.ops.geometry import static_meshlet_pairs
+
+    s = make_stress_scene(n_objects=12, sphere_res=10, seed=7)
+    d = s.to_device()
+    pi, pm = static_meshlet_pairs(s)
+    pi, pm = jnp.asarray(pi), jnp.asarray(pm)
+    masks = {}
+    for tech in ('map', 'rt'):
+        settings = RenderSettings(
+            width=192, height=96, manual_exposure=0.05,
+            enable_shadows=True, shadow_technique=tech,
+            shadow_map_resolution=1024, shadow_max_steps=128,
+            max_tris_per_tile=256, max_big_tris=64, tile_batch=4)
+        view = View.from_scene(s, 192, 96)
+        view.enable_jitter = False
+        carry = init_carry(d, settings)
+        render = make_render_fn(settings)
+        aux = None
+        for _ in range(3):   # let the temporal denoiser settle
+            mats = view.matrices()
+            fi = default_frame_inputs(s, mats)
+            img, carry, aux = render(d, pi, pm, fi, carry)
+            view.advance(mats)
+        masks[tech] = np.asarray(aux['shadow'])
+    diff = np.abs(masks['map'] - masks['rt'])
+    assert diff.mean() < 0.05, f"techniques disagree: {diff.mean()}"
+    # both find real shadow (dark areas exist)
+    assert masks['map'].min() < 0.3
+    assert masks['rt'].min() < 0.3

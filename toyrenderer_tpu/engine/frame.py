@@ -53,7 +53,9 @@ class RenderSettings:
     width: int = 1920
     height: int = 1080
     # pass toggles
-    enable_shadows: bool = False          # ray-traced denoised sun shadows
+    enable_shadows: bool = False          # denoised sun shadows
+    shadow_technique: str = 'map'         # 'map' (raster) | 'rt' (BVH)
+    shadow_map_resolution: int = 1024
     shadow_max_steps: int = 96            # BVH traversal budget per ray
     enable_ao: bool = False               # GTAO
     ao_radius: float = 1.5                # world-space AO radius
@@ -269,8 +271,10 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     # the RT scene uses the FULL pair list — off-screen geometry still
     # casts shadows / bounces light (culling only affects the raster pass)
     bvh = None
-    needs_rt = (settings.enable_shadows or settings.enable_gi
-                or settings.enable_restir)
+    needs_rays = (settings.enable_shadows
+                  and settings.shadow_technique == 'rt')
+    needs_rt = (needs_rays or settings.enable_gi or settings.enable_restir)
+    needs_wp = needs_rt or settings.enable_shadows
     if needs_rt:
         tv0, tv1, tv2, tvalid = bvh_mod.world_triangles(
             scene, inst_world, pair_inst, pair_meshlet)
@@ -278,19 +282,35 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
 
     from toyrenderer_tpu.ops.gbuffer import unpack_gbuffer
     from toyrenderer_tpu.ops.lighting import world_pos_from_depth
-    m_gb = unpack_gbuffer(gb) if (needs_rt or settings.enable_ao) else None
+    m_gb = (unpack_gbuffer(gb)
+            if (needs_wp or settings.enable_ao) else None)
     wp = (world_pos_from_depth(depth, frame_inputs['inv_view_proj'],
                                settings.width, settings.height)
-          if needs_rt else None)
+          if needs_wp else None)
 
-    # -- ShadowMask (ray-traced, denoised) --------------------------------------
+    # -- ShadowMask (denoised; technique: rasterized sun depth map by
+    #    default — the TPU-native path — or BVH ray traced) -----------------
     shadow_mask = None
     shadow_carry = {}
     if settings.enable_shadows:
-        raw = shadows_mod.trace_shadow_mask(
-            bvh, wp, m_gb['normal'], depth > 0.0,
-            -frame_inputs['sun_direction'], carry['frame_index'],
-            max_steps=settings.shadow_max_steps)
+        if settings.shadow_technique == 'map':
+            from toyrenderer_tpu.ops import shadowmap as sm_mod
+            sm_cfg = sm_mod.shadow_map_config(
+                settings.shadow_map_resolution)
+            sm_depth = sm_mod.render_shadow_map(
+                scene, inst_world, pair_inst, pair_meshlet,
+                frame_inputs['sun_view_proj'], sm_cfg, use_pallas)
+            raw = sm_mod.sample_shadow_map(
+                sm_mod.quad_expand_map(sm_depth),
+                settings.shadow_map_resolution,
+                frame_inputs['sun_view_proj'], wp, m_gb['normal'],
+                -frame_inputs['sun_direction'], depth > 0.0,
+                carry['frame_index'])
+        else:
+            raw = shadows_mod.trace_shadow_mask(
+                bvh, wp, m_gb['normal'], depth > 0.0,
+                -frame_inputs['sun_direction'], carry['frame_index'],
+                max_steps=settings.shadow_max_steps)
         shadow_mask, shadow_hist = denoise_mod.denoise_shadow(
             raw, gb['motion'], carry['shadow_history'],
             carry['shadow_valid'], depth, carry['prev_depth'])
@@ -572,4 +592,11 @@ def default_frame_inputs(scene_host, view_matrices: dict) -> dict:
         sun_direction=jnp.asarray(scene_host.sun_direction),
         sun_color=jnp.asarray(scene_host.sun_color),
         sun_intensity=jnp.asarray(scene_host.sun_intensity, jnp.float32),
+        sun_view_proj=jnp.asarray(_sun_view_proj(scene_host)),
     )
+
+
+def _sun_view_proj(scene_host):
+    from toyrenderer_tpu.ops.shadowmap import sun_ortho_matrix
+    return sun_ortho_matrix(scene_host.world_aabb,
+                            scene_host.sun_direction)

@@ -1,0 +1,147 @@
+"""Rasterized sun-shadow maps — the TPU-native default shadow technique.
+
+The reference traces inline-RT shadow rays because its GPU has RT cores
+(shadowmask.hlsl); this framework's speed-of-light path is the Pallas
+rasterizer, so the DEFAULT sun-shadow technique renders an orthographic
+depth map from the sun with the same binned raster pipeline and samples it
+with one temporally-jittered bilinear tap per pixel, feeding the same
+SIGMA-style denoiser.  (The BVH ray-traced path remains available as
+`shadow_technique='rt'` — same mask contract, ground truth for tests.)
+
+The shadow map is quad-row expanded (like the texture atlas) so a bilinear
+depth-compare tap is ONE row gather per pixel.  Note: the reference also
+ships an unused CSM/PCF path (shadowfiltering.hlsl), so shadow-map
+filtering is within its capability family.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from toyrenderer_tpu.ops import geometry as geo_mod
+from toyrenderer_tpu.ops import raster as raster_mod
+from toyrenderer_tpu.ops.raster import RasterConfig
+from toyrenderer_tpu.ops.shadows import interleaved_gradient_noise
+
+
+def sun_ortho_matrix(world_aabb, sun_direction) -> np.ndarray:
+    """Orthographic sun view-projection covering the scene AABB (host).
+
+    Output clip: x,y in [-1,1], z in [0,1] with 1 == closest to the sun
+    (matches the raster's reverse-Z 'greater wins' convention), w == 1.
+    """
+    d = np.asarray(sun_direction, np.float64)
+    d = d / max(np.linalg.norm(d), 1e-8)
+    up = (np.array([0.0, 1.0, 0.0]) if abs(d[1]) < 0.95
+          else np.array([1.0, 0.0, 0.0]))
+    right = np.cross(up, d)
+    right /= max(np.linalg.norm(right), 1e-8)
+    up = np.cross(d, right)
+
+    bmin, bmax = np.asarray(world_aabb, np.float64)
+    corners = np.array([[x, y, z]
+                        for x in (bmin[0], bmax[0])
+                        for y in (bmin[1], bmax[1])
+                        for z in (bmin[2], bmax[2])])
+    basis = np.stack([right, up, d], axis=0)          # rows
+    proj = corners @ basis.T                          # sun-space coords
+    lo = proj.min(0)
+    hi = proj.max(0)
+    margin = (hi - lo) * 0.01 + 1e-3
+    lo -= margin
+    hi += margin
+
+    # sun-space -> clip: xy -> [-1,1]; depth along +d: lo=1 (near the sun
+    # side the light COMES from is -d... rays travel along d) — geometry
+    # closest to the sun has the smallest d-coordinate -> map lo.z -> 1
+    m = np.zeros((4, 4), np.float64)
+    m[0, :3] = right * (2.0 / (hi[0] - lo[0]))
+    m[1, :3] = up * (2.0 / (hi[1] - lo[1]))
+    m[2, :3] = -d / (hi[2] - lo[2])
+    m[0, 3] = -(lo[0] + hi[0]) / (hi[0] - lo[0])
+    m[1, 3] = -(lo[1] + hi[1]) / (hi[1] - lo[1])
+    m[2, 3] = hi[2] / (hi[2] - lo[2])
+    m[3, 3] = 1.0
+    return m.astype(np.float32)
+
+
+def shadow_map_config(resolution: int) -> RasterConfig:
+    return RasterConfig(width=resolution, height=resolution,
+                        tile_h=16, tile_w=128,
+                        max_tris_per_tile=256, chunk=8,
+                        max_big_tris=128, tile_batch=8)
+
+
+def render_shadow_map(scene, inst_world, pair_inst, pair_meshlet,
+                      sun_view_proj, cfg: RasterConfig, use_pallas: bool):
+    """Depth-from-the-sun via the standard raster pipeline.
+
+    Uses the FULL (unculled) pair list — off-screen geometry casts
+    shadows.  Returns (S, S) f32, 0 == nothing (fully lit beyond map).
+    """
+    geo = geo_mod.meshlet_clip_triangles(
+        scene, inst_world, sun_view_proj, pair_inst, pair_meshlet)
+    # double-sided raster into the shadow map (no light-facing culling —
+    # the cheap fix for acne from backface-only casters)
+    geo = dict(geo, double_sided=jnp.ones_like(geo['double_sided']))
+    setup = raster_mod.setup_triangles(geo, cfg)
+    table, counts, big = raster_mod.bin_triangles(setup, cfg)
+    if use_pallas:
+        from toyrenderer_tpu.ops.raster_pallas import fill_visibility_pallas
+        depth, _ = fill_visibility_pallas(setup, table, counts, big, cfg)
+    else:
+        depth, _ = raster_mod.fill_visibility(setup, table, big, cfg)
+    return depth
+
+
+def quad_expand_map(depth):
+    """(S, S) -> (S*S, 4) rows of each texel's 2x2 footprint (clamped)."""
+    xp = jnp.concatenate([depth[:, 1:], depth[:, -1:]], axis=1)
+    yp = jnp.concatenate([depth[1:], depth[-1:]], axis=0)
+    xyp = jnp.concatenate([yp[:, 1:], yp[:, -1:]], axis=1)
+    return jnp.stack([depth, xp, yp, xyp], -1).reshape(-1, 4)
+
+
+def sample_shadow_map(map_quads, resolution: int, sun_view_proj,
+                      world_pos, normal, sun_dir_to_light, hit_mask,
+                      frame_index, bias: float = 2e-3,
+                      jitter_texels: float = 1.0):
+    """One temporally-jittered bilinear depth-compare tap per pixel.
+
+    Returns (H, W) f32 visibility (1 = lit).  The temporal+spatial shadow
+    denoiser integrates the jitter into soft penumbras.
+    """
+    h, w = hit_mask.shape
+    ph = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])],
+                         -1)
+    clip = jnp.einsum('ij,...j->...i', sun_view_proj, ph)
+    u = clip[..., 0] * 0.5 + 0.5
+    v = 0.5 - clip[..., 1] * 0.5
+    z = clip[..., 2]                                   # 1 == sun-near
+
+    r1 = interleaved_gradient_noise(h, w, frame_index)
+    r2 = interleaved_gradient_noise(h, w, frame_index + 29)
+    s = jnp.float32(resolution)
+    x = u * s - 0.5 + (r1 - 0.5) * 2.0 * jitter_texels
+    y = v * s - 0.5 + (r2 - 0.5) * 2.0 * jitter_texels
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    xi = jnp.clip(x0, 0, resolution - 1).astype(jnp.int32)
+    yi = jnp.clip(y0, 0, resolution - 1).astype(jnp.int32)
+    quad = map_quads[yi * resolution + xi]             # (H, W, 4)
+
+    # percentage-closer: compare each footprint texel, then bilinear mix
+    zb = z + bias
+    lit4 = (quad <= zb[..., None]).astype(jnp.float32)
+    lit = ((lit4[..., 0] * (1 - fx) + lit4[..., 1] * fx) * (1 - fy)
+           + (lit4[..., 2] * (1 - fx) + lit4[..., 3] * fx) * fy)
+
+    inside = ((u >= 0) & (u <= 1) & (v >= 0) & (v <= 1))
+    lit = jnp.where(inside, lit, 1.0)
+    ndotl = jnp.sum(normal * sun_dir_to_light, -1)
+    lit = jnp.where(ndotl <= 0.0, 0.0, lit)
+    return jnp.where(hit_mask, lit, 1.0)
