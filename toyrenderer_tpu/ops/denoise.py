@@ -29,8 +29,11 @@ def temporal_accumulate(signal, motion, history, history_valid,
     px = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
     prev_y = py - motion[..., 1] - 0.5
     prev_x = px - motion[..., 0] - 0.5
-    hist = _sample_bilinear(history[..., None], prev_y, prev_x)[..., 0]
-    pdepth = _sample_bilinear(prev_depth[..., None], prev_y, prev_x)[..., 0]
+    # one packed resample for [history, prev depth]
+    both = _sample_bilinear(
+        jnp.stack([history, prev_depth], -1), prev_y, prev_x)
+    hist = both[..., 0]
+    pdepth = both[..., 1]
 
     off = ((prev_y < 0) | (prev_y > h - 1) | (prev_x < 0)
            | (prev_x > w - 1))

@@ -16,23 +16,33 @@ import jax.numpy as jnp
 
 
 def _sample_bilinear(img, y, x):
-    """Bilinear sample img (H, W, C) at float coords (y, x) arrays."""
+    """Bilinear sample img (H, W, C) at float coords (y, x) arrays.
+
+    Quad-row formulation: the 2x2 footprint of every texel is packed into
+    one (H*W, 4C) row (edge-clamped) so each sample is ONE row gather —
+    TPU gathers are latency-bound per element, and four scalar gathers per
+    channel would dominate every temporal pass (TAA, shadow/AO denoise)."""
     h, w = img.shape[:2]
+    c = img.shape[2]
+    xp = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    yp = jnp.concatenate([img[1:], img[-1:]], axis=0)
+    xyp = jnp.concatenate([yp[:, 1:], yp[:, -1:]], axis=1)
+    pack = jnp.concatenate([img, xp, yp, xyp], -1).reshape(h * w, 4 * c)
+
     y = jnp.clip(y, 0.0, h - 1.0)
     x = jnp.clip(x, 0.0, w - 1.0)
     y0 = jnp.floor(y)
     x0 = jnp.floor(x)
-    fy = (y - y0)[..., None]
-    fx = (x - x0)[..., None]
-    y0 = y0.astype(jnp.int32)
-    x0 = x0.astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    a = img[y0, x0]
-    b = img[y0, x1]
-    c = img[y1, x0]
-    d = img[y1, x1]
-    return (a * (1 - fx) + b * fx) * (1 - fy) + (c * (1 - fx) + d * fx) * fy
+    fy = jnp.clip(y - y0, 0.0, 1.0)[..., None]
+    fx = jnp.clip(x - x0, 0.0, 1.0)[..., None]
+    idx = (y0.astype(jnp.int32) * w + x0.astype(jnp.int32))
+    rows = pack[idx]                                   # (..., 4C)
+    a = rows[..., 0 * c:1 * c]
+    b = rows[..., 1 * c:2 * c]
+    cc = rows[..., 2 * c:3 * c]
+    d = rows[..., 3 * c:4 * c]
+    return (a * (1 - fx) + b * fx) * (1 - fy) + (cc * (1 - fx)
+                                                 + d * fx) * fy
 
 
 def _neighborhood_moments(color):
