@@ -112,3 +112,45 @@ def test_cornell_gi_lights_interior():
     interior_nogi = hdrs[False][20:60, 30:100].mean()
     assert interior > interior_nogi * 1.5
     assert np.isfinite(hdrs[True]).all()
+
+
+def test_phased_updates_converge_like_full():
+    """Block-phased probe updates must converge to the same field as
+    full per-frame updates."""
+    import jax
+    from toyrenderer_tpu.scene import load_scene
+    from toyrenderer_tpu.engine import RenderSettings, init_carry, View
+    from toyrenderer_tpu.engine.frame import (
+        make_render_fn, default_frame_inputs)
+    from toyrenderer_tpu.ops.geometry import static_meshlet_pairs
+
+    s = load_scene("resources/cornell.gltf", use_cache=False)
+    d = s.to_device()
+    pi, pm = static_meshlet_pairs(s)
+    pi, pm = jnp.asarray(pi), jnp.asarray(pm)
+    vol = D.volume_from_aabb(s.world_aabb[0], s.world_aabb[1],
+                             max_probes_axis=4, rays_per_probe=32)
+    fields = {}
+    for phases in (1, 4):
+        settings = RenderSettings(width=96, height=64, enable_gi=True,
+                                  enable_shadows=True,
+                                  gi_update_phases=phases,
+                                  manual_exposure=0.02,
+                                  shadow_max_steps=64, gi_max_steps=64)
+        view = View.from_scene(s, 96, 64)
+        view.enable_jitter = False
+        carry = init_carry(d, settings, vol)
+        render = make_render_fn(settings, vol)
+        n = 6 if phases == 1 else 6 * phases
+        for _ in range(n):
+            mats = view.matrices()
+            fi = default_frame_inputs(s, mats)
+            img, carry, aux = render(d, pi, pm, fi, carry)
+            view.advance(mats)
+        fields[phases] = np.asarray(carry['ddgi_irradiance'])
+    a, b = fields[1], fields[4]
+    assert np.isfinite(b).all()
+    # same energy scale and high correlation between the two fields
+    assert abs(a.mean() - b.mean()) < 0.35 * max(a.mean(), 1e-3)
+    corr = np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1]
+    assert corr > 0.9

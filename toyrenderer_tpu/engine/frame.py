@@ -61,6 +61,7 @@ class RenderSettings:
     ao_radius: float = 1.5                # world-space AO radius
     enable_gi: bool = False               # DDGI probe GI
     gi_max_steps: int = 64                # probe-ray traversal budget
+    gi_update_phases: int = 1             # probes update in P/N blocks
     show_gi_probes: bool = False          # probe visualization overlay
     enable_transparency: bool = False     # forward blend (reference: stub)
     enable_alpha_test: bool = True        # alpha-masked cutout set
@@ -329,14 +330,26 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         sky_fn = lambda d: sky_mod.sky_radiance(  # noqa: E731
             d, to_light, turbidity=settings.sky_turbidity,
             sun_intensity=frame_inputs['sun_intensity'])
-        radiance, ray_dist, ray_dirs = ddgi_mod.trace_probes(
-            ddgi_volume, bvh, shade_rec, carry['ddgi_irradiance'],
-            to_light, frame_inputs['sun_color'],
-            frame_inputs['sun_intensity'], carry['frame_index'], sky_fn,
-            max_steps=settings.gi_max_steps)
-        gi_carry = ddgi_mod.update_probes(
-            ddgi_volume, carry, radiance, ray_dist, ray_dirs,
-            first_frame=carry['frame_index'] == 0)
+        if settings.gi_update_phases > 1:
+            radiance, ray_dist, ray_dirs, blk = ddgi_mod.trace_probe_block(
+                ddgi_volume, bvh, shade_rec, carry['ddgi_irradiance'],
+                to_light, frame_inputs['sun_color'],
+                frame_inputs['sun_intensity'], carry['frame_index'],
+                sky_fn, settings.gi_update_phases,
+                max_steps=settings.gi_max_steps)
+            gi_carry = ddgi_mod.update_probe_block(
+                ddgi_volume, carry, radiance, ray_dist, ray_dirs, blk,
+                first_frame=(carry['frame_index']
+                             < settings.gi_update_phases))
+        else:
+            radiance, ray_dist, ray_dirs = ddgi_mod.trace_probes(
+                ddgi_volume, bvh, shade_rec, carry['ddgi_irradiance'],
+                to_light, frame_inputs['sun_color'],
+                frame_inputs['sun_intensity'], carry['frame_index'],
+                sky_fn, max_steps=settings.gi_max_steps)
+            gi_carry = ddgi_mod.update_probes(
+                ddgi_volume, carry, radiance, ray_dist, ray_dirs,
+                first_frame=carry['frame_index'] == 0)
         gi_irradiance = ddgi_mod.sample_irradiance_visibility(
             ddgi_volume, gi_carry['ddgi_irradiance'],
             gi_carry['ddgi_distance'], wp, m_gb['normal'])

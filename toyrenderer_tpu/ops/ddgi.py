@@ -335,3 +335,98 @@ def visualize_probes(hdr, depth, volume: DdgiVolume, irradiance,
         return jax.lax.dynamic_update_slice(img, out, (y0, x0, 0))
 
     return jax.lax.fori_loop(0, volume.num_probes, body, hdr)
+
+
+def trace_probe_block(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
+                      sun_dir_to_light, sun_color, sun_intensity,
+                      frame_index, sky_fn, num_phases: int,
+                      max_steps: int = 64):
+    """Trace ONE contiguous block of probes (frame_index % num_phases).
+
+    Budgeted probe updates (the reference classifies/budgets probe work
+    similarly): per frame only P/num_phases probes trace rays; with
+    hysteresis the field converges over num_phases x longer, at
+    1/num_phases the cost.  Returns (radiance (Pb, R, 3), dist (Pb, R),
+    dirs (R, 3), block_start).
+    """
+    p = volume.num_probes
+    pb = -(-p // num_phases)
+    phase = frame_index % num_phases
+    start = phase * pb
+
+    r = volume.rays_per_probe
+    base_dirs = jnp.asarray(_fibonacci_sphere(r))
+    rot = _frame_rotation(frame_index)
+    dirs = base_dirs @ rot.T
+
+    pos_all = volume.probe_positions()
+    pad = pb * num_phases - p
+    if pad:
+        pos_all = jnp.concatenate([pos_all, pos_all[:pad]], axis=0)
+    pos = jax.lax.dynamic_slice(pos_all, (start, 0), (pb, 3))
+    origins = jnp.repeat(pos, r, axis=0)
+    d_all = jnp.tile(dirs, (pb, 1))
+
+    res = bvh_mod.traverse(bvh, origins, d_all, t_max=1e4,
+                           max_steps=max_steps)
+    hit = res['hit']
+    tri = jnp.maximum(res['tri'], 0)
+    t = res['t']
+    rec = shade_rec[tri]
+    n_w = rec[:, 0:3]
+    albedo = rec[:, 3:6]
+    emissive = rec[:, 6:9]
+    n_w = jnp.where(jnp.sum(n_w * d_all, -1, keepdims=True) > 0,
+                    -n_w, n_w)
+    hit_pos = origins + d_all * t[:, None]
+    sh = bvh_mod.traverse(bvh, hit_pos + n_w * 1e-2,
+                          jnp.broadcast_to(sun_dir_to_light,
+                                           hit_pos.shape),
+                          t_max=1e4, max_steps=max_steps, any_hit=True)
+    ndotl = jnp.maximum(jnp.sum(n_w * sun_dir_to_light, -1), 0.0)
+    direct = (albedo / jnp.pi) * (ndotl * (1.0 - sh['hit'].astype(
+        jnp.float32)))[:, None] * (sun_color * sun_intensity)
+    bounce = sample_irradiance(
+        volume, prev_irradiance, hit_pos, n_w) * albedo / jnp.pi
+    radiance = jnp.where(hit[:, None], direct + emissive + bounce,
+                         sky_fn(d_all))
+    dist = jnp.where(hit, t, 1e4)
+    return (radiance.reshape(pb, r, 3), dist.reshape(pb, r), dirs, start)
+
+
+def update_probe_block(volume: DdgiVolume, carry_probes: dict, radiance,
+                       dist, dirs, block_start, first_frame):
+    """Hysteresis-blend ONE probe block into the carry arrays."""
+    irr_dirs = _oct_texel_dirs(IRR_RES)
+    dist_dirs = _oct_texel_dirs(DIST_RES)
+
+    w_irr = jnp.maximum(irr_dirs @ dirs.T, 0.0)
+    w_sum = jnp.maximum(w_irr.sum(1, keepdims=True), 1e-4)
+    new_irr = jnp.einsum('tr,prc->ptc', w_irr, radiance) / w_sum[None]
+
+    w_d = jnp.maximum(dist_dirs @ dirs.T, 0.0) ** 16.0
+    wd_sum = jnp.maximum(w_d.sum(1, keepdims=True), 1e-4)
+    max_d = float(np.linalg.norm(np.asarray(volume.spacing))) * 1.5
+    dc = jnp.minimum(dist, max_d)
+    mean_d = jnp.einsum('tr,pr->pt', w_d, dc) / wd_sum[None, :, 0]
+    mean_d2 = jnp.einsum('tr,pr->pt', w_d, dc * dc) / wd_sum[None, :, 0]
+    new_dist = jnp.stack([mean_d, mean_d2], -1)
+
+    pb = radiance.shape[0]
+    p = volume.num_probes
+    start = jnp.minimum(block_start, p - pb)   # clamp final (padded) block
+
+    h = jnp.where(first_frame, 0.0, HYSTERESIS)
+    old_irr = jax.lax.dynamic_slice(
+        carry_probes['ddgi_irradiance'], (start, 0, 0),
+        (pb, IRR_RES * IRR_RES, 3))
+    old_dist = jax.lax.dynamic_slice(
+        carry_probes['ddgi_distance'], (start, 0, 0),
+        (pb, DIST_RES * DIST_RES, 2))
+    irr = jax.lax.dynamic_update_slice(
+        carry_probes['ddgi_irradiance'],
+        old_irr * h + new_irr * (1.0 - h), (start, 0, 0))
+    dst = jax.lax.dynamic_update_slice(
+        carry_probes['ddgi_distance'],
+        old_dist * h + new_dist * (1.0 - h), (start, 0, 0))
+    return dict(ddgi_irradiance=irr, ddgi_distance=dst)
