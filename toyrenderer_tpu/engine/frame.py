@@ -17,11 +17,10 @@ PostProcess.
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from toyrenderer_tpu.ops import bloom as bloom_mod
 from toyrenderer_tpu.ops import bvh as bvh_mod
