@@ -11,7 +11,7 @@ of RenderSettings (the reference's imgui-mutable Scene booleans).
 from __future__ import annotations
 
 import argparse
-from typing import Any, Callable
+from typing import Any
 
 _REGISTRY: dict[str, "Option"] = {}
 
