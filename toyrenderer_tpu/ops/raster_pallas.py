@@ -13,10 +13,11 @@ sequential per tile) into (tiles, K, 16) f32:
   [0:9]  edge equations (3 x 3, normalized homogeneous screen space)
   [9:12] zs (z_clip * inv_scale per vertex)
   [12:15] ws (w_clip * inv_scale per vertex)
-  [15]   global triangle id as f32 (-1 = empty slot; ids < 2^24 are exact),
-         packed into the record so the kernel streams ONE array — Mosaic
-         requires 128-aligned dynamic slices on the lane dim, which a
-         separate (K,) id vector cannot satisfy at chunk granularity
+  [15]   global triangle id as f32 (ids < 2^24 are exact), packed into
+         the record so the kernel streams ONE array — Mosaic requires
+         128-aligned dynamic slices on the lane dim, which a separate
+         (K,) id vector cannot satisfy at chunk granularity.  Slot
+         validity comes from the scalar-prefetched per-tile counts.
 """
 
 from __future__ import annotations
