@@ -49,6 +49,9 @@ def main(argv=None):
     p.add_argument("--giraysperprobe", type=int, default=64)
     p.add_argument("--animate", action="store_true",
                    help="play scene animations at 60 fps frame steps")
+    p.add_argument("--orbit", type=float, default=0.0,
+                   help="orbit the camera by this many radians/frame "
+                        "(exercises TAA/motion/denoiser history)")
     p.add_argument("--forcedlod", type=int, default=-1)
     p.add_argument("--platform", default=None,
                    help="force jax platform (cpu for software-WARP parity)")
@@ -161,6 +164,8 @@ def main(argv=None):
         image.block_until_ready()
         dt = (time.time() - t0) * 1000
         view.advance(mats)
+        if args.orbit:
+            view.rotate_yaw_pitch(args.orbit, 0.0)
         label = "compile+run" if i == 0 else "frame"
         print(f"[frame {i}] {label}: {dt:.2f} ms")
         if args.stats:
