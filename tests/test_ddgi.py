@@ -154,3 +154,46 @@ def test_phased_updates_converge_like_full():
     assert abs(a.mean() - b.mean()) < 0.35 * max(a.mean(), 1e-3)
     corr = np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1]
     assert corr > 0.9
+
+
+def test_block_alignment_indivisible_phases():
+    """num_probes not divisible by num_phases: traced positions and written
+    slots must agree (ADVICE r1: the tail block used wrap-around probes
+    while the write clamped, misattributing radiance)."""
+    import jax
+    from toyrenderer_tpu.ops import bvh as B
+
+    # 3x1x1 probes along x at x = 0, 2, 4; a bright emissive wall only
+    # near the LAST probe (x=4) so misattribution is visible.
+    v = D.DdgiVolume(origin=(0.0, 0.0, 0.0), spacing=(2.0, 1.0, 1.0),
+                     counts=(3, 1, 1), rays_per_probe=32)
+    assert v.num_probes == 3
+    num_phases = 2          # ceil(3/2)=2 -> blocks [0,2) and clamped [1,3)
+
+    # one SMALL emissive triangle just past the last probe (x=4.5): its
+    # solid angle (hence probe irradiance) falls off sharply with distance
+    v0 = jnp.asarray([[4.5, -0.5, -0.5]])
+    v1 = jnp.asarray([[4.5, 0.5, -0.5]])
+    v2 = jnp.asarray([[4.5, 0.0, 1.0]])
+    bvh = B.build_bvh(v0, v1, v2, jnp.asarray([True]))
+    # shade record: normal -x, albedo 0, emissive bright white
+    rec = jnp.asarray([[-1.0, 0.0, 0.0,  0.0, 0.0, 0.0,  5.0, 5.0, 5.0]])
+
+    probes = D.init_probes(v)
+    sky = lambda d: jnp.zeros((d.shape[0], 3))
+    sun = jnp.asarray([0.0, 1.0, 0.0])
+    suncol = jnp.asarray([1.0, 1.0, 1.0])
+
+    for f in range(num_phases):
+        rad, dist, dirs, start = D.trace_probe_block(
+            v, bvh, rec, probes['ddgi_irradiance'], sun, suncol,
+            jnp.asarray(0.0), jnp.asarray(f), sky, num_phases,
+            max_steps=16)
+        probes = D.update_probe_block(v, probes, rad, dist, dirs, start,
+                                      first_frame=jnp.asarray(True))
+
+    irr = np.asarray(probes['ddgi_irradiance']).mean(axis=(1, 2))  # (3,)
+    # every probe updated; emission falls off with distance from the wall:
+    # probe 2 (closest) must see the most energy, probe 0 the least.
+    assert irr[2] > irr[1] >= irr[0] * 0.999
+    assert irr[2] > irr[0] * 1.5

@@ -81,3 +81,22 @@ def test_uncompressed_dx10():
 def test_bad_data_returns_none():
     assert D.load_dds(b"notadds") is None
     assert D.load_dds(_dds_header(b"XXXX", 4, 4) + b"\x00" * 8) is None
+
+
+def test_bc3_color_always_four_mode():
+    """BC2/BC3 color blocks are ALWAYS 4-color mode per the DX spec even
+    when c0 <= c1 (only standalone BC1 switches to 3-color mode)."""
+    # c0 = black (0x0000), c1 = white (0xFFFF): c0 <= c1.
+    blk = struct.pack("<HH", 0x0000, 0xFFFF)
+    idx = 0
+    for t in range(16):
+        idx |= (t % 4) << (2 * t)
+    ab = struct.pack("<BB", 255, 0) + b"\x00" * 6   # opaque alpha
+    data = (_dds_header(b"DXT5", 4, 4)
+            + ab + blk + struct.pack("<I", idx))
+    img = D.load_dds(data)[0]
+    row = img[0, :, 0].tolist()
+    # 4-color palette: 0, 255, (2*0+255)/3=85, (0+2*255)/3=170
+    assert row[0] == 0 and row[1] == 255
+    assert 75 <= row[2] <= 95 and 160 <= row[3] <= 180
+    assert (img[..., 3] == 255).all()

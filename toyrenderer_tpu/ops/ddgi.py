@@ -352,7 +352,11 @@ def trace_probe_block(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
     p = volume.num_probes
     pb = -(-p // num_phases)
     phase = frame_index % num_phases
-    start = phase * pb
+    # Clamp the block start the same way update_probe_block does, so traced
+    # positions and written slots always agree when num_phases does not
+    # divide num_probes (the final block then overlaps the previous one — a
+    # benign re-update, never a misattributed one).
+    start = jnp.minimum(phase * pb, p - pb)
 
     r = volume.rays_per_probe
     base_dirs = jnp.asarray(_fibonacci_sphere(r))
@@ -360,9 +364,6 @@ def trace_probe_block(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
     dirs = base_dirs @ rot.T
 
     pos_all = volume.probe_positions()
-    pad = pb * num_phases - p
-    if pad:
-        pos_all = jnp.concatenate([pos_all, pos_all[:pad]], axis=0)
     pos = jax.lax.dynamic_slice(pos_all, (start, 0), (pb, 3))
     origins = jnp.repeat(pos, r, axis=0)
     d_all = jnp.tile(dirs, (pb, 1))

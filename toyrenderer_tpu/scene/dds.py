@@ -66,8 +66,14 @@ def mip_byte_size(fmt: str, w: int, h: int) -> int:
     return w * h * 4
 
 
-def _decode_bc1_colors(blocks_u16: np.ndarray, allow_alpha: bool):
-    """blocks_u16: (N, 2) c0, c1 -> palette (N, 4, 4) u8 RGBA."""
+def _decode_bc1_colors(blocks_u16: np.ndarray, allow_alpha: bool,
+                       force_four: bool = False):
+    """blocks_u16: (N, 2) c0, c1 -> palette (N, 4, 4) u8 RGBA.
+
+    force_four: BC2/BC3 color blocks are ALWAYS 4-color mode per the DX
+    spec, regardless of endpoint order; only standalone BC1 switches to
+    3-color + transparent when c0 <= c1.
+    """
     def c565(c):
         r = ((c >> 11) & 31).astype(np.uint32) * 255 // 31
         g = ((c >> 5) & 63).astype(np.uint32) * 255 // 63
@@ -79,7 +85,10 @@ def _decode_bc1_colors(blocks_u16: np.ndarray, allow_alpha: bool):
     pal[:, :, 3] = 255
     pal[:, 0, :3] = c0
     pal[:, 1, :3] = c1
-    four = blocks_u16[:, 0] > blocks_u16[:, 1]
+    if force_four:
+        four = np.ones(len(c0), bool)
+    else:
+        four = blocks_u16[:, 0] > blocks_u16[:, 1]
     pal[:, 2, :3] = np.where(four[:, None],
                              (2 * c0 + c1) // 3, (c0 + c1) // 2)
     pal[:, 3, :3] = np.where(four[:, None], (c0 + 2 * c1) // 3, 0)
@@ -88,10 +97,11 @@ def _decode_bc1_colors(blocks_u16: np.ndarray, allow_alpha: bool):
     return pal.astype(np.uint8)
 
 
-def _bc1_rgba(raw: np.ndarray, nb: int, allow_alpha: bool):
+def _bc1_rgba(raw: np.ndarray, nb: int, allow_alpha: bool,
+              force_four: bool = False):
     """raw (nb, 8) u8 -> (nb, 4, 4, 4) u8 texel blocks."""
     colors = raw[:, :4].view("<u2").reshape(nb, 2)
-    pal = _decode_bc1_colors(colors, allow_alpha)
+    pal = _decode_bc1_colors(colors, allow_alpha, force_four)
     bits = raw[:, 4:8].view("<u4").reshape(nb)
     idx = np.zeros((nb, 16), np.uint8)
     for t in range(16):
@@ -142,14 +152,16 @@ def decode_mip(fmt: str, data: bytes, w: int, h: int) -> np.ndarray | None:
     if fmt == "BC1":
         blocks = _bc1_rgba(raw, nb, allow_alpha=True)
     elif fmt == "BC2":
-        blocks = _bc1_rgba(raw[:, 8:], nb, allow_alpha=False)
+        blocks = _bc1_rgba(raw[:, 8:], nb, allow_alpha=False,
+                           force_four=True)
         a4 = raw[:, :8].view("<u8").reshape(nb)
         for t in range(16):
             blocks[:, t // 4, t % 4, 3] = (
                 ((a4 >> np.uint64(4 * t)) & np.uint64(15)).astype(np.uint32)
                 * 17).astype(np.uint8)
     elif fmt == "BC3":
-        blocks = _bc1_rgba(raw[:, 8:], nb, allow_alpha=False)
+        blocks = _bc1_rgba(raw[:, 8:], nb, allow_alpha=False,
+                           force_four=True)
         blocks[..., 3] = _bc_alpha8(raw[:, :8], nb)
     elif fmt == "BC4":
         r = _bc_alpha8(raw, nb)
