@@ -132,3 +132,42 @@ def test_world_triangles_expansion():
     # triangles land inside the rotated cornell bounds
     pts = np.asarray(v0)[np.asarray(valid)]
     assert pts.min() > -2.5 and pts.max() < 2.5
+
+
+def test_traverse_pallas_matches_lockstep():
+    """Packet traversal (interpret mode) must agree with the XLA lockstep
+    traversal: same hit set, same winning triangle, t within tolerance;
+    any_hit mode agrees on the hit mask."""
+    from toyrenderer_tpu.ops.bvh_pallas import traverse_pallas
+
+    rng = np.random.RandomState(3)
+    t = 3000
+    v0 = rng.uniform(-15, 15, (t, 3)).astype(np.float32)
+    v1 = v0 + rng.uniform(-0.7, 0.7, (t, 3)).astype(np.float32)
+    v2 = v0 + rng.uniform(-0.7, 0.7, (t, 3)).astype(np.float32)
+    valid = np.ones(t, bool)
+    valid[::11] = False
+    bvh = B.build_bvh(jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+                      jnp.asarray(valid))
+
+    n = 1400   # not a packet multiple: exercises padding
+    o = rng.uniform(-20, 20, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ref = B.traverse(bvh, jnp.asarray(o), jnp.asarray(d), t_max=150.0,
+                     max_steps=8192)
+    got = traverse_pallas(bvh, jnp.asarray(o), jnp.asarray(d),
+                          t_max=150.0, interpret=True)
+    rh = np.asarray(ref['hit'])
+    gh = np.asarray(got['hit'])
+    assert np.array_equal(rh, gh)
+    m = rh
+    np.testing.assert_allclose(np.asarray(got['t'])[m],
+                               np.asarray(ref['t'])[m], rtol=1e-4,
+                               atol=1e-5)
+    assert np.array_equal(np.asarray(got['tri'])[m],
+                          np.asarray(ref['tri'])[m])
+
+    ga = traverse_pallas(bvh, jnp.asarray(o), jnp.asarray(d),
+                         t_max=150.0, any_hit=True, interpret=True)
+    assert np.array_equal(np.asarray(ga['hit']), rh)

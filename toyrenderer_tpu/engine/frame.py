@@ -153,16 +153,17 @@ def _raster_with_records(scene, geo, cfg, use_pallas, inst_adj,
     (T, R) array (CPU resolve gathers it), rec_tiles the fused output.
     """
     setup = raster_mod.setup_triangles(geo, cfg)
-    table, counts, big = raster_mod.bin_triangles(setup, cfg)
     records = pack_resolve_records(setup, scene, inst_adj,
                                    prev_inst_world, prev_vp)
     if use_pallas:
-        from toyrenderer_tpu.ops.raster_pallas import fill_resolve_pallas
-        depth, tid, rec_tiles = fill_resolve_pallas(
-            setup, records, table, counts, big, cfg,
+        from toyrenderer_tpu.ops.raster_pallas import fill_resolve_stream
+        bins = raster_mod.bin_pairs_stream(setup, cfg)
+        depth, tid, rec_tiles = fill_resolve_stream(
+            setup, records, bins, cfg,
             init_depth=init_depth, init_tri_id=init_tri_id,
             init_rec=init_rec, emit_base=emit_base, tiles_io=tiles_io)
         return setup, records, depth, tid, rec_tiles
+    table, counts, big = raster_mod.bin_triangles(setup, cfg)
     depth, tid = raster_mod.fill_visibility(
         setup, table, big, cfg, init_depth=init_depth,
         init_tri_id=init_tri_id, emit_base=emit_base)

@@ -126,7 +126,17 @@ def build_bvh(v0, v1, v2, valid, n_levels: int | None = None) -> Bvh:
     tri_lo = jnp.where(valid_p[:, None], tri_lo, big)
     tri_hi = jnp.where(valid_p[:, None], tri_hi, -big)
 
-    # leaf-level group AABBs, then reduce by ARITY up the levels
+    # leaf-level group AABBs, then reduce by ARITY up the levels.
+    # Empty boxes (all-padding subtrees) reduce to (big, -big); collapse
+    # them to a far POINT so the orientation-agnostic slab test rejects
+    # them — inverted min/max sentinels would otherwise read as an
+    # infinite box and traversals would walk every padding leaf.
+    def _seal(lo, hi):
+        empty = (lo[..., :1] > hi[..., :1])
+        return (jnp.where(empty, big, lo), jnp.where(empty, big, hi))
+
+    # reductions stay on the raw (big, -big) sentinels (neutral for
+    # min/max); sealing happens only when PACKING child rows below
     level_lo = [tri_lo.reshape(n_groups, LEAF_TRIS, 3).min(1)]
     level_hi = [tri_hi.reshape(n_groups, LEAF_TRIS, 3).max(1)]
     for _ in range(n_levels - 1):
@@ -137,8 +147,9 @@ def build_bvh(v0, v1, v2, valid, n_levels: int | None = None) -> Bvh:
     # children: (8^l, 8 children x [lo.xyz hi.xyz]) = (8^l, 48)
     rows = []
     for l in range(n_levels - 1):
-        clo = level_lo[l + 1].reshape(-1, ARITY, 3)
-        chi = level_hi[l + 1].reshape(-1, ARITY, 3)
+        clo, chi = _seal(level_lo[l + 1], level_hi[l + 1])
+        clo = clo.reshape(-1, ARITY, 3)
+        chi = chi.reshape(-1, ARITY, 3)
         rows.append(jnp.concatenate([clo, chi], axis=-1).reshape(-1, 48))
     child_boxes = (jnp.concatenate(rows, axis=0) if rows
                    else jnp.zeros((1, 48), jnp.float32))
@@ -146,12 +157,19 @@ def build_bvh(v0, v1, v2, valid, n_levels: int | None = None) -> Bvh:
                     np.cumsum([0] + [ARITY ** l
                                      for l in range(n_levels - 1)])[:-1])
 
-    # pack leaf rows: (Ng, 8 tris x [v0 e1 e2 payload]) = (Ng, 80)
+    # pack leaf rows: (Ng, 8 tris x [v0 e1 e2 payload]) = (Ng, 80).
+    # The morton sort puts valid triangles first, so groups past
+    # ceil(T/8) are all padding with inverted parent AABBs — traversal
+    # can never reach them; store only the reachable prefix (complete-
+    # tree padding would otherwise waste up to 8x leaf memory).
     leaf = jnp.concatenate([
         v0s, v1s - v0s, v2s - v0s,
         payload.astype(jnp.float32)[:, None],
     ], axis=1)                                          # (Ng*8, 10)
     leaf_rows = leaf.reshape(n_groups, LEAF_TRIS * 10)
+    n_real = min(-(-t // LEAF_TRIS), n_groups)
+    n_real = -(-n_real // 8) * 8                        # sublane align
+    leaf_rows = leaf_rows[:n_real]
 
     return Bvh(child_boxes=child_boxes, level_offset=offsets,
                num_levels=n_levels, leaf_rows=leaf_rows)

@@ -1,0 +1,306 @@
+"""Pallas TPU packet traversal for the 8-ary BVH (ops/bvh.py).
+
+The XLA lockstep traversal (bvh.traverse) pays two row gathers per ray per
+step — every ray fetches an 80-float leaf row AND a 48-float child-box row
+each iteration whether it needs them or not, and the while-loop runs until
+the SLOWEST ray finishes (measured 0.17 Mrays/s at round 1).  This kernel
+reshapes the problem for the TPU the classic way: RAY PACKETS.
+
+* A packet is 1024 rays laid out as (8, 128) vregs — one full VPU tile per
+  vector op.  The whole packet walks the tree together with ONE shared
+  scalar DFS stack (SMEM), so there are NO per-ray gathers at all: node
+  data is read once per visit and broadcast to all lanes via (1, 1)
+  vector-register splats.
+* Internal nodes: the 8 child slab tests are evaluated for all 1024 rays
+  (~20 VPU ops per child); children any ray intersects are pushed
+  near-to-far by the packet's dominant direction octant (morton child
+  order makes k XOR flipmask a front-to-back order).
+* Leaves: 8 Moller-Trumbore tests for all 1024 rays, closest-hit update
+  against per-ray best_t (which also tightens subsequent slab tests).
+* `any_hit` packets terminate once every live ray has a hit.
+
+Packets win when rays are coherent: shadow rays (shared sun direction,
+tile-local origins — shadowmask.hlsl parity) and DDGI probe rays grouped
+DIRECTION-major (grid-adjacent probe origins, shared direction; see
+ddgi.trace_probe_block) both are.  Incoherent sets degrade toward the
+union of per-ray traversals, never worse than visiting every node once.
+
+Capacity contract: child boxes and leaf rows are staged whole in VMEM
+(bench-scale scenes: ~2.4 MB + ~7 MB).  `fits_vmem(bvh)` reports whether
+the scene fits; callers fall back to bvh.traverse otherwise (the
+HBM-resident DMA variant is the planned follow-up for Bistro-scale
+scenes).
+
+Reference parity: DXR RayQuery consumers source/shaders/shadowmask.hlsl:
+65-145 and giprobetrace.hlsl:23-148.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from toyrenderer_tpu.ops.bvh import ARITY, LEAF_TRIS, Bvh
+
+PACKET = 4096                 # default rays per packet: (SUB, 128) vregs
+#                               (measured best on v5e: 10.3 Mrays/s vs
+#                               9.2 @2048 / 10.0 @8192, sun rays over the
+#                               bench scene)
+_LANE = 128
+STACK_CAP = 160               # DFS stack bound: (levels-1)*7+1, levels<=12
+_ENC_LEVEL_BITS = 4           # stack entry = (index << 4) | level
+
+
+def fits_vmem(bvh: Bvh, budget_bytes: int = 10 * 2**20) -> bool:
+    """True if this BVH's node data fits the kernel's VMEM staging budget."""
+    cb = bvh.child_boxes.shape[0] * 48 * 4
+    lf = bvh.leaf_rows.shape[0] * 80 * 4
+    return cb + lf <= budget_bytes
+
+
+def traverse_auto(bvh: Bvh, origins, directions, t_max,
+                  any_hit: bool = False, max_steps: int = 128,
+                  interpret: bool = False):
+    """Dispatch: packet kernel on TPU when the tree fits VMEM, else the
+    XLA lockstep traversal (also the CPU/test path).  Same contract as
+    bvh.traverse."""
+    import jax
+    from toyrenderer_tpu.ops.bvh import traverse as traverse_xla
+    on_tpu = jax.default_backend() in ('tpu', 'axon')
+    if fits_vmem(bvh) and (on_tpu or interpret):
+        return traverse_pallas(bvh, origins, directions, t_max,
+                               any_hit=any_hit, interpret=interpret)
+    return traverse_xla(bvh, origins, directions, t_max,
+                        max_steps=max_steps, any_hit=any_hit)
+
+
+def _bcast(row, j):
+    """Extract element j of a (1, W) node-row value as a 0-d scalar; the
+    scalar-x-vector arithmetic that follows broadcasts natively.  j must
+    be a static int (Mosaic has no dynamic value slicing, and composed
+    two-axis vector broadcasts fail to lower)."""
+    return row[0, j]
+
+
+def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
+                     cb_ref,             # (PR, 48) child boxes (VMEM)
+                     leaf_ref,           # (NG, 80) leaf rows (VMEM)
+                     out_ref,            # (1, 6*SUB, 128) results
+                     stack_scr,          # SMEM (STACK_CAP,) i32
+                     *, n_levels: int, any_hit: bool,
+                     max_visits: int, sub: int):
+    ray = ray_ref[0]
+    ox, oy, oz = ray[0:sub], ray[sub:2 * sub], ray[2 * sub:3 * sub]
+    dx, dy, dz = (ray[3 * sub:4 * sub], ray[4 * sub:5 * sub],
+                  ray[5 * sub:6 * sub])
+    t_cap = ray[6 * sub:7 * sub]
+    live = ray[7 * sub:8 * sub] > 0.0
+
+    eps = 1e-12
+    sdx = jnp.where(jnp.abs(dx) < eps, jnp.where(dx < 0, -eps, eps), dx)
+    sdy = jnp.where(jnp.abs(dy) < eps, jnp.where(dy < 0, -eps, eps), dy)
+    sdz = jnp.where(jnp.abs(dz) < eps, jnp.where(dz < 0, -eps, eps), dz)
+    idx_ = 1.0 / sdx
+    idy_ = 1.0 / sdy
+    idz_ = 1.0 / sdz
+
+    # dominant direction octant -> near-to-far child visit order
+    fx = (jnp.sum(jnp.where(live, dx, 0.0)) < 0.0).astype(jnp.int32)
+    fy = (jnp.sum(jnp.where(live, dy, 0.0)) < 0.0).astype(jnp.int32)
+    fz = (jnp.sum(jnp.where(live, dz, 0.0)) < 0.0).astype(jnp.int32)
+    flip = (fx << 2) | (fy << 1) | fz
+
+    leaf_level = n_levels - 1
+    # complete 8-ary tree: parent-row offset of level l is (8^l - 1) / 7
+    # (== bvh.level_offset[l]; closed form avoids a traced table lookup)
+
+    # seed: the root node (level 0 index 0)
+    stack_scr[0] = jnp.int32(0 << _ENC_LEVEL_BITS | 0)
+
+    neg1 = jnp.full((sub, 128), -1.0)
+    zero = jnp.zeros((sub, 128))
+
+    def cond(s):
+        sp, visits, best_t, best_tri, best_u, best_v, hitf = s
+        go = (sp > 0) & (visits < max_visits)
+        if any_hit:
+            go = go & jnp.any(live & (hitf == 0.0))
+        return go
+
+    def body(s):
+        # hit mask carried as f32 0/1: Mosaic rejects (8,128) i1 vectors
+        # as while-carries (layout mismatch on scf.yield)
+        sp, visits, best_t, best_tri, best_u, best_v, hitf = s
+        hitm = hitf > 0.0
+        entry = stack_scr[sp - 1]
+        sp = sp - 1
+        level = entry & ((1 << _ENC_LEVEL_BITS) - 1)
+        node = entry >> _ENC_LEVEL_BITS
+
+        active = live & (best_t > 0.0)
+        if any_hit:
+            active = active & ~hitm
+
+        def visit_leaf():
+            best_t2, best_tri2 = best_t, best_tri
+            best_u2, best_v2, hitm2 = best_u, best_v, hitm
+            row = leaf_ref[pl.ds(node, 1), :]              # (1, 80)
+            for j in range(LEAF_TRIS):
+                b = j * 10
+                v0x, v0y, v0z = (_bcast(row, b), _bcast(row, b + 1),
+                                 _bcast(row, b + 2))
+                e1x, e1y, e1z = (_bcast(row, b + 3), _bcast(row, b + 4),
+                                 _bcast(row, b + 5))
+                e2x, e2y, e2z = (_bcast(row, b + 6), _bcast(row, b + 7),
+                                 _bcast(row, b + 8))
+                pay = _bcast(row, b + 9)
+                # Moller-Trumbore vs the whole packet
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv_det = jnp.where(jnp.abs(det) < 1e-7, 0.0, 1.0 / det)
+                tx = ox - v0x
+                ty = oy - v0y
+                tz = oz - v0z
+                u = (tx * px + ty * py + tz * pz) * inv_det
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv_det
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                ok = ((inv_det != 0.0) & (u >= 0.0) & (v >= 0.0)
+                      & (u + v <= 1.0) & (t > 1e-7) & (t < best_t2)
+                      & (pay >= 0.0) & active)
+                best_t2 = jnp.where(ok, t, best_t2)
+                best_tri2 = jnp.where(ok, pay, best_tri2)
+                best_u2 = jnp.where(ok, u, best_u2)
+                best_v2 = jnp.where(ok, v, best_v2)
+                hitm2 = hitm2 | ok
+            return (sp, best_t2, best_tri2, best_u2, best_v2,
+                    hitm2.astype(jnp.float32))
+
+        def visit_internal():
+            lrow = ((jnp.int32(1) << (3 * level)) - 1) // 7
+            row = cb_ref[pl.ds(lrow + node, 1), :]         # (1, 48)
+            child_level = level + 1
+            # pass 1 (static unroll): slab-test all 8 children, collect a
+            # scalar hit bitmask (static lane slices only — Mosaic has no
+            # dynamic value slicing)
+            want_bits = jnp.int32(0)
+            for k in range(ARITY):
+                kb = k * 6
+                t0x = (_bcast(row, kb) - ox) * idx_
+                t1x = (_bcast(row, kb + 3) - ox) * idx_
+                t0y = (_bcast(row, kb + 1) - oy) * idy_
+                t1y = (_bcast(row, kb + 4) - oy) * idy_
+                t0z = (_bcast(row, kb + 2) - oz) * idz_
+                t1z = (_bcast(row, kb + 5) - oz) * idz_
+                tmin = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x),
+                                jnp.minimum(t0y, t1y)),
+                    jnp.maximum(jnp.minimum(t0z, t1z), 0.0))
+                tmax = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x),
+                                jnp.maximum(t0y, t1y)),
+                    jnp.minimum(jnp.maximum(t0z, t1z), best_t))
+                want = jnp.any((tmax >= tmin) & active)
+                want_bits = want_bits | (want.astype(jnp.int32) << k)
+            # pass 2 (scalar): push far-to-near by the packet's dominant
+            # octant (morton child order makes k ^ flip front-to-back),
+            # so the nearest child pops first
+            new_sp = sp
+            for jj in range(ARITY - 1, -1, -1):
+                k = jnp.int32(jj) ^ flip
+                bit = (want_bits >> k) & 1
+                child = node * ARITY + k
+                stack_scr[new_sp] = ((child << _ENC_LEVEL_BITS)
+                                     | child_level)
+                new_sp = new_sp + bit
+            return new_sp, best_t, best_tri, best_u, best_v, hitf
+
+        is_leaf = level == leaf_level
+        sp2, bt, btri, bu, bv, bh = jax.lax.cond(
+            is_leaf, visit_leaf, visit_internal)
+        return (sp2, visits + 1, bt, btri, bu, bv, bh)
+
+    init = (jnp.int32(1), jnp.int32(0), t_cap, neg1, zero, zero,
+            jnp.zeros((sub, 128)))
+    sp, visits, best_t, best_tri, best_u, best_v, hitf = (
+        jax.lax.while_loop(cond, body, init))
+
+    out_ref[0, 0:sub] = best_t
+    out_ref[0, sub:2 * sub] = best_tri
+    out_ref[0, 2 * sub:3 * sub] = best_u
+    out_ref[0, 3 * sub:4 * sub] = best_v
+    out_ref[0, 4 * sub:5 * sub] = hitf
+    out_ref[0, 5 * sub:6 * sub] = (jnp.full((sub, 128), 1.0)
+                                   * visits.astype(jnp.float32))
+
+
+def traverse_pallas(bvh: Bvh, origins, directions, t_max,
+                    any_hit: bool = False, max_visits: int | None = None,
+                    packet: int = PACKET, interpret: bool = False):
+    """Packet traversal; same contract as bvh.traverse.
+
+    Rays are packed `packet` (default 2048) per packet in order — callers
+    get the best performance when consecutive rays are coherent (image
+    tiles; probe rays grouped by direction).
+    Returns dict(hit (N,) bool, t, tri (i32), u, v, steps).
+    """
+    n = origins.shape[0]
+    sub = packet // _LANE
+    n_pad = -(-n // packet) * packet
+    p = n_pad // packet
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+
+    def comp(x, fill=0.0):
+        x = jnp.pad(x, (0, n_pad - n), constant_values=fill)
+        return x.reshape(p, sub, _LANE)
+
+    live = jnp.ones((n,), jnp.float32)
+    packed = jnp.concatenate([
+        comp(origins[:, 0]), comp(origins[:, 1]), comp(origins[:, 2]),
+        comp(directions[:, 0]), comp(directions[:, 1]),
+        comp(directions[:, 2]),
+        comp(t_max), comp(live),
+    ], axis=1)                                            # (P, 64, 128)
+
+    leaf = bvh.leaf_rows
+    cb = bvh.child_boxes
+    if max_visits is None:
+        # exact bound: every internal node + every leaf group once
+        max_visits = int(cb.shape[0]) + int(leaf.shape[0])
+
+    kernel = functools.partial(
+        _traverse_kernel, n_levels=bvh.num_levels, any_hit=any_hit,
+        max_visits=max_visits, sub=sub)
+    out = pl.pallas_call(
+        kernel,
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec((1, 8 * sub, _LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 6 * sub, _LANE), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p, 6 * sub, _LANE), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((STACK_CAP,), jnp.int32)],
+        interpret=interpret,
+    )(packed, cb, leaf)
+
+    def flat(i):
+        return out[:, i * sub:(i + 1) * sub, :].reshape(-1)[:n]
+
+    t = flat(0)
+    tri = flat(1).astype(jnp.int32)
+    hit = flat(4) > 0.0
+    return dict(hit=hit, t=jnp.where(hit, t, t_max[:n]), tri=tri,
+                u=flat(2), v=flat(3),
+                steps=flat(5).astype(jnp.int32))

@@ -137,16 +137,20 @@ def trace_probes(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
     dirs = base_dirs @ rot.T                         # (R, 3)
 
     pos = volume.probe_positions()                   # (P, 3)
-    origins = jnp.repeat(pos, r, axis=0)             # (P*R, 3)
-    d_all = jnp.tile(dirs, (p, 1))
+    # DIRECTION-major ray order: consecutive rays share a direction and
+    # have grid-adjacent origins — coherent packets for the Pallas
+    # traversal (bvh_pallas.py docstring)
+    origins = jnp.tile(pos, (r, 1))                  # (R*P, 3)
+    d_all = jnp.repeat(dirs, p, axis=0)
 
-    res = bvh_mod.traverse(bvh, origins, d_all, t_max=1e4,
-                           max_steps=max_steps)
+    from toyrenderer_tpu.ops.bvh_pallas import traverse_auto
+    res = traverse_auto(bvh, origins, d_all, t_max=1e4,
+                        max_steps=max_steps)
     hit = res['hit']
     tri = jnp.maximum(res['tri'], 0)
     t = res['t']
 
-    rec = shade_rec[tri]                             # (P*R, 9)
+    rec = shade_rec[tri]                             # (R*P, 9)
     n_w = rec[:, 0:3]
     albedo = rec[:, 3:6]
     emissive = rec[:, 6:9]
@@ -156,10 +160,9 @@ def trace_probes(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
     hit_pos = origins + d_all * t[:, None]
 
     # direct sun with a shadow ray from the hit point
-    sh = bvh_mod.traverse(bvh, hit_pos + n_w * 1e-2,
-                          jnp.broadcast_to(sun_dir_to_light,
-                                           hit_pos.shape),
-                          t_max=1e4, max_steps=max_steps, any_hit=True)
+    sh = traverse_auto(bvh, hit_pos + n_w * 1e-2,
+                       jnp.broadcast_to(sun_dir_to_light, hit_pos.shape),
+                       t_max=1e4, max_steps=max_steps, any_hit=True)
     ndotl = jnp.maximum(jnp.sum(n_w * sun_dir_to_light, -1), 0.0)
     direct = (albedo / jnp.pi) * (ndotl * (1.0 - sh['hit'].astype(
         jnp.float32)))[:, None] * (sun_color * sun_intensity)
@@ -170,7 +173,10 @@ def trace_probes(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
     radiance = jnp.where(hit[:, None], direct + emissive + bounce,
                          sky_fn(d_all))
     dist = jnp.where(hit, t, 1e4)
-    return (radiance.reshape(p, r, 3), dist.reshape(p, r), dirs)
+    # back to probe-major (P, R, ...) from direction-major (R, P, ...)
+    radiance = radiance.reshape(r, p, 3).transpose(1, 0, 2)
+    dist = dist.reshape(r, p).T
+    return (radiance, dist, dirs)
 
 
 def update_probes(volume: DdgiVolume, carry_probes: dict, radiance, dist,
@@ -365,11 +371,14 @@ def trace_probe_block(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
 
     pos_all = volume.probe_positions()
     pos = jax.lax.dynamic_slice(pos_all, (start, 0), (pb, 3))
-    origins = jnp.repeat(pos, r, axis=0)
-    d_all = jnp.tile(dirs, (pb, 1))
+    # direction-major order for coherent traversal packets (see
+    # trace_probes)
+    origins = jnp.tile(pos, (r, 1))                  # (R*Pb, 3)
+    d_all = jnp.repeat(dirs, pb, axis=0)
 
-    res = bvh_mod.traverse(bvh, origins, d_all, t_max=1e4,
-                           max_steps=max_steps)
+    from toyrenderer_tpu.ops.bvh_pallas import traverse_auto
+    res = traverse_auto(bvh, origins, d_all, t_max=1e4,
+                        max_steps=max_steps)
     hit = res['hit']
     tri = jnp.maximum(res['tri'], 0)
     t = res['t']
@@ -380,10 +389,9 @@ def trace_probe_block(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
     n_w = jnp.where(jnp.sum(n_w * d_all, -1, keepdims=True) > 0,
                     -n_w, n_w)
     hit_pos = origins + d_all * t[:, None]
-    sh = bvh_mod.traverse(bvh, hit_pos + n_w * 1e-2,
-                          jnp.broadcast_to(sun_dir_to_light,
-                                           hit_pos.shape),
-                          t_max=1e4, max_steps=max_steps, any_hit=True)
+    sh = traverse_auto(bvh, hit_pos + n_w * 1e-2,
+                       jnp.broadcast_to(sun_dir_to_light, hit_pos.shape),
+                       t_max=1e4, max_steps=max_steps, any_hit=True)
     ndotl = jnp.maximum(jnp.sum(n_w * sun_dir_to_light, -1), 0.0)
     direct = (albedo / jnp.pi) * (ndotl * (1.0 - sh['hit'].astype(
         jnp.float32)))[:, None] * (sun_color * sun_intensity)
@@ -392,7 +400,9 @@ def trace_probe_block(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
     radiance = jnp.where(hit[:, None], direct + emissive + bounce,
                          sky_fn(d_all))
     dist = jnp.where(hit, t, 1e4)
-    return (radiance.reshape(pb, r, 3), dist.reshape(pb, r), dirs, start)
+    radiance = radiance.reshape(r, pb, 3).transpose(1, 0, 2)
+    dist = dist.reshape(r, pb).T
+    return (radiance, dist, dirs, start)
 
 
 def update_probe_block(volume: DdgiVolume, carry_probes: dict, radiance,

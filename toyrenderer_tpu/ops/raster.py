@@ -58,6 +58,13 @@ class RasterConfig:
     bin_slots_x: int = 2
     max_big_tris: int = 256          # B: full-screen-tested triangle budget
     tile_batch: int = 32             # TB: tiles processed per map step
+    pair_capacity: int | None = None  # global (tile, tri) pair budget for
+    #                                   the streaming fill; None = T (the
+    #                                   triangle count), clamped to tiles*K
+
+    def resolve_pair_capacity(self, t: int) -> int:
+        cap = self.pair_capacity if self.pair_capacity else t
+        return max(min(cap, self.num_tiles * self.max_tris_per_tile), 256)
 
     @property
     def tiles_x(self) -> int:
@@ -184,13 +191,12 @@ def _coverage_depth(setup, ids, pxn, pyn):
     return inside, depth
 
 
-def bin_triangles(setup: dict, cfg: RasterConfig):
-    """Build the per-tile triangle table + the big-triangle list.
+def _sort_pairs(setup: dict, cfg: RasterConfig):
+    """Shared binning core: expand small triangles to (tile, tri) pairs,
+    sort by tile, and compact big triangles.
 
-    Returns:
-      tile_table: (num_tiles, K) i32 triangle ids, -1 padded
-      tile_count: (num_tiles,) i32
-      big_list:   (B,) i32 triangle ids, -1 padded
+    Returns (vals_s sorted tri ids (T*S,), offs (num_tiles+1,),
+             counts (num_tiles,) i32 UNclamped, big_list (B,) i32).
     """
     t = setup['valid'].shape[0]
     tx0, tx1 = setup['tx0'], setup['tx1']
@@ -229,12 +235,6 @@ def bin_triangles(setup: dict, cfg: RasterConfig):
     offs = jnp.searchsorted(keys_s, tile_range, side='left')
     counts = (offs[1:] - offs[:-1]).astype(jnp.int32)
 
-    k_ = jnp.arange(cfg.max_tris_per_tile, dtype=jnp.int32)
-    gather_idx = offs[:-1, None] + k_[None, :]          # (tiles, K)
-    in_list = k_[None, :] < counts[:, None]
-    gather_idx = jnp.clip(gather_idx, 0, keys_s.shape[0] - 1)
-    tile_table = jnp.where(in_list, vals_s[gather_idx], -1)
-
     # --- big triangles: compact into fixed B slots -------------------------
     big_rank = jnp.cumsum(is_big.astype(jnp.int32)) - 1
     b = cfg.max_big_tris
@@ -245,7 +245,38 @@ def bin_triangles(setup: dict, cfg: RasterConfig):
     num_big = jnp.sum(is_big.astype(jnp.int32))
     big_list = jnp.where(jnp.arange(b) < jnp.minimum(num_big, b),
                          big_list, -1)
+    return vals_s, offs, counts, big_list
+
+
+def bin_triangles(setup: dict, cfg: RasterConfig):
+    """Build the per-tile triangle table + the big-triangle list.
+
+    Returns:
+      tile_table: (num_tiles, K) i32 triangle ids, -1 padded
+      tile_count: (num_tiles,) i32
+      big_list:   (B,) i32 triangle ids, -1 padded
+    """
+    vals_s, offs, counts, big_list = _sort_pairs(setup, cfg)
+    k_ = jnp.arange(cfg.max_tris_per_tile, dtype=jnp.int32)
+    gather_idx = offs[:-1, None] + k_[None, :]          # (tiles, K)
+    in_list = k_[None, :] < counts[:, None]
+    gather_idx = jnp.clip(gather_idx, 0, vals_s.shape[0] - 1)
+    tile_table = jnp.where(in_list, vals_s[gather_idx], -1)
     return tile_table, jnp.minimum(counts, cfg.max_tris_per_tile), big_list
+
+
+def bin_pairs_stream(setup: dict, cfg: RasterConfig):
+    """Streaming bins for the chunk-grid Pallas fill: no (tiles, K) table.
+
+    Returns dict with
+      vals_s (T*S,) sorted tri ids, offs (num_tiles+1,),
+      counts (num_tiles,) clamped to K, big_list (B,).
+    The fused fill consumes these via `fill_resolve_stream`.
+    """
+    vals_s, offs, counts, big_list = _sort_pairs(setup, cfg)
+    return dict(vals_s=vals_s, offs=offs,
+                counts=jnp.minimum(counts, cfg.max_tris_per_tile),
+                big_list=big_list)
 
 
 def fill_visibility(setup: dict, tile_table, big_list, cfg: RasterConfig,

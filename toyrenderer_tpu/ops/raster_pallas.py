@@ -385,6 +385,253 @@ def fill_resolve_pallas(setup: dict, resolve_records, tile_table,
     return _tiles_to_image(z, cfg), _tiles_to_image(tid, cfg), rec_tiles
 
 
+# ---------------------------------------------------------------------------
+# Streamed fill + resolve: chunk grid over REAL binned pairs
+# ---------------------------------------------------------------------------
+#
+# The fused kernel above still streams a DENSE (tiles, K, 16+R) table — at
+# 1080p that is ~520k slots for ~30k real (tile, tri) pairs (measured on the
+# bench scene), and the XLA-side gathers that build it cost ~16 ms/frame.
+# This variant bins to a SORTED pair stream instead (raster.bin_pairs_stream)
+# and lets the Pallas grid walk chunk-aligned slices of it:
+#
+#   grid step j  =  one chunk of CHUNK_S pair records of tile chunk_tile[j]
+#
+# Output blocks are indexed by the scalar-prefetched chunk_tile, so a tile's
+# depth/id/record state stays resident in VMEM across its consecutive
+# chunks (the Pallas revisiting pipeline) and is flushed exactly once.  The
+# per-tile record list is accumulated into a VMEM scratch so the one-hot
+# MXU resolve fetch runs on the last chunk.  Cost is proportional to REAL
+# binned work + one mandatory chunk per tile — the GPU-driven-indirect
+# contract (BasePassRenderers.cpp:497-502) with tighter constants.
+
+CHUNK_S = 32
+
+
+def _fill_resolve_stream_kernel(
+        chunk_tile_ref,      # prefetch (CH,) i32: tile of each chunk
+        chunk_base_ref,      # prefetch (tiles,) i32: first chunk of tile
+        tcount_ref,          # prefetch (tiles, 2) i32: [pair count, big count]
+        comb_ref,            # (1, C, 16+R) streamed pair records
+        bigcomb_ref,         # (B, 16+R) big-triangle records (resident)
+        init_z_ref,          # (1, TH, TW) f32 (indexed by tile)
+        init_id_ref,         # (1, TH, TW) i32
+        init_rec_ref,        # (1, TH, R, TW) f32
+        z_out, id_out,       # (1, TH, TW)
+        rec_out,             # (1, TH, R, TW) f32
+        slot_scr,            # VMEM (TH, TW) i32
+        rec_scr,             # VMEM (K, R) f32
+        *, cfg: RasterConfig, emit_base: int, rec_width: int):
+    j = pl.program_id(0)
+    n_ch = pl.num_programs(0)
+    tile = chunk_tile_ref[j]
+    first = jnp.logical_or(
+        j == 0, chunk_tile_ref[jnp.maximum(j - 1, 0)] != tile)
+    last = jnp.logical_or(
+        j == n_ch - 1, chunk_tile_ref[jnp.minimum(j + 1, n_ch - 1)] != tile)
+    c = CHUNK_S
+    slot_base = (j - chunk_base_ref[tile]) * c
+    count = tcount_ref[tile, 0]
+    big_count = tcount_ref[tile, 1]
+
+    th, tw = cfg.tile_h, cfg.tile_w
+    k_cap = cfg.max_tris_per_tile
+    b_cap = cfg.max_big_tris
+    ty = tile // cfg.tiles_x
+    tx = tile % cfg.tiles_x
+    colf = jax.lax.broadcasted_iota(
+        jnp.int32, (th, tw), 1).astype(jnp.float32) + 0.5
+    rowf = jax.lax.broadcasted_iota(
+        jnp.int32, (th, tw), 0).astype(jnp.float32) + 0.5
+    pxn = (tx.astype(jnp.float32) * tw + colf) * (1.0 / cfg.width)
+    pyn = (ty.astype(jnp.float32) * th + rowf) * (1.0 / cfg.height)
+
+    @pl.when(first)
+    def _():
+        z_out[...] = init_z_ref[...]
+        id_out[...] = init_id_ref[...]
+        slot_scr[...] = jnp.full((th, tw), -1, jnp.int32)
+        # the one-hot fetch contracts EVERY scratch row (x 0 for losers);
+        # stale inf/NaN rows would poison the sum
+        rec_scr[...] = jnp.zeros((k_cap, rec_width), jnp.float32)
+
+    def raster_rows(rec, base, limit, slot_origin, best):
+        best_z, best_id, best_slot = best
+        for r in range(c):
+            e = rec[r]
+            l0 = e[0] * pxn + e[1] * pyn + e[2]
+            l1 = e[3] * pxn + e[4] * pyn + e[5]
+            l2 = e[6] * pxn + e[7] * pyn + e[8]
+            num = l0 * e[9] + l1 * e[10] + l2 * e[11]
+            den = l0 * e[12] + l1 * e[13] + l2 * e[14]
+            inside = ((l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)
+                      & (den > 0.0))
+            depth = jnp.where(
+                inside, num / jnp.where(den == 0.0, 1.0, den), -1.0)
+            upd = (depth > best_z) & (base + r < limit)
+            best_z = jnp.where(upd, depth, best_z)
+            best_id = jnp.where(
+                upd, e[15].astype(jnp.int32) + emit_base, best_id)
+            best_slot = jnp.where(upd, slot_origin + base + r, best_slot)
+        return best_z, best_id, best_slot
+
+    best = (z_out[0], id_out[0], slot_scr[...])
+    best = raster_rows(comb_ref[0, :, :16], slot_base, count, 0, best)
+    z_out[0], id_out[0], slot_scr[...] = best
+
+    # stash this chunk's resolve records for the epilogue's one-hot fetch
+    # (padding chunks past K are masked by `count` and must not clobber)
+    @pl.when(slot_base < k_cap)
+    def _():
+        rec_scr[pl.ds(slot_base, c), :] = comb_ref[0, :, 16:]
+
+    @pl.when(last)
+    def _():
+        # big triangles: every tile tests the resident list
+        def big_body(ci, best):
+            base = pl.multiple_of(ci * c, c)
+            return raster_rows(bigcomb_ref[pl.ds(base, c), :16], base,
+                               big_count, k_cap, best)
+        best2 = (z_out[0], id_out[0], slot_scr[...])
+        best2 = jax.lax.fori_loop(0, (big_count + c - 1) // c, big_body,
+                                  best2)
+        z_out[0], id_out[0], slot_scr[...] = best2
+
+        # one-hot MXU record fetch (see _fill_resolve_kernel)
+        res_big = bigcomb_ref[:, 16:]
+        dn = (((0,), (0,)), ((), ()))
+        iota_k = jax.lax.broadcasted_iota(jnp.int32, (k_cap, tw), 0)
+        iota_b = jax.lax.broadcasted_iota(jnp.int32, (b_cap, tw), 0)
+        for r in range(th):
+            srow = slot_scr[r:r + 1, :]
+            oh_k = (iota_k == srow).astype(jnp.float32)
+            oh_b = (iota_b == (srow - k_cap)).astype(jnp.float32)
+            fetched = (jax.lax.dot_general(
+                           rec_scr[...], oh_k, dn,
+                           preferred_element_type=jnp.float32)
+                       + jax.lax.dot_general(
+                           res_big, oh_b, dn,
+                           preferred_element_type=jnp.float32))
+            keep = srow < 0
+            rec_out[0, r] = jnp.where(keep, init_rec_ref[0, r], fetched)
+
+
+def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
+                        cfg: RasterConfig, init_depth=None,
+                        init_tri_id=None, init_rec=None,
+                        emit_base: int = 0, tiles_io: bool = False,
+                        interpret: bool = False):
+    """Streamed fused fill: bins from raster.bin_pairs_stream.
+
+    Same contract as fill_resolve_pallas; cost scales with real binned
+    pairs instead of tiles x K capacity.
+    """
+    r = resolve_records.shape[1]
+    comb = jnp.concatenate([pack_tri_records(setup), resolve_records], 1)
+    t = comb.shape[0]
+    c = CHUNK_S
+    n_tiles = cfg.num_tiles
+    k_cap = cfg.max_tris_per_tile
+    assert k_cap % c == 0, "max_tris_per_tile must be a CHUNK_S multiple"
+    p_cap = cfg.resolve_pair_capacity(t)
+    ch_cap = -(-p_cap // c) + n_tiles
+
+    counts = bins['counts']                        # (tiles,) <= K
+    offs = bins['offs'][:-1].astype(jnp.int32)     # (tiles,)
+    vals_s = bins['vals_s']
+    big_list = bins['big_list']
+
+    # chunk allotment: 1 mandatory chunk per tile + extras from the global
+    # pair budget (overflow drops pairs, bounded-amplification semantics)
+    n_extra = -(-counts // c) - jnp.where(counts > 0, 1, 0)
+    n_extra = jnp.maximum(n_extra, 0)
+    extra_budget = ch_cap - n_tiles
+    extra_before = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(n_extra)])[:-1]
+    extra_allowed = jnp.clip(extra_budget - extra_before, 0, n_extra)
+    n_chunks = 1 + extra_allowed                   # (tiles,) >= 1
+    counts_eff = jnp.minimum(counts, n_chunks * c)
+    chunk_base = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(n_chunks)]).astype(jnp.int32)  # (tiles+1,)
+    total_chunks = chunk_base[-1]
+
+    # per-chunk tile table (padding chunks replay the last tile, which is
+    # idempotent: their rows are masked by counts_eff)
+    jj = jnp.arange(ch_cap, dtype=jnp.int32)
+    chunk_tile = jnp.searchsorted(chunk_base, jj, side='right') - 1
+    chunk_tile = jnp.where(jj < total_chunks, chunk_tile,
+                           n_tiles - 1).astype(jnp.int32)
+
+    # chunk-aligned pair records: two gathers over the static pair budget
+    pp = jnp.arange(ch_cap * c, dtype=jnp.int32)
+    p_tile = chunk_tile[pp // c]
+    local = pp - chunk_base[p_tile] * c
+    valid = local < counts_eff[p_tile]
+    src = jnp.clip(offs[p_tile] + local, 0, vals_s.shape[0] - 1)
+    rows = jnp.clip(vals_s[jnp.where(valid, src, 0)], 0, t - 1)
+    comb_padded = comb[rows].reshape(ch_cap, c, REC + r)
+
+    big_safe = jnp.maximum(big_list, 0)
+    big_comb = comb[big_safe]
+    big_count = jnp.sum((big_list >= 0).astype(jnp.int32))
+    tcounts = jnp.stack(
+        [counts_eff, jnp.broadcast_to(big_count, counts_eff.shape)], 1)
+
+    th, tw = cfg.tile_h, cfg.tile_w
+    if init_depth is None:
+        init_z = jnp.zeros((n_tiles, th, tw), jnp.float32)
+        init_id = jnp.full((n_tiles, th, tw), -1, jnp.int32)
+    elif tiles_io:
+        init_z, init_id = init_depth, init_tri_id
+    else:
+        init_z = _image_to_tiles(init_depth, cfg)
+        init_id = _image_to_tiles(init_tri_id, cfg)
+    if init_rec is None:
+        init_rec = jnp.zeros((n_tiles, th, r, tw), jnp.float32)
+
+    by_tile = lambda j, ct, cb, tc: (ct[j], 0, 0)       # noqa: E731
+    by_tile4 = lambda j, ct, cb, tc: (ct[j], 0, 0, 0)   # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(ch_cap,),
+        in_specs=[
+            pl.BlockSpec((1, c, REC + r), lambda j, ct, cb, tc: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cfg.max_big_tris, REC + r),
+                         lambda j, ct, cb, tc: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw), by_tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw), by_tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, r, tw), by_tile4,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, th, tw), by_tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw), by_tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, r, tw), by_tile4,
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((th, tw), jnp.int32),
+                        pltpu.VMEM((k_cap, r), jnp.float32)],
+    )
+    z, tid, rec_tiles = pl.pallas_call(
+        functools.partial(_fill_resolve_stream_kernel, cfg=cfg,
+                          emit_base=emit_base, rec_width=r),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, th, tw), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, th, tw), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, th, r, tw), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(chunk_tile, chunk_base[:-1], tcounts,
+      comb_padded, big_comb, init_z, init_id, init_rec)
+    if tiles_io:
+        return z, tid, rec_tiles
+    return _tiles_to_image(z, cfg), _tiles_to_image(tid, cfg), rec_tiles
+
+
 def rec_tiles_to_image(rec_tiles, cfg: RasterConfig):
     """(tiles, TH, R, TW) -> (H, W, R)."""
     th, tw = cfg.tile_h, cfg.tile_w

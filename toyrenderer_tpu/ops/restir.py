@@ -156,7 +156,8 @@ def restir_di(scene_bvh, lights, world_pos, normal, albedo, hit_mask,
     # surface itself never registers as an occluder
     od = lpos - origin
     odist = jnp.maximum(jnp.linalg.norm(od, axis=-1), 1e-4)
-    sh = bvh_mod.traverse(
+    from toyrenderer_tpu.ops.bvh_pallas import traverse_auto
+    sh = traverse_auto(
         scene_bvh, origin.reshape(-1, 3),
         wi.reshape(-1, 3),
         t_max=(odist * 0.99 - 1e-3).reshape(-1),

@@ -75,11 +75,27 @@ def trace_shadow_mask(bvh, world_pos, normal, hit_mask, sun_dir_to_light,
                        r1, r2, half_angle)
     origins = world_pos + normal * normal_bias
 
-    flat_o = origins.reshape(-1, 3)
-    flat_d = dirs.reshape(-1, 3)
-    res = bvh_mod.traverse(bvh, flat_o, flat_d, t_max=t_max,
-                           max_steps=max_steps, any_hit=True)
-    lit = 1.0 - res['hit'].astype(jnp.float32).reshape(h, w)
+    # order rays in 64x64 pixel blocks (= one 4096-ray traversal packet):
+    # a packet then covers a compact screen footprint (coherent origins)
+    # instead of a scanline
+    blk = 64
+    hp = -(-h // blk) * blk
+    wp = -(-w // blk) * blk
+
+    def to_blocks(img):
+        x = jnp.pad(img, ((0, hp - h), (0, wp - w)) + ((0, 0),) *
+                    (img.ndim - 2))
+        x = x.reshape(hp // blk, blk, wp // blk, blk, *img.shape[2:])
+        return x.swapaxes(1, 2).reshape(-1, *img.shape[2:])
+
+    def from_blocks(v):
+        x = v.reshape(hp // blk, wp // blk, blk, blk)
+        return x.swapaxes(1, 2).reshape(hp, wp)[:h, :w]
+
+    from toyrenderer_tpu.ops.bvh_pallas import traverse_auto
+    res = traverse_auto(bvh, to_blocks(origins), to_blocks(dirs),
+                        t_max=t_max, max_steps=max_steps, any_hit=True)
+    lit = 1.0 - from_blocks(res['hit'].astype(jnp.float32))
     # facing away from the sun is its own shadow; sky stays lit
     ndotl = jnp.sum(normal * sun_dir_to_light, -1)
     lit = jnp.where(ndotl <= 0.0, 0.0, lit)
