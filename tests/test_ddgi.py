@@ -185,7 +185,7 @@ def test_block_alignment_indivisible_phases():
     suncol = jnp.asarray([1.0, 1.0, 1.0])
 
     for f in range(num_phases):
-        rad, dist, dirs, start = D.trace_probe_block(
+        rad, dist, dirs, start, _lc = D.trace_probe_block(
             v, bvh, rec, probes['ddgi_irradiance'], sun, suncol,
             jnp.asarray(0.0), jnp.asarray(f), sky, num_phases,
             max_steps=16)
@@ -197,3 +197,70 @@ def test_block_alignment_indivisible_phases():
     # probe 2 (closest) must see the most energy, probe 0 the least.
     assert irr[2] > irr[1] >= irr[0] * 0.999
     assert irr[2] > irr[0] * 1.5
+
+
+def test_probe_lifecycle_relocation_classification_variability():
+    """Lifecycle parity (GIRenderer.cpp:450-577,158-190): a probe inside
+    geometry relocates out; probes with no nearby geometry deactivate;
+    the variability scalar decays as the field converges."""
+    from toyrenderer_tpu.ops import bvh as B
+
+    # closed axis-aligned box [-1,1]^3 made of 12 triangles, normals OUT.
+    faces = []
+    def quad(a, b, c, d):
+        faces.append((a, b, c))
+        faces.append((a, c, d))
+    p = {}
+    for i, (x, y, z) in enumerate([(x, y, z) for x in (-1, 1)
+                                   for y in (-1, 1) for z in (-1, 1)]):
+        p[i] = np.asarray([x, y, z], np.float32)
+    quad(p[1], p[5], p[7], p[3])   # +z
+    quad(p[4], p[0], p[2], p[6])   # -z
+    quad(p[5], p[4], p[6], p[7])   # +x
+    quad(p[0], p[1], p[3], p[2])   # -x
+    quad(p[3], p[7], p[6], p[2])   # +y
+    quad(p[0], p[4], p[5], p[1])   # -y
+    tris = np.asarray(faces, np.float32)
+    v0, v1, v2 = (jnp.asarray(tris[:, k]) for k in range(3))
+    bvh = B.build_bvh(v0, v1, v2, jnp.ones((len(tris),), bool))
+    nrm = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    rec = jnp.asarray(np.concatenate(
+        [nrm, np.full((len(tris), 3), 0.5), np.zeros((len(tris), 3))], 1))
+
+    # probes: one INSIDE the box (sees only backfaces... normals point out
+    # -> from inside, rays hit faces whose normal agrees with ray dir =
+    # backfaces), one just OUTSIDE near a wall (frontfaces), one FAR away
+    v = D.DdgiVolume(origin=(0.0, 0.0, 0.0), spacing=(1.4, 1.0, 1.0),
+                     counts=(3, 1, 1), rays_per_probe=64)
+    # positions: x = 0 (inside), 1.4 (just outside +x wall), 2.8 (near)
+    # ... far probe needs to exceed 2.5*|spacing|: use big spacing
+    v = D.DdgiVolume(origin=(0.0, 0.0, 0.0), spacing=(14.0, 1.0, 1.0),
+                     counts=(3, 1, 1), rays_per_probe=64)
+    probes = D.init_probes(v)
+    sky = lambda dd: jnp.full((dd.shape[0], 3), 0.2)
+    sun = jnp.asarray([0.0, 1.0, 0.0])
+    var = []
+    for f in range(8):
+        rad, dist, dirs, start, lc = D.trace_probe_block(
+            v, bvh, rec, probes['ddgi_irradiance'], sun, jnp.ones(3),
+            jnp.asarray(1.0), jnp.asarray(f), sky, 1, max_steps=32,
+            probe_offset=probes['ddgi_offset'],
+            probe_state=probes['ddgi_state'])
+        probes = D.update_probe_block(
+            v, probes, rad, dist, dirs, start,
+            first_frame=jnp.asarray(f == 0), lifecycle=lc)
+        var.append(float(probes['ddgi_variability']))
+
+    off = np.asarray(probes['ddgi_offset'])
+    state = np.asarray(probes['ddgi_state'])
+    # probe 0 (inside the box) relocated; the box is only 1 unit from its
+    # center so the offset is nonzero toward an exit
+    assert np.linalg.norm(off[0]) > 0.2
+    # probe 1 at x=14 and probe 2 at x=28: far from the 2-unit box ->
+    # classified inactive; probe 0 stays active (inside/nearby)
+    assert state[0] == 1.0
+    assert state[1] == 0.0 and state[2] == 0.0
+    # variability decays as the constant-sky field converges
+    assert var[-1] < var[1] * 0.7
+    assert np.isfinite(var).all()

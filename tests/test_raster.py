@@ -192,7 +192,7 @@ def test_fill_resolve_stream_matches_xla_fill():
                          max_big_tris=64)
     setup = R.setup_triangles(geo, cfg)
     records = pack_resolve_records(
-        setup, d, inst_adj, inst_world,
+        setup, d, inst_world, inst_adj, inst_world,
         jnp.asarray(mats['prev_view_proj_nojitter']))
 
     table, counts, big = R.bin_triangles(setup, cfg)

@@ -21,6 +21,7 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from toyrenderer_tpu.ops import bloom as bloom_mod
 from toyrenderer_tpu.ops import bvh as bvh_mod
@@ -88,6 +89,7 @@ class RenderSettings:
     use_pallas_fill: bool | None = None   # None = auto (TPU yes, CPU no)
     # lighting / post
     manual_exposure: float = 1.0
+    sky_model: str = 'hosek'              # 'hosek' | 'preetham'
     sky_turbidity: float = 2.5
     ambient_factor: float = 0.03
     bloom_mips: int = 6
@@ -141,8 +143,9 @@ def init_carry(scene, settings: RenderSettings, ddgi_volume=None
     return carry
 
 
-def _raster_with_records(scene, geo, cfg, use_pallas, inst_adj,
-                         prev_inst_world, prev_vp, init_depth=None,
+def _raster_with_records(scene, geo, cfg, use_pallas, inst_world,
+                         inst_adj, prev_inst_world, prev_vp,
+                         init_depth=None,
                          init_tri_id=None, init_rec=None,
                          emit_base: int = 0, tiles_io: bool = False):
     """setup + bin + fill, producing per-pixel resolve records.
@@ -153,7 +156,7 @@ def _raster_with_records(scene, geo, cfg, use_pallas, inst_adj,
     (T, R) array (CPU resolve gathers it), rec_tiles the fused output.
     """
     setup = raster_mod.setup_triangles(geo, cfg)
-    records = pack_resolve_records(setup, scene, inst_adj,
+    records = pack_resolve_records(setup, scene, inst_world, inst_adj,
                                    prev_inst_world, prev_vp)
     if use_pallas:
         from toyrenderer_tpu.ops.raster_pallas import fill_resolve_stream
@@ -162,12 +165,25 @@ def _raster_with_records(scene, geo, cfg, use_pallas, inst_adj,
             setup, records, bins, cfg,
             init_depth=init_depth, init_tri_id=init_tri_id,
             init_rec=init_rec, emit_base=emit_base, tiles_io=tiles_io)
-        return setup, records, depth, tid, rec_tiles
+        stats = _raster_stats(setup, bins)
+        return setup, records, depth, tid, rec_tiles, stats
     table, counts, big = raster_mod.bin_triangles(setup, cfg)
     depth, tid = raster_mod.fill_visibility(
         setup, table, big, cfg, init_depth=init_depth,
         init_tri_id=init_tri_id, emit_base=emit_base)
-    return setup, records, depth, tid, None
+    stats = _raster_stats(
+        setup, dict(counts=counts, big_list=big))
+    return setup, records, depth, tid, None, stats
+
+
+def _raster_stats(setup, bins):
+    """Pipeline-statistics counters per base-pass set (the reference
+    surfaces AS/MS/PS invocation counts, BasePassRenderers.cpp:178-221):
+    setup-surviving triangles, binned (tile, tri) pairs, big triangles."""
+    return dict(
+        tris=jnp.sum(setup['valid'].astype(jnp.int32)),
+        binned_pairs=jnp.sum(bins['counts']),
+        big_tris=jnp.sum((bins['big_list'] >= 0).astype(jnp.int32)))
 
 
 def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
@@ -213,18 +229,22 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         if settings.use_bruteforce_raster:
             setup, depth, tri_id = raster_mod.rasterize_bruteforce(geo, cfg)
             records = pack_resolve_records(
-                setup, scene, inst_adj, prev_inst_world, prev_vp)
-        else:
-            _, recs_t, depth, tri_id, rec_tiles = _raster_with_records(
-                scene, geo, cfg, use_pallas, inst_adj, prev_inst_world,
+                setup, scene, inst_world, inst_adj, prev_inst_world,
                 prev_vp)
+        else:
+            (_, recs_t, depth, tri_id, rec_tiles,
+             rstats) = _raster_with_records(
+                scene, geo, cfg, use_pallas, inst_world, inst_adj,
+                prev_inst_world, prev_vp)
             if rec_tiles is not None:
                 from toyrenderer_tpu.ops.raster_pallas import (
                     rec_tiles_to_image)
                 records = rec_tiles_to_image(rec_tiles, cfg)
             else:
                 records = recs_t
-        cull_aux, new_hzb = {}, None
+        cull_aux = {} if settings.use_bruteforce_raster else dict(
+            **{f'raster_{k}': v for k, v in rstats.items()})
+        new_hzb = None
 
     atlas = None
     if settings.enable_textures and scene.num_textures > 0:
@@ -245,9 +265,9 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         geo_m = geo_mod.meshlet_clip_triangles(
             scene, inst_world, frame_inputs['view_proj'],
             mask_pair_inst, mask_pair_meshlet)
-        _, recs_m, depth_m, tid_m, rtiles_m = _raster_with_records(
-            scene, geo_m, cfg, use_pallas, inst_adj, prev_inst_world,
-            prev_vp)
+        _, recs_m, depth_m, tid_m, rtiles_m, _ = _raster_with_records(
+            scene, geo_m, cfg, use_pallas, inst_world, inst_adj,
+            prev_inst_world, prev_vp)
         if rtiles_m is not None:
             from toyrenderer_tpu.ops.raster_pallas import (
                 rec_tiles_to_image)
@@ -267,6 +287,19 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         gb['depth'] = depth
         tri_id = jnp.where(passes, tid_m, tri_id)   # ids index the MASKED
         # setup for those pixels; aux-only (shading reads the gbuffer)
+
+    # -- Sky radiance closure (Hosek-Wilkie default, SkyRenderer.cpp
+    #    parity; Preetham fallback) — shared by deferred lighting, DDGI
+    #    probe misses and forward transparency ------------------------------
+    to_light_sky = -frame_inputs['sun_direction']
+    if settings.sky_model == 'hosek' and 'sky_params' in frame_inputs:
+        sky_fn = lambda d: sky_mod.sky_radiance_hosek(  # noqa: E731
+            d, to_light_sky, frame_inputs['sky_params'],
+            sun_intensity=frame_inputs['sun_intensity'])
+    else:
+        sky_fn = lambda d: sky_mod.sky_radiance(  # noqa: E731
+            d, to_light_sky, turbidity=settings.sky_turbidity,
+            sun_intensity=frame_inputs['sun_intensity'])
 
     # -- RT acceleration structure (shared by shadows + DDGI) -------------------
     # the RT scene uses the FULL pair list — off-screen geometry still
@@ -327,32 +360,27 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         shade_rec = ddgi_mod.build_shade_records(
             scene, pair_inst, pair_meshlet, tv0, tv1, tv2)
         to_light = -frame_inputs['sun_direction']
-        sky_fn = lambda d: sky_mod.sky_radiance(  # noqa: E731
-            d, to_light, turbidity=settings.sky_turbidity,
-            sun_intensity=frame_inputs['sun_intensity'])
-        if settings.gi_update_phases > 1:
-            radiance, ray_dist, ray_dirs, blk = ddgi_mod.trace_probe_block(
-                ddgi_volume, bvh, shade_rec, carry['ddgi_irradiance'],
-                to_light, frame_inputs['sun_color'],
-                frame_inputs['sun_intensity'], carry['frame_index'],
-                sky_fn, settings.gi_update_phases,
-                max_steps=settings.gi_max_steps)
-            gi_carry = ddgi_mod.update_probe_block(
-                ddgi_volume, carry, radiance, ray_dist, ray_dirs, blk,
-                first_frame=(carry['frame_index']
-                             < settings.gi_update_phases))
-        else:
-            radiance, ray_dist, ray_dirs = ddgi_mod.trace_probes(
-                ddgi_volume, bvh, shade_rec, carry['ddgi_irradiance'],
-                to_light, frame_inputs['sun_color'],
-                frame_inputs['sun_intensity'], carry['frame_index'],
-                sky_fn, max_steps=settings.gi_max_steps)
-            gi_carry = ddgi_mod.update_probes(
-                ddgi_volume, carry, radiance, ray_dist, ray_dirs,
-                first_frame=carry['frame_index'] == 0)
+        # block-phased trace with the full probe lifecycle: relocation,
+        # classification (inactive probes are ray-masked to zero cost) and
+        # variability convergence (GIRenderer.cpp:450-577, 158-190)
+        (radiance, ray_dist, ray_dirs, blk,
+         lifecycle) = ddgi_mod.trace_probe_block(
+            ddgi_volume, bvh, shade_rec, carry['ddgi_irradiance'],
+            to_light, frame_inputs['sun_color'],
+            frame_inputs['sun_intensity'], carry['frame_index'],
+            sky_fn, settings.gi_update_phases,
+            max_steps=settings.gi_max_steps,
+            probe_offset=carry['ddgi_offset'],
+            probe_state=carry['ddgi_state'])
+        gi_carry = ddgi_mod.update_probe_block(
+            ddgi_volume, carry, radiance, ray_dist, ray_dirs, blk,
+            first_frame=(carry['frame_index']
+                         < settings.gi_update_phases),
+            lifecycle=lifecycle)
         gi_irradiance = ddgi_mod.sample_irradiance_visibility(
             ddgi_volume, gi_carry['ddgi_irradiance'],
-            gi_carry['ddgi_distance'], wp, m_gb['normal'])
+            gi_carry['ddgi_distance'], wp, m_gb['normal'],
+            probe_offset=gi_carry['ddgi_offset'])
         gi_irradiance = jnp.where((depth > 0)[..., None],
                                   gi_irradiance, 0.0)
 
@@ -388,7 +416,7 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         frame_inputs['sun_intensity'], shadow_mask=shadow_mask, ao=ao,
         gi_irradiance=gi_irradiance,
         sky_turbidity=settings.sky_turbidity,
-        ambient_factor=settings.ambient_factor)
+        ambient_factor=settings.ambient_factor, sky_fn=sky_fn)
     if restir_light is not None:
         hdr = hdr + jnp.where((depth > 0)[..., None], restir_light, 0.0)
 
@@ -400,9 +428,9 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         geo_t = geo_mod.meshlet_clip_triangles(
             scene, inst_world, frame_inputs['view_proj'],
             trans_pair_inst, trans_pair_meshlet)
-        _, recs_t2, depth_t, tid_t, rtiles_t = _raster_with_records(
-            scene, geo_t, cfg, use_pallas, inst_adj, prev_inst_world,
-            prev_vp)
+        _, recs_t2, depth_t, tid_t, rtiles_t, _ = _raster_with_records(
+            scene, geo_t, cfg, use_pallas, inst_world, inst_adj,
+            prev_inst_world, prev_vp)
         if rtiles_t is not None:
             from toyrenderer_tpu.ops.raster_pallas import (
                 rec_tiles_to_image)
@@ -417,7 +445,7 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
             frame_inputs['sun_direction'], frame_inputs['sun_color'],
             frame_inputs['sun_intensity'], gi_irradiance=gi_irradiance,
             sky_turbidity=settings.sky_turbidity,
-            ambient_factor=settings.ambient_factor)
+            ambient_factor=settings.ambient_factor, sky_fn=sky_fn)
         from toyrenderer_tpu.ops.packing import unpack_rgba8_u32
         alpha_t = unpack_rgba8_u32(gb_t['gbuffer0'])[..., 3]
         front = (depth_t > depth) & (depth_t > 0.0)
@@ -426,7 +454,8 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     if settings.show_gi_probes and settings.enable_gi:
         hdr = ddgi_mod.visualize_probes(
             hdr, depth, ddgi_volume, gi_carry['ddgi_irradiance'],
-            frame_inputs['view_proj_nojitter'], frame_inputs['cam_pos'])
+            frame_inputs['view_proj_nojitter'], frame_inputs['cam_pos'],
+            probe_offset=gi_carry['ddgi_offset'])
 
     # -- HDR post chain ---------------------------------------------------------
     new_carry = dict(
@@ -440,7 +469,11 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     new_carry.update(gi_carry)
     new_carry.update(restir_carry)
     aux = dict(depth=depth, tri_id=tri_id, motion=gb['motion'], hdr=hdr,
+               resolved_pixels=jnp.sum((tri_id >= 0).astype(jnp.int32)),
                **cull_aux)
+    if settings.enable_gi:
+        aux['ddgi_variability'] = gi_carry['ddgi_variability']
+        aux['ddgi_active_probes'] = jnp.sum(gi_carry['ddgi_state'])
     if shadow_mask is not None:
         aux['shadow'] = shadow_mask
     if ao is not None:
@@ -523,9 +556,9 @@ def _gbuffer_two_phase(scene, inst_world, inst_adj, prev_inst_world,
     geo1 = geo_mod.meshlet_clip_triangles(
         scene, inst_world, frame_inputs['view_proj'], pi1, pm1, pv1)
     prev_vp = frame_inputs['prev_view_proj_nojitter']
-    setup1, recs1, depth1, tid1, rec_tiles1 = _raster_with_records(
-        scene, geo1, cfg, use_pallas, inst_adj, prev_inst_world, prev_vp,
-        tiles_io=use_pallas)
+    setup1, recs1, depth1, tid1, rec_tiles1, rs1 = _raster_with_records(
+        scene, geo1, cfg, use_pallas, inst_world, inst_adj,
+        prev_inst_world, prev_vp, tiles_io=use_pallas)
 
     if use_pallas:
         from toyrenderer_tpu.ops.raster_pallas import _tiles_to_image
@@ -552,10 +585,10 @@ def _gbuffer_two_phase(scene, inst_world, inst_adj, prev_inst_world,
     geo2 = geo_mod.meshlet_clip_triangles(
         scene, inst_world, frame_inputs['view_proj'], pi2, pm2, pv2)
     t1 = setup1['valid'].shape[0]
-    setup2, recs2, depth, tri_id, rec_tiles = _raster_with_records(
-        scene, geo2, cfg, use_pallas, inst_adj, prev_inst_world, prev_vp,
-        init_depth=depth1, init_tri_id=tid1, init_rec=rec_tiles1,
-        emit_base=t1, tiles_io=use_pallas)
+    setup2, recs2, depth, tri_id, rec_tiles, rs2 = _raster_with_records(
+        scene, geo2, cfg, use_pallas, inst_world, inst_adj,
+        prev_inst_world, prev_vp, init_depth=depth1, init_tri_id=tid1,
+        init_rec=rec_tiles1, emit_base=t1, tiles_io=use_pallas)
 
     if rec_tiles is not None:
         from toyrenderer_tpu.ops.raster_pallas import (
@@ -572,7 +605,9 @@ def _gbuffer_two_phase(scene, inst_world, inst_adj, prev_inst_world,
         late_instances=jnp.sum(late_mask.astype(jnp.int32)),
         early_pairs=total1, late_pairs=total2,
         early_meshlets=jnp.sum(pv1.astype(jnp.int32)),
-        late_meshlets=jnp.sum(pv2.astype(jnp.int32)))
+        late_meshlets=jnp.sum(pv2.astype(jnp.int32)),
+        **{f'early_{k}': v for k, v in rs1.items()},
+        **{f'late_{k}': v for k, v in rs2.items()})
     return records, depth, tri_id, cull_aux, new_hzb
 
 
@@ -585,9 +620,17 @@ def make_render_fn(settings: RenderSettings, ddgi_volume=None):
                           ddgi_volume=ddgi_volume))
 
 
-def default_frame_inputs(scene_host, view_matrices: dict) -> dict:
-    """Assemble frame_inputs from host scene + View.matrices() output."""
+def default_frame_inputs(scene_host, view_matrices: dict,
+                         sky_turbidity: float = 2.5) -> dict:
+    """Assemble frame_inputs from host scene + View.matrices() output.
+
+    sky_params are the Hosek-Wilkie coefficients for this frame's sun
+    elevation, evaluated host-side like the reference
+    (SkyRenderer.cpp:55-128 runs on the CPU each frame too)."""
+    from toyrenderer_tpu.ops.sky import hosek_sky_params
+    sun = np.asarray(scene_host.sun_direction, dtype=float)
     return dict(
+        sky_params=jnp.asarray(hosek_sky_params(sky_turbidity, -sun)),
         view_proj=jnp.asarray(view_matrices['view_proj']),
         view_proj_nojitter=jnp.asarray(view_matrices['view_proj_nojitter']),
         prev_view_proj_nojitter=jnp.asarray(

@@ -53,7 +53,8 @@ class TextureStreamingManager:
         self.block_of: dict[tuple[int, int], tuple[int, int]] = {}
         self.desc_offset = np.full_like(atlas.desc_offset, -1)
 
-        self.pool = jnp.zeros((pool_texels, 4), jnp.uint32)  # quad rows
+        row_w = atlas.texels.shape[1]
+        self.pool = jnp.zeros((pool_texels, row_w), jnp.uint32)  # quad rows
         self.round_robin = 0
         self.stats = dict(loads=0, evictions=0, resident_texels=0)
 

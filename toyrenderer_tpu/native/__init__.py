@@ -28,6 +28,33 @@ def _build(src: Path, out: Path) -> bool:
         return False
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def simplify_lib():
+    """ctypes handle to the quadric simplifier, or None."""
+    src = _DIR / "simplify.cpp"
+    so = _DIR / "_simplify.so"
+    if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+        if not _build(src, so):
+            return None
+    try:
+        lib = ctypes.CDLL(str(so))
+        lib.simplify_qem.restype = ctypes.c_int64
+        lib.simplify_qem.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,   # indices, n_idx
+            ctypes.c_void_p, ctypes.c_void_p,  # positions, normals
+            ctypes.c_int64,                    # n_verts
+            ctypes.c_int64,                    # target_idx
+            ctypes.c_float,                    # normal_weight
+            ctypes.c_void_p, ctypes.c_void_p,  # out_indices, out_error
+        ]
+        return lib
+    except OSError:
+        return None
+
+
 def meshlet_lib():
     """ctypes handle to the meshlet builder, or None."""
     global _LIB, _TRIED

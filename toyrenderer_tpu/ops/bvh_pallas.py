@@ -64,16 +64,21 @@ def fits_vmem(bvh: Bvh, budget_bytes: int = 10 * 2**20) -> bool:
 
 def traverse_auto(bvh: Bvh, origins, directions, t_max,
                   any_hit: bool = False, max_steps: int = 128,
-                  interpret: bool = False):
+                  live=None, interpret: bool = False):
     """Dispatch: packet kernel on TPU when the tree fits VMEM, else the
     XLA lockstep traversal (also the CPU/test path).  Same contract as
-    bvh.traverse."""
+    bvh.traverse; `live` optionally masks rays off (they report miss)."""
     import jax
     from toyrenderer_tpu.ops.bvh import traverse as traverse_xla
     on_tpu = jax.default_backend() in ('tpu', 'axon')
     if fits_vmem(bvh) and (on_tpu or interpret):
         return traverse_pallas(bvh, origins, directions, t_max,
-                               any_hit=any_hit, interpret=interpret)
+                               any_hit=any_hit, live=live,
+                               interpret=interpret)
+    if live is not None:
+        t_max = jnp.where(jnp.asarray(live, bool),
+                          jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                                           (origins.shape[0],)), 0.0)
     return traverse_xla(bvh, origins, directions, t_max,
                         max_steps=max_steps, any_hit=any_hit)
 
@@ -244,7 +249,8 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
 
 def traverse_pallas(bvh: Bvh, origins, directions, t_max,
                     any_hit: bool = False, max_visits: int | None = None,
-                    packet: int = PACKET, interpret: bool = False):
+                    packet: int = PACKET, live=None,
+                    interpret: bool = False):
     """Packet traversal; same contract as bvh.traverse.
 
     Rays are packed `packet` (default 2048) per packet in order — callers
@@ -262,7 +268,12 @@ def traverse_pallas(bvh: Bvh, origins, directions, t_max,
         x = jnp.pad(x, (0, n_pad - n), constant_values=fill)
         return x.reshape(p, sub, _LANE)
 
-    live = jnp.ones((n,), jnp.float32)
+    # optional per-ray mask: dead rays cost nothing (their packets skip
+    # subtrees no live ray wants; fully dead packets exit immediately)
+    if live is None:
+        live = jnp.ones((n,), jnp.float32)
+    else:
+        live = jnp.asarray(live, jnp.float32)
     packed = jnp.concatenate([
         comp(origins[:, 0]), comp(origins[:, 1]), comp(origins[:, 2]),
         comp(directions[:, 0]), comp(directions[:, 1]),

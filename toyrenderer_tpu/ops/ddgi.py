@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from toyrenderer_tpu.ops import bvh as bvh_mod
 from toyrenderer_tpu.ops import packing as P
 
 IRR_RES = 8           # octahedral irradiance texels per probe side
@@ -60,7 +59,9 @@ class DdgiVolume:
 
 
 def volume_from_aabb(bmin, bmax, max_probes_axis: int = 12,
-                     rays_per_probe: int = 64) -> DdgiVolume:
+                     rays_per_probe: int = 256) -> DdgiVolume:
+    # 256 rays/probe = reference parity (DDGIShaderConfig.h:8-12),
+    # affordable via the packet traversal + block-phased updates
     """Size a probe grid to a scene AABB (GIRenderer.cpp:43-156 parity:
     grid covers the scene with a small margin)."""
     bmin = np.asarray(bmin, np.float32)
@@ -79,11 +80,24 @@ def volume_from_aabb(bmin, bmax, max_probes_axis: int = 12,
 
 
 def init_probes(volume: DdgiVolume):
-    """Initial (dark) probe state for the carry."""
+    """Initial (dark) probe state for the carry.
+
+    Lifecycle state (GIRenderer.cpp:450-577 RTXGI parity):
+      ddgi_offset: per-probe world relocation offset (clamped to a
+        fraction of the grid spacing);
+      ddgi_state: 1 = active (traces rays), 0 = inactive (sky-only:
+        probes with no nearby geometry skip the BVH entirely via the
+        traversal ray mask);
+      ddgi_variability: EMA of the relative irradiance change per update
+        — the convergence scalar (GIRenderer.cpp:158-190).
+    """
     p = volume.num_probes
     return dict(
         ddgi_irradiance=jnp.zeros((p, IRR_RES * IRR_RES, 3), jnp.float32),
         ddgi_distance=jnp.zeros((p, DIST_RES * DIST_RES, 2), jnp.float32),
+        ddgi_offset=jnp.zeros((p, 3), jnp.float32),
+        ddgi_state=jnp.ones((p,), jnp.float32),
+        ddgi_variability=jnp.asarray(1.0, jnp.float32),
     )
 
 
@@ -214,12 +228,16 @@ def sample_irradiance(volume: DdgiVolume, irradiance, world_pos, normal):
 
 
 def sample_irradiance_visibility(volume: DdgiVolume, irradiance, distance,
-                                 world_pos, normal):
-    """Full-weight sampling: trilinear x backface x Chebyshev visibility."""
-    return _sample(volume, irradiance, distance, world_pos, normal)
+                                 world_pos, normal, probe_offset=None):
+    """Full-weight sampling: trilinear x backface x Chebyshev visibility.
+    probe_offset: optional (P, 3) relocation offsets — backface/Chebyshev
+    weights then measure from the RELOCATED probe positions."""
+    return _sample(volume, irradiance, distance, world_pos, normal,
+                   probe_offset=probe_offset)
 
 
-def _sample(volume, irradiance, distance, world_pos, normal):
+def _sample(volume, irradiance, distance, world_pos, normal,
+            probe_offset=None):
     shape = world_pos.shape[:-1]
     wp = world_pos.reshape(-1, 3)
     n = normal.reshape(-1, 3)
@@ -250,6 +268,8 @@ def _sample(volume, irradiance, distance, world_pos, normal):
                      * (frac[:, 1] if dy else 1 - frac[:, 1])
                      * (frac[:, 2] if dz else 1 - frac[:, 2]))
                 probe_pos = origin + gi.astype(jnp.float32) * spacing
+                if probe_offset is not None:
+                    probe_pos = probe_pos + probe_offset[pid]
                 to_probe = probe_pos - wp
                 dist_p = jnp.maximum(jnp.linalg.norm(to_probe, axis=-1), 1e-4)
                 dir_p = to_probe / dist_p[:, None]
@@ -293,7 +313,8 @@ def build_shade_records(scene, pair_inst, pair_meshlet, v0, v1, v2):
 
 
 def visualize_probes(hdr, depth, volume: DdgiVolume, irradiance,
-                     view_proj, cam_pos, radius_world: float = None):
+                     view_proj, cam_pos, radius_world: float = None,
+                     probe_offset=None):
     """Debug overlay: depth-tested lit probe spheres showing their own
     irradiance (GIDebugRenderer / giprobevisualization.hlsl parity).
 
@@ -304,6 +325,8 @@ def visualize_probes(hdr, depth, volume: DdgiVolume, irradiance,
     if radius_world is None:
         radius_world = float(min(volume.spacing)) * 0.12
     pos = volume.probe_positions()                    # (P, 3)
+    if probe_offset is not None:
+        pos = pos + probe_offset
     ph = jnp.concatenate([pos, jnp.ones_like(pos[:, :1])], -1)
     clip = ph @ view_proj.T
     wc = clip[:, 3]
@@ -343,17 +366,27 @@ def visualize_probes(hdr, depth, volume: DdgiVolume, irradiance,
     return jax.lax.fori_loop(0, volume.num_probes, body, hdr)
 
 
+# lifecycle constants (RTXGI DDGIProbeRelocation/Classification parity)
+BACKFACE_FRAC_THRESHOLD = 0.25    # relocate when this many rays hit backs
+OFFSET_LIMIT = 0.45               # max |offset| as a fraction of spacing
+FIXED_RAYS = 16                   # always-live rays (classification probes
+#                                   can re-activate when geometry moves)
+
+
 def trace_probe_block(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
                       sun_dir_to_light, sun_color, sun_intensity,
                       frame_index, sky_fn, num_phases: int,
-                      max_steps: int = 64):
+                      max_steps: int = 64, probe_offset=None,
+                      probe_state=None):
     """Trace ONE contiguous block of probes (frame_index % num_phases).
 
     Budgeted probe updates (the reference classifies/budgets probe work
     similarly): per frame only P/num_phases probes trace rays; with
     hysteresis the field converges over num_phases x longer, at
-    1/num_phases the cost.  Returns (radiance (Pb, R, 3), dist (Pb, R),
-    dirs (R, 3), block_start).
+    1/num_phases the cost.  Inactive probes only keep FIXED_RAYS rays live
+    (the traversal mask makes the rest free) so they stay sky-lit and can
+    re-classify.  Returns (radiance (Pb, R, 3), dist (Pb, R), dirs (R, 3),
+    block_start, lifecycle dict for update_probe_block).
     """
     p = volume.num_probes
     pb = -(-p // num_phases)
@@ -371,27 +404,39 @@ def trace_probe_block(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
 
     pos_all = volume.probe_positions()
     pos = jax.lax.dynamic_slice(pos_all, (start, 0), (pb, 3))
+    if probe_offset is not None:
+        pos = pos + jax.lax.dynamic_slice(probe_offset, (start, 0),
+                                          (pb, 3))
+    if probe_state is not None:
+        state = jax.lax.dynamic_slice(probe_state, (start,), (pb,))
+    else:
+        state = jnp.ones((pb,), jnp.float32)
     # direction-major order for coherent traversal packets (see
     # trace_probes)
     origins = jnp.tile(pos, (r, 1))                  # (R*Pb, 3)
     d_all = jnp.repeat(dirs, pb, axis=0)
+    ray_is_fixed = (jnp.repeat(
+        jnp.arange(r, dtype=jnp.int32), pb) < FIXED_RAYS)
+    live = jnp.maximum(jnp.tile(state, (r,)),
+                       ray_is_fixed.astype(jnp.float32))
 
     from toyrenderer_tpu.ops.bvh_pallas import traverse_auto
     res = traverse_auto(bvh, origins, d_all, t_max=1e4,
-                        max_steps=max_steps)
+                        max_steps=max_steps, live=live)
     hit = res['hit']
     tri = jnp.maximum(res['tri'], 0)
     t = res['t']
     rec = shade_rec[tri]
-    n_w = rec[:, 0:3]
+    n_raw = rec[:, 0:3]
     albedo = rec[:, 3:6]
     emissive = rec[:, 6:9]
-    n_w = jnp.where(jnp.sum(n_w * d_all, -1, keepdims=True) > 0,
-                    -n_w, n_w)
+    backface = hit & (jnp.sum(n_raw * d_all, -1) > 0.0)
+    n_w = jnp.where(backface[:, None], -n_raw, n_raw)
     hit_pos = origins + d_all * t[:, None]
     sh = traverse_auto(bvh, hit_pos + n_w * 1e-2,
                        jnp.broadcast_to(sun_dir_to_light, hit_pos.shape),
-                       t_max=1e4, max_steps=max_steps, any_hit=True)
+                       t_max=1e4, max_steps=max_steps, any_hit=True,
+                       live=live * hit.astype(jnp.float32))
     ndotl = jnp.maximum(jnp.sum(n_w * sun_dir_to_light, -1), 0.0)
     direct = (albedo / jnp.pi) * (ndotl * (1.0 - sh['hit'].astype(
         jnp.float32)))[:, None] * (sun_color * sun_intensity)
@@ -400,14 +445,34 @@ def trace_probe_block(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
     radiance = jnp.where(hit[:, None], direct + emissive + bounce,
                          sky_fn(d_all))
     dist = jnp.where(hit, t, 1e4)
+
+    # --- lifecycle inputs (per probe of the block) -------------------------
+    hit_rp = hit.reshape(r, pb)
+    back_rp = backface.reshape(r, pb)
+    t_rp = dist.reshape(r, pb)
+    frac_back = back_rp.astype(jnp.float32).mean(0)            # (Pb,)
+    t_back = jnp.where(back_rp, t_rp, 1e4)
+    k_back = jnp.argmin(t_back, axis=0)                        # (Pb,)
+    closest_back_t = jnp.take_along_axis(t_back, k_back[None], 0)[0]
+    closest_back_dir = dirs[k_back]                            # (Pb, 3)
+    t_front = jnp.where(hit_rp & ~back_rp, t_rp, 1e4)
+    closest_front_t = jnp.min(t_front, axis=0)
+    lifecycle = dict(frac_back=frac_back,
+                     closest_back_t=closest_back_t,
+                     closest_back_dir=closest_back_dir,
+                     closest_front_t=closest_front_t)
+
     radiance = radiance.reshape(r, pb, 3).transpose(1, 0, 2)
     dist = dist.reshape(r, pb).T
-    return (radiance, dist, dirs, start)
+    return (radiance, dist, dirs, start, lifecycle)
 
 
 def update_probe_block(volume: DdgiVolume, carry_probes: dict, radiance,
-                       dist, dirs, block_start, first_frame):
-    """Hysteresis-blend ONE probe block into the carry arrays."""
+                       dist, dirs, block_start, first_frame,
+                       lifecycle: dict | None = None):
+    """Hysteresis-blend ONE probe block into the carry arrays, then run
+    the probe lifecycle (relocation + classification + variability) when
+    `lifecycle` inputs from trace_probe_block are given."""
     irr_dirs = _oct_texel_dirs(IRR_RES)
     dist_dirs = _oct_texel_dirs(DIST_RES)
 
@@ -434,10 +499,50 @@ def update_probe_block(volume: DdgiVolume, carry_probes: dict, radiance,
     old_dist = jax.lax.dynamic_slice(
         carry_probes['ddgi_distance'], (start, 0, 0),
         (pb, DIST_RES * DIST_RES, 2))
+    blended_irr = old_irr * h + new_irr * (1.0 - h)
     irr = jax.lax.dynamic_update_slice(
-        carry_probes['ddgi_irradiance'],
-        old_irr * h + new_irr * (1.0 - h), (start, 0, 0))
+        carry_probes['ddgi_irradiance'], blended_irr, (start, 0, 0))
     dst = jax.lax.dynamic_update_slice(
         carry_probes['ddgi_distance'],
         old_dist * h + new_dist * (1.0 - h), (start, 0, 0))
-    return dict(ddgi_irradiance=irr, ddgi_distance=dst)
+    out = dict(ddgi_irradiance=irr, ddgi_distance=dst)
+    for k in ('ddgi_offset', 'ddgi_state', 'ddgi_variability'):
+        if k in carry_probes:
+            out[k] = carry_probes[k]
+    if lifecycle is None:
+        return out
+
+    # --- relocation (RTXGI ProbeRelocation parity): probes seeing many
+    # backfaces sit inside geometry — push them just past the closest
+    # backface surface, clamped to OFFSET_LIMIT x spacing per axis -------
+    spacing = jnp.asarray(volume.spacing, jnp.float32)
+    old_off = jax.lax.dynamic_slice(
+        carry_probes['ddgi_offset'], (start, 0), (pb, 3))
+    inside = lifecycle['frac_back'] > BACKFACE_FRAC_THRESHOLD
+    step = (lifecycle['closest_back_dir']
+            * (lifecycle['closest_back_t']
+               + 0.25 * float(min(volume.spacing)))[:, None])
+    new_off = jnp.clip(old_off + jnp.where(inside[:, None], step, 0.0),
+                       -OFFSET_LIMIT * spacing, OFFSET_LIMIT * spacing)
+    out['ddgi_offset'] = jax.lax.dynamic_update_slice(
+        carry_probes['ddgi_offset'], new_off, (start, 0))
+
+    # --- classification: active iff geometry is nearby (frontface hit
+    # within ~2.5 grid diagonals) or the probe is inside (needs to keep
+    # relocating).  Inactive probes cost no rays (sky-only) ---------------
+    near = lifecycle['closest_front_t'] < (
+        2.5 * float(np.linalg.norm(np.asarray(volume.spacing))))
+    new_state = (near | inside).astype(jnp.float32)
+    out['ddgi_state'] = jax.lax.dynamic_update_slice(
+        carry_probes['ddgi_state'], new_state, (start,))
+
+    # --- variability: relative irradiance change of this update, EMA'd —
+    # the convergence signal (GIRenderer.cpp:158-190 reads RTXGI's
+    # variability std-dev back; here it stays on-device in the carry) ----
+    num = jnp.abs(blended_irr - old_irr).mean()
+    den = jnp.maximum(blended_irr.mean(), 1e-6)
+    var = num / den
+    prev = carry_probes['ddgi_variability']
+    out['ddgi_variability'] = jnp.where(
+        first_frame, var, prev * 0.9 + var * 0.1)
+    return out

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from toyrenderer_tpu.mathlib.transforms import normalize
 from toyrenderer_tpu.ops import packing as P
 
-RESOLVE_REC = 52
+RESOLVE_REC = 64
 # record layout (f32 slots):
 #   0:9   edge equations        9:12  inv_scale
 #  12:21  world-space vertex normals (3 x 3)
@@ -31,14 +31,18 @@ RESOLVE_REC = 52
 #  27:36  previous-frame clip x,y,w per vertex (3 x 3)
 #  36:40  base color RGBA      40:42  metallic, roughness
 #  42:45  emissive             45    material id
-#  46     base-color texture id (-1 none)
+#  46     material atlas entry (-1 none; see scene/textures.py)
 #  47     texture statics: w0 + 2048*h0 + 2048^2*wrap (f32-exact < 2^24)
-#  48     alpha cutoff (alpha-masked set)      49:52  padding
+#  48     alpha cutoff (alpha-masked set)
+#  49:58  world-space vertex positions (3 x 3) — for the per-pixel
+#         cotangent frame (normal mapping, toyrenderer_common.hlsli:
+#         235-247 CalculateTBNWithoutTangent parity)
+#  58:64  padding
 
 
-def pack_resolve_records(setup: dict, scene, inst_adj, prev_inst_world,
-                         prev_view_proj_nojit):
-    """(T, 52) f32 per-triangle resolve records (dense over triangles).
+def pack_resolve_records(setup: dict, scene, inst_world, inst_adj,
+                         prev_inst_world, prev_view_proj_nojit):
+    """(T, 64) f32 per-triangle resolve records (dense over triangles).
 
     Texture statics (base size, wrap) ride in the record so per-pixel
     sampling never touches the tiny per-texture tables."""
@@ -58,6 +62,8 @@ def pack_resolve_records(setup: dict, scene, inst_adj, prev_inst_world,
     prev_clip = jnp.einsum('ij,tjk,tvk->tvi',
                            prev_view_proj_nojit, pw, obj_h)
     prev_xyw = prev_clip[..., jnp.asarray([0, 1, 3])]      # (T, 3, 3)
+    cw = inst_world[inst]                                  # (T, 4, 4)
+    world_pos = jnp.einsum('tij,tvj->tvi', cw, obj_h)[..., :3]
 
     base = scene.mat_base_color[mat]                       # (T, 4)
     mr = scene.mat_metal_rough[mat]                        # (T, 2)
@@ -81,7 +87,8 @@ def pack_resolve_records(setup: dict, scene, inst_adj, prev_inst_world,
         tex.astype(jnp.float32)[:, None],
         tex_statics.astype(jnp.float32)[:, None],
         scene.mat_alpha_cutoff[mat][:, None],
-        jnp.zeros((t, 3), jnp.float32),
+        world_pos.reshape(t, 9),
+        jnp.zeros((t, 6), jnp.float32),
     ], axis=1)
 
 
@@ -143,28 +150,62 @@ def resolve_gbuffer(records, depth, tri_id, jitter, cfg, atlas=None,
     tex_feedback = None
     if atlas is not None:
         from toyrenderer_tpu.ops.texture import (
-            sample_texture, texture_feedback)
+            sample_material_maps, srgb_to_linear, texture_feedback)
         tex_id = rec[..., 46].astype(jnp.int32)
         tex_id = jnp.where(hit, tex_id, -1)
-        # analytic UV derivatives: re-evaluate the interpolation one pixel
-        # to the right / below (pure register math, no extra gathers)
-        def uv_at(dpx, dpy):
+        pos3 = rec[..., 49:58].reshape(h, w, 3, 3)
+
+        # analytic UV / world-position derivatives: re-evaluate the
+        # interpolation one pixel right / below (pure register math)
+        def interp_at(dpx, dpy):
             l2 = (e[..., 0] * (pxn + dpx / w)[..., None]
                   + e[..., 1] * (pyn + dpy / h)[..., None] + e[..., 2])
             lw2 = l2 * rec[..., 9:12]
             d2 = jnp.sum(lw2, -1, keepdims=True)
             pc2 = lw2 / jnp.where(jnp.abs(d2) < 1e-30, 1e-30, d2)
-            return jnp.sum(uvs3 * pc2[..., None], axis=-2)
-        duv_dx = uv_at(1.0, 0.0) - uv
-        duv_dy = uv_at(0.0, 1.0) - uv
+            return (jnp.sum(uvs3 * pc2[..., None], axis=-2),
+                    jnp.sum(pos3 * pc2[..., None], axis=-2))
+        uv_x, p_x = interp_at(1.0, 0.0)
+        uv_y, p_y = interp_at(0.0, 1.0)
+        duv_dx = uv_x - uv
+        duv_dy = uv_y - uv
         statics = rec[..., 47].astype(jnp.int32)
         tw0 = (statics % 2048).astype(jnp.float32)
         th0 = ((statics // 2048) % 2048).astype(jnp.float32)
         twrap = statics // (2048 * 2048)
-        tex_rgba, desired = sample_texture(
-            atlas, tex_id, uv, duv_dx, duv_dy, feedback=True,
+        maps = sample_material_maps(
+            atlas, tex_id, uv, duv_dx, duv_dy,
             wrap=twrap, base_wh=(tw0, th0))
+        desired = maps['desired']
+        tex_rgba = jnp.concatenate(
+            [srgb_to_linear(maps['base'][..., :3]),
+             maps['base'][..., 3:4]], -1)
         base_color = base_color * tex_rgba
+        # glTF MR texture: G = roughness, B = metallic, factors multiply
+        rough = rough * maps['mr'][..., 1]
+        metal = metal * maps['mr'][..., 2]
+        emissive = emissive * srgb_to_linear(maps['emissive'][..., :3])
+
+        # normal mapping via the per-pixel cotangent frame (Schueler;
+        # CalculateTBNWithoutTangent parity) from analytic dP / dUV
+        dp1 = p_x - jnp.sum(pos3 * pc[..., None], axis=-2)
+        dp2 = p_y - jnp.sum(pos3 * pc[..., None], axis=-2)
+        dp1perp = jnp.cross(n_w, dp1)
+        dp2perp = jnp.cross(dp2, n_w)
+        t_vec = (dp2perp * duv_dx[..., 0:1] + dp1perp * duv_dy[..., 0:1])
+        b_vec = (dp2perp * duv_dx[..., 1:2] + dp1perp * duv_dy[..., 1:2])
+        inv_max = jax.lax.rsqrt(jnp.maximum(
+            jnp.maximum(jnp.sum(t_vec * t_vec, -1),
+                        jnp.sum(b_vec * b_vec, -1)), 1e-20))[..., None]
+        n_ts = maps['normal'][..., :3] * 2.0 - 1.0
+        n_mapped = normalize(t_vec * inv_max * n_ts[..., 0:1]
+                             + b_vec * inv_max * n_ts[..., 1:2]
+                             + n_w * n_ts[..., 2:3])
+        # degenerate UVs (inv_max huge x zero vectors) fall back to n_w
+        ok_tbn = (jnp.maximum(jnp.sum(t_vec * t_vec, -1),
+                              jnp.sum(b_vec * b_vec, -1)) > 1e-16)
+        n_w = jnp.where((ok_tbn & (tex_id >= 0))[..., None],
+                        n_mapped, n_w)
         tex_feedback = texture_feedback(tex_id, desired, num_textures)
         desired_plane = jnp.where(hit & (tex_id >= 0), desired, -1.0)
 

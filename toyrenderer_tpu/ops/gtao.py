@@ -13,6 +13,13 @@ a whole-image shift (pure streaming VPU work, no gathers), and the temporal
 rotation is integrated by the TAA/denoise chain.  The horizon integral is
 the standard GTAO arc formula (Jimenez et al. 2016), reimplemented from the
 paper.
+
+De-banding: frame-uniform slices turn horizon quantization into rings on
+flat surfaces (the reference's XeGTAO uses per-pixel Hilbert noise
+rotations instead, AmbientOcclusionRenderer.cpp:44-71).  We dither the
+falloff RADIUS per pixel with interleaved-gradient noise — zero extra
+samples — which converts the rings into high-frequency noise the
+depth-aware blur + temporal chain remove.
 """
 
 from __future__ import annotations
@@ -37,7 +44,8 @@ def _shift2d(img, dy: int, dx: int):
 
 def gtao(depth, normal_world, cam_pos, inv_view_proj, frame_index,
          radius: float = 1.5, n_slices: int = 3, n_steps: int = 5,
-         power: float = 1.2):
+         power: float = 1.2, radius_dither: float = 0.6,
+         checker_phases: bool = True):
     """Compute AO (H, W) in [0, 1] (1 = fully open).
 
     Args:
@@ -53,8 +61,30 @@ def gtao(depth, normal_world, cam_pos, inv_view_proj, frame_index,
     v = cam_pos - pos
     dist = jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-6)
     v = v / dist                                        # view dir (to eye)
-    return _gtao_static(depth, pos, normal_world, v, hit, frame_index,
-                        radius, n_slices, n_steps, power)
+    if radius_dither > 0.0:
+        from toyrenderer_tpu.ops.shadows import interleaved_gradient_noise
+        ign = interleaved_gradient_noise(h, w, frame_index + 31)
+        radius_px = radius * (1.0 - 0.5 * radius_dither
+                              + radius_dither * ign)
+    else:
+        radius_px = jnp.full((h, w), radius)
+    if not checker_phases:
+        return _gtao_static(depth, pos, normal_world, v, hit, frame_index,
+                            radius_px, n_slices, n_steps, power)
+    # 2x2-checkerboard phase mixing: adjacent pixels evaluate slice
+    # rotations half the phase wheel apart, so horizon quantization bands
+    # decorrelate at pixel scale (the reference's per-pixel Hilbert-noise
+    # rotation achieves the same; AmbientOcclusionRenderer.cpp:44-71).
+    # Costs one extra AO evaluation; every sample stays a static shift.
+    ao_a = _gtao_static(depth, pos, normal_world, v, hit, frame_index,
+                        radius_px, n_slices, n_steps, power)
+    ao_b = _gtao_static(depth, pos, normal_world, v, hit,
+                        frame_index + _N_ROT_PHASES // 2,
+                        radius_px, n_slices, n_steps, power)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    checker = ((xx ^ yy) & 1) == 0
+    return jnp.where(checker, ao_a, ao_b)
 
 
 _N_ROT_PHASES = 8
@@ -93,6 +123,7 @@ def _gtao_static(depth, pos, normal, v, hit, frame_index, radius,
                 d = sp - pos
                 dl = jnp.linalg.norm(d, axis=-1)
                 falloff = jnp.clip(1.0 - dl / radius, 0.0, 1.0)
+                # `radius` is per-pixel (IGN-dithered) — see gtao()
                 cos_a = jnp.sum(d * v, -1) / jnp.maximum(dl, 1e-6)
                 cos_a = cos_a * falloff + (-1.0) * (1.0 - falloff)
                 # sign=+1 shifts along +t (the tangent is built from the

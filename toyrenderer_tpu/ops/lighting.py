@@ -52,8 +52,10 @@ def deferred_lighting(gb: dict, cam_pos, inv_view_proj,
                       sun_direction, sun_color, sun_intensity,
                       shadow_mask=None, ao=None, gi_irradiance=None,
                       sky_turbidity: float = 2.5,
-                      ambient_factor: float = 0.03):
-    """HDR lighting (H, W, 3).  Optional per-pixel shadow/AO/GI terms."""
+                      ambient_factor: float = 0.03, sky_fn=None):
+    """HDR lighting (H, W, 3).  Optional per-pixel shadow/AO/GI terms.
+    sky_fn: optional callable(dirs (..., 3)) -> (..., 3) radiance (the
+    frame passes the Hosek evaluator; default = built-in Preetham)."""
     m = unpack_gbuffer(gb)
     h, w = m['depth'].shape
     hit = m['depth'] > 0.0
@@ -80,9 +82,12 @@ def deferred_lighting(gb: dict, cam_pos, inv_view_proj,
     lit = lit + ambient + m['emissive']
 
     rays = sky_mod.view_rays(inv_view_proj, w, h)
-    sky_rgb = sky_mod.sky_radiance(
-        rays, light_dir, turbidity=sky_turbidity,
-        sun_intensity=sun_intensity)
+    if sky_fn is not None:
+        sky_rgb = sky_fn(rays)
+    else:
+        sky_rgb = sky_mod.sky_radiance(
+            rays, light_dir, turbidity=sky_turbidity,
+            sun_intensity=sun_intensity)
     return jnp.where(hit[..., None], lit, sky_rgb)
 
 

@@ -26,22 +26,25 @@ def mip_from_derivatives(duv_dx, duv_dy, width, height):
     return 0.5 * jnp.log2(rho2)
 
 
-def sample_texture(atlas: dict, tex_id, uv, duv_dx=None, duv_dy=None,
-                   feedback: bool = False, wrap=None, base_wh=None):
-    """Bilinear sample (..., 4) RGBA in [0,1].
+def sample_material_maps(atlas: dict, ent_id, uv, duv_dx=None,
+                         duv_dy=None, wrap=None, base_wh=None):
+    """Bilinear-sample ALL four material maps with ONE texel-row gather.
 
-    tex_id (...,) i32 (values < 0 sample white), uv (..., 2),
-    duv_dx/duv_dy optional (..., 2) analytic derivatives for mip select.
-    feedback=True additionally returns the per-pixel desired mip (for the
-    sampler-feedback/virtual-texture loop).
+    ent_id (...,) i32 material atlas entries (< 0 -> neutral maps),
+    uv (..., 2), duv_dx/duv_dy optional analytic derivatives.
 
     Per-pixel memory traffic is exactly TWO row gathers: one packed
     descriptor row [offset, w, h] (mip clamping + residency redirection
-    baked at build, see TextureAtlas.packed_desc) and one 2x2 texel quad.
-    `wrap`/`base_wh` can be supplied per-pixel (e.g. baked into resolve
+    baked at build, see TextureAtlas.packed_desc) and one 16-u32 row
+    holding the 2x2 bilinear quads of base/normal/MR/emissive.
+    `wrap`/`base_wh` can be supplied per-pixel (baked into resolve
     records) to avoid two more tiny-table gathers.
+
+    Returns dict(base (..., 4), normal (..., 4), mr (..., 4),
+                 emissive (..., 4), desired (...,)) — raw [0, 1] values;
+    sRGB decode / channel semantics are the caller's (gbuffer resolve).
     """
-    tid = jnp.maximum(tex_id, 0)
+    tid = jnp.maximum(ent_id, 0)
     if base_wh is None:
         d0 = atlas['tex_desc'][tid * MAX_MIPS]
         w0 = d0[..., 1].astype(jnp.float32)
@@ -70,8 +73,8 @@ def sample_texture(atlas: dict, tex_id, uv, duv_dx=None, duv_dy=None,
     fx = (u - x0)[..., None]
     fy = (v - y0)[..., None]
 
-    # single quad-row gather: the atlas row holds the full 2x2 footprint
-    # (wrap mode baked at build), so only the BASE texel needs wrapping
+    # single row gather: the row holds the full 2x2 footprint of every
+    # map (wrap baked at build), so only the BASE texel needs wrapping
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
     rep_x = jnp.mod(x0i, jnp.maximum(mw, 1))
@@ -79,13 +82,38 @@ def sample_texture(atlas: dict, tex_id, uv, duv_dx=None, duv_dy=None,
     x = jnp.where(wrap == WRAP_REPEAT, rep_x, jnp.clip(x0i, 0, mw - 1))
     y = jnp.where(wrap == WRAP_REPEAT, rep_y, jnp.clip(y0i, 0, mh - 1))
     idx = jnp.clip(off + y * mw + x, 0, atlas['tex_texels'].shape[0] - 1)
-    quad = unpack_rgba8_u32(atlas['tex_texels'][idx])   # (..., 4, 4)
-    c = ((quad[..., 0, :] * (1 - fx) + quad[..., 1, :] * fx) * (1 - fy)
-         + (quad[..., 2, :] * (1 - fx) + quad[..., 3, :] * fx) * fy)
-    c = jnp.where((tex_id >= 0)[..., None], c, 1.0)
+    rows = atlas['tex_texels'][idx]                       # (..., 16) u32
+    neutral = jnp.asarray([[1.0, 1.0, 1.0, 1.0],
+                           [0.5, 0.5, 1.0, 1.0],
+                           [1.0, 1.0, 1.0, 1.0],
+                           [1.0, 1.0, 1.0, 1.0]], jnp.float32)
+    valid = (ent_id >= 0)[..., None]
+    out = {}
+    for mi, name in enumerate(('base', 'normal', 'mr', 'emissive')):
+        quad = unpack_rgba8_u32(rows[..., mi * 4:(mi + 1) * 4])
+        c = ((quad[..., 0, :] * (1 - fx) + quad[..., 1, :] * fx)
+             * (1 - fy)
+             + (quad[..., 2, :] * (1 - fx) + quad[..., 3, :] * fx) * fy)
+        out[name] = jnp.where(valid, c, neutral[mi])
+    out['desired'] = desired
+    return out
+
+
+def srgb_to_linear(c):
+    """Polynomial sRGB -> linear approximation (max err ~1e-3), applied to
+    base/emissive samples (the reference uses hardware sRGB views)."""
+    return c * (c * (c * 0.305306011 + 0.682171111) + 0.012522878)
+
+
+def sample_texture(atlas: dict, tex_id, uv, duv_dx=None, duv_dy=None,
+                   feedback: bool = False, wrap=None, base_wh=None):
+    """Base-color-only sample (..., 4); thin wrapper over
+    sample_material_maps for callers that only need one map."""
+    maps = sample_material_maps(atlas, tex_id, uv, duv_dx, duv_dy,
+                                wrap=wrap, base_wh=base_wh)
     if feedback:
-        return c, desired
-    return c
+        return maps['base'], maps['desired']
+    return maps['base']
 
 
 def texture_feedback(tex_id, desired_mip, num_textures: int):

@@ -172,10 +172,19 @@ def make_stress_scene(n_objects: int = 256, sphere_res: int = 24,
     scene = build_scene(doc)
     if textured:
         from toyrenderer_tpu.scene import textures as TX
-        atlas = TX.build_atlas(images=[
-            TX.checkerboard(512, 8),
-            TX.checkerboard(512, 32, (230, 120, 60), (80, 40, 200)),
-            TX.checkerboard(256, 4, (255, 255, 255), (128, 128, 128)),
+        # full material map sets so the bench exercises the one-row
+        # multi-map sampler (base + normal + MR; see scene/textures.py)
+        atlas = TX.build_atlas(material_maps=[
+            dict(base=TX.checkerboard(512, 8),
+                 normal=TX.bump_normal_map(512, 16),
+                 mr=TX.checkerboard(512, 8, (255, 200, 60),
+                                    (255, 60, 220))),
+            dict(base=TX.checkerboard(512, 32, (230, 120, 60),
+                                      (80, 40, 200)),
+                 normal=TX.bump_normal_map(512, 48, amplitude=1.5)),
+            dict(base=TX.checkerboard(256, 4, (255, 255, 255),
+                                      (128, 128, 128)),
+                 normal=TX.bump_normal_map(256, 8)),
         ])
         scene.attach_atlas(atlas)
         # ground gets the big checker; every 3rd material gets one too

@@ -28,7 +28,7 @@ from toyrenderer_tpu.scene import meshlet as ML
 from toyrenderer_tpu.scene import lod as LOD
 from toyrenderer_tpu.scene import textures as TX
 
-CACHE_VERSION = 9
+CACHE_VERSION = 10
 MAX_LODS = LOD.MAX_LODS
 
 
@@ -39,6 +39,21 @@ def _pad_to(x: np.ndarray, n: int, axis: int = 0) -> np.ndarray:
     widths = [(0, 0)] * x.ndim
     widths[axis] = (0, pad)
     return np.pad(x, widths, mode="constant")
+
+
+def _material_atlas_entries(mats) -> list[int]:
+    """Material -> atlas entry id: textured materials get consecutive
+    entries in material order (matching textures.build_atlas(doc)); the
+    rest sample neutral maps (-1)."""
+    out = []
+    nxt = 0
+    for m in mats:
+        textured = (m.base_color_texture >= 0 or m.normal_texture >= 0
+                    or m.metallic_roughness_texture >= 0
+                    or m.emissive_texture >= 0)
+        out.append(nxt if textured else -1)
+        nxt += 1 if textured else 0
+    return out
 
 
 def _round_up(n: int, m: int) -> int:
@@ -111,9 +126,10 @@ class SceneBuffers:
     world_aabb: np.ndarray = field(
         default_factory=lambda: np.asarray(
             [[-1, -1, -1], [1, 1, 1]], np.float32))
-    # texture mip atlas (see scene/textures.py); defaults = 1 white texel
+    # material texture atlas (see scene/textures.py); default = neutral
     tex_texels: np.ndarray = field(
-        default_factory=lambda: np.full((128, 4), 0xFFFFFFFF, np.uint32))
+        default_factory=lambda: np.full(
+            (128, TX.ROW_U32), 0xFFFFFFFF, np.uint32))
     tex_offset: np.ndarray = field(
         default_factory=lambda: np.zeros((1, TX.MAX_MIPS), np.int32))
     tex_width: np.ndarray = field(
@@ -297,7 +313,8 @@ def build_scene(doc: G.GltfDocument, scale: float = 1.0,
             normals.append(prim.normals)
             uvs.append(prim.uvs)
 
-            chain = LOD.build_lod_chain(pos, prim.indices, max_lods)
+            chain = LOD.build_lod_chain(pos, prim.indices, max_lods,
+                                        normals=prim.normals)
             offs = np.zeros(MAX_LODS, np.int32)
             cnts = np.zeros(MAX_LODS, np.int32)
             errs = np.zeros(MAX_LODS, np.float32)
@@ -470,7 +487,7 @@ def build_scene(doc: G.GltfDocument, scale: float = 1.0,
         mat_double_sided=np.asarray(
             [1 if m.double_sided else 0 for m in mats], np.int32),
         mat_base_color_tex=np.asarray(
-            [m.base_color_texture for m in mats], np.int32),
+            _material_atlas_entries(mats), np.int32),
         num_vertices=vert_base, num_meshlets=m_count,
         num_primitives=len(prim_offsets), num_instances=len(inst_node),
         num_nodes=n_nodes, sun_direction=sun_dir, sun_color=sun_color,
@@ -478,6 +495,8 @@ def build_scene(doc: G.GltfDocument, scale: float = 1.0,
         camera_rotation=cam_rot, camera_yfov=cam_yfov,
         camera_znear=cam_znear, world_aabb=world_aabb)
     if doc.textures:
+        # one material-map-set atlas entry per TEXTURED material (order
+        # matches _material_atlas_entries)
         scene_out.attach_atlas(TX.build_atlas(doc))
     if doc.animations:
         from toyrenderer_tpu.scene.animation import pack_animations

@@ -1,16 +1,25 @@
-"""Texture loading + mip-atlas build (host side).
+"""Texture loading + material mip-atlas build (host side).
 
 Counterpart of the reference's texture stack: image decode
 (TextureLoading.cpp DDS paths + stb for others), the bindless descriptor
 table (DescriptorTableManager.{h,cpp}: one global table indexed by shaders),
 and per-texture mip chains.
 
-TPU-first design ("bindless" without descriptors): every mip of every
-texture is flattened into ONE u32 (packed RGBA8) device buffer — the
-"atlas" — plus a dense descriptor array (offset, width, height, flags) per
-(texture, mip).  Shading code samples any texture with dynamic indices
-into the flat buffer; residency (virtual texturing) later works by
-clamping each texture's minimum resident mip and re-pointing descriptors.
+TPU-first design ("bindless" without descriptors): the atlas is flattened
+into ONE u32 device buffer plus a dense descriptor array (offset, width,
+height) per (entry, mip).  Shading samples with dynamic indices into the
+flat buffer; virtual texturing clamps each entry's minimum resident mip
+and re-points descriptors.
+
+Atlas entries are MATERIAL MAP SETS, not single textures: each textured
+material contributes one entry whose texel rows interleave all four glTF
+maps — base color, normal, metallic-roughness, emissive — resampled to a
+common resolution, each as its 2x2 bilinear quad: 16 u32 per texel row.
+One row gather per pixel therefore yields the bilinear footprints of
+EVERY map the BRDF needs (the reference instead pays four independent
+bindless samples, lightingcommon.hlsli:452-493) — on TPU, where gathers
+are latency-bound per row rather than per byte, the wide row is nearly
+free.
 """
 
 from __future__ import annotations
@@ -22,6 +31,17 @@ import numpy as np
 
 MAX_TEXTURE_DIM = 1024
 MAX_MIPS = 11
+ROW_U32 = 16          # 4 maps x 2x2 quad per texel row
+MAP_BASE = 0
+MAP_NORMAL = 1
+MAP_MR = 2
+MAP_EMISSIVE = 3
+_NEUTRAL = (
+    np.asarray([255, 255, 255, 255], np.uint8),   # base: white
+    np.asarray([128, 128, 255, 255], np.uint8),   # normal: +Z
+    np.asarray([255, 255, 255, 255], np.uint8),   # MR: factors pass
+    np.asarray([255, 255, 255, 255], np.uint8),   # emissive: factor passes
+)
 
 WRAP_REPEAT = 0
 WRAP_CLAMP = 1
@@ -29,16 +49,17 @@ WRAP_CLAMP = 1
 
 @dataclass
 class TextureAtlas:
-    """Host-side atlas; `to_device()` -> dict of jnp arrays.
+    """Host-side material atlas; `to_device()` -> dict of jnp arrays.
 
-    Texel storage is QUAD-EXPANDED: row i holds the 2x2 bilinear footprint
-    of texel i — [T(x,y), T(x+1,y), T(x,y+1), T(x+1,y+1)] with the
-    texture's wrap mode baked at the edges — so a bilinear sample is ONE
-    16-byte row gather per pixel instead of four scalar gathers (row
-    gathers are an order of magnitude faster on TPU).  4x memory, bounded
-    by MAX_TEXTURE_DIM.
+    Texel storage is QUAD-EXPANDED per map: row i holds, for each of the 4
+    material maps, the 2x2 bilinear footprint of texel i — [T(x,y),
+    T(x+1,y), T(x,y+1), T(x+1,y+1)] with the wrap mode baked at the edges
+    — so ONE 64-byte row gather per pixel serves bilinear sampling of all
+    maps (row gathers cost the same as scalar gathers on TPU).  Memory is
+    4x (quads) x 4 (maps) of the base image, bounded by MAX_TEXTURE_DIM
+    and reclaimed at runtime by mip streaming (engine/streaming.py).
     """
-    texels: np.ndarray          # (N, 4) u32 packed RGBA8 quad rows
+    texels: np.ndarray          # (N, 16) u32 packed RGBA8 quad-map rows
     # descriptor per (texture, mip): -1 offset == mip not resident
     desc_offset: np.ndarray     # (T, MAX_MIPS) i32
     desc_width: np.ndarray      # (T, MAX_MIPS) i32
@@ -146,54 +167,132 @@ def build_mips(img: np.ndarray) -> list[np.ndarray]:
     return mips
 
 
-def build_atlas(doc=None, images: list[np.ndarray] | None = None,
-                wrap_modes=None) -> TextureAtlas:
-    """Build the atlas from a GltfDocument (decoding its textures) or an
-    explicit list of (H, W, 4) u8 images."""
-    imgs: list[np.ndarray | None] = []
-    wraps: list[int] = []
-    if doc is not None:
-        for t in doc.textures:
-            t.base_dir = doc.base_dir   # for relative-URI decode
-            imgs.append(_decode_image(t))
-            wraps.append(WRAP_CLAMP if t.wrap_s == 33071 else WRAP_REPEAT)
-    if images is not None:
-        imgs.extend(images)
-        wraps.extend(list(wrap_modes or [WRAP_REPEAT] * len(images)))
+def _resample(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest resample of (H, W, 4) u8 to (h, w, 4) (maps of one material
+    are unified to a common resolution at build)."""
+    if img.shape[0] == h and img.shape[1] == w:
+        return img
+    ys = (np.arange(h) * img.shape[0] // h).clip(0, img.shape[0] - 1)
+    xs = (np.arange(w) * img.shape[1] // w).clip(0, img.shape[1] - 1)
+    return img[ys[:, None], xs[None, :]]
 
-    n = max(len(imgs), 1)
+
+def build_atlas(doc=None,
+                material_maps: list[dict] | None = None,
+                images: list[np.ndarray] | None = None,
+                wrap_modes=None) -> TextureAtlas:
+    """Build the material atlas.
+
+    doc: GltfDocument — one entry per material that references any texture
+    (base/normal/MR/emissive indices on GltfMaterial).
+    material_maps: explicit list of {'base'|'normal'|'mr'|'emissive':
+    (H, W, 4) u8, 'wrap': int} dicts (procedural scenes / tests).
+    images: base-color-only shorthand for material_maps.
+    Entry order == the order of textured materials; callers map material
+    index -> entry id (scenebuild wires mat_base_color_tex).
+    """
+    if images is not None:
+        wraps_in = list(wrap_modes or [WRAP_REPEAT] * len(images))
+        material_maps = list(material_maps or []) + [
+            dict(base=img, wrap=wraps_in[i])
+            for i, img in enumerate(images)]
+    entries: list[dict] = []
+    if doc is not None:
+        decoded: dict[int, np.ndarray | list | None] = {}
+
+        def get(ti):
+            if ti < 0 or ti >= len(doc.textures):
+                return None
+            if ti not in decoded:
+                t = doc.textures[ti]
+                t.base_dir = doc.base_dir
+                decoded[ti] = _decode_image(t)
+            return decoded[ti]
+
+        for m in doc.materials:
+            # entry per material that REFERENCES any texture (decode
+            # failures still get an entry of neutral maps, keeping entry
+            # ids aligned with scenebuild._material_atlas_entries)
+            if (m.base_color_texture < 0 and m.normal_texture < 0
+                    and m.metallic_roughness_texture < 0
+                    and m.emissive_texture < 0):
+                continue
+            maps = dict(base=get(m.base_color_texture),
+                        normal=get(m.normal_texture),
+                        mr=get(m.metallic_roughness_texture),
+                        emissive=get(m.emissive_texture))
+            bt = m.base_color_texture
+            wrap = WRAP_REPEAT
+            if 0 <= bt < len(doc.textures):
+                wrap = (WRAP_CLAMP if doc.textures[bt].wrap_s == 33071
+                        else WRAP_REPEAT)
+            maps['wrap'] = wrap
+            entries.append(maps)
+    if material_maps is not None:
+        entries.extend(material_maps)
+
+    n = max(len(entries), 1)
     offsets = np.full((n, MAX_MIPS), -1, np.int32)
     widths = np.zeros((n, MAX_MIPS), np.int32)
     heights = np.zeros((n, MAX_MIPS), np.int32)
     num_mips = np.zeros((n,), np.int32)
+    wraps = np.zeros((n,), np.int32)
     chunks = []
     cursor = 0
-    for ti, img in enumerate(imgs):
-        if img is None:
-            # 1x1 white fallback (CommonResources default-texture parity)
-            img = np.full((1, 1, 4), 255, np.uint8)
-        wrap = wraps[ti] if ti < len(wraps) else WRAP_REPEAT
-        mips = img if isinstance(img, list) else build_mips(img)
-        for mi, mip in enumerate(mips[:MAX_MIPS]):
-            packed = _quad_expand(_pack_rgba8(mip), wrap)
-            offsets[ti, mi] = cursor
-            heights[ti, mi], widths[ti, mi] = mip.shape[:2]
+    keys = ('base', 'normal', 'mr', 'emissive')
+    for ei, ent in enumerate(entries):
+        wrap = int(ent.get('wrap', WRAP_REPEAT))
+        wraps[ei] = wrap
+        # resolution = the base map's (or the largest present map's)
+        ref = ent.get('base')
+        if ref is None:
+            sizes = [v.shape[:2] if isinstance(v, np.ndarray)
+                     else v[0].shape[:2]
+                     for v in (ent.get(k) for k in keys)
+                     if v is not None]
+            ref_hw = max(sizes, key=lambda s: s[0] * s[1])
+        else:
+            ref_hw = (ref.shape[:2] if isinstance(ref, np.ndarray)
+                      else ref[0].shape[:2])
+        per_map_mips = []
+        for mi_k, k in enumerate(keys):
+            img = ent.get(k)
+            if img is None:
+                img = np.broadcast_to(
+                    _NEUTRAL[mi_k], (1, 1, 4)).copy()
+            if isinstance(img, list):       # pre-built DDS mip chain
+                img = img[0]
+            img = _resample(img, *ref_hw)
+            per_map_mips.append(build_mips(img))
+        n_m = min(len(mm) for mm in per_map_mips)
+        for mi in range(min(n_m, MAX_MIPS)):
+            packed = np.concatenate(
+                [_quad_expand(_pack_rgba8(per_map_mips[k][mi]), wrap)
+                 for k in range(4)], axis=1)            # (HW, 16)
+            offsets[ei, mi] = cursor
+            heights[ei, mi], widths[ei, mi] = (
+                per_map_mips[0][mi].shape[:2])
             chunks.append(packed)
             cursor += packed.shape[0]
-            num_mips[ti] = mi + 1
-    texels = (np.concatenate(chunks) if chunks
-              else np.full((1, 4), 0xFFFFFFFF, np.uint32))
-    # pad to a lane multiple
+            num_mips[ei] = mi + 1
+    if not chunks:
+        texels = np.zeros((1, ROW_U32), np.uint32)
+        texels[:, 0:4] = 0xFFFFFFFF
+        num_mips[0] = 1
+        widths[0, 0] = heights[0, 0] = 1
+        offsets[0, 0] = 0
+    else:
+        texels = np.concatenate(chunks)
     pad = (-len(texels)) % 128
     if pad:
-        texels = np.concatenate([texels, np.zeros((pad, 4), np.uint32)])
+        texels = np.concatenate(
+            [texels, np.zeros((pad, ROW_U32), np.uint32)])
     return TextureAtlas(
         texels=texels.astype(np.uint32),
         desc_offset=offsets, desc_width=widths, desc_height=heights,
-        num_mips=num_mips,
-        wrap_mode=np.asarray(wraps + [0] * (n - len(wraps)), np.int32),
+        num_mips=num_mips, wrap_mode=wraps,
         min_resident_mip=np.zeros((n,), np.int32),
-        num_textures=len(imgs))
+        num_textures=len(entries))
 
 
 def checkerboard(size: int = 256, tiles: int = 8,
@@ -205,3 +304,18 @@ def checkerboard(size: int = 256, tiles: int = 8,
                    np.asarray(c0, np.uint8), np.asarray(c1, np.uint8))
     return np.concatenate(
         [img, np.full((size, size, 1), 255, np.uint8)], -1)
+
+
+def bump_normal_map(size: int = 256, bumps: int = 16,
+                    amplitude: float = 1.0) -> np.ndarray:
+    """Procedural tangent-space normal map: a sine-bump height field's
+    analytic gradient, encoded glTF-style (+Y up, 0.5-biased)."""
+    t = np.linspace(0, 2 * np.pi * bumps, size, endpoint=False)
+    y, x = np.meshgrid(t, t, indexing='ij')
+    dhdx = amplitude * np.cos(x) * np.sin(y)
+    dhdy = amplitude * np.sin(x) * np.cos(y)
+    n = np.stack([-dhdx, -dhdy, np.ones_like(dhdx)], -1)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    rgb = ((n * 0.5 + 0.5) * 255.0 + 0.5).astype(np.uint8)
+    return np.concatenate(
+        [rgb, np.full((size, size, 1), 255, np.uint8)], -1)

@@ -99,9 +99,9 @@ def main(argv=None):
     print(f"fill_visibility       {ms:8.2f} ms   "
           f"coverage={float((np.asarray(tid) >= 0).mean()):.2f}")
 
-    f_pack = jax.jit(lambda s, ia, piw: pack_resolve_records(
-        s, scene, ia, piw, fi['prev_view_proj_nojitter']))
-    ms, records = _timeit(f_pack, setup, iadj, iw)
+    f_pack = jax.jit(lambda s, w_, ia, piw: pack_resolve_records(
+        s, scene, w_, ia, piw, fi['prev_view_proj_nojitter']))
+    ms, records = _timeit(f_pack, setup, iw, iadj, iw)
     print(f"pack_resolve_records  {ms:8.2f} ms")
 
     f_resolve = jax.jit(lambda r, d, t: resolve_gbuffer(
