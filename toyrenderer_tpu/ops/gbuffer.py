@@ -92,24 +92,41 @@ def pack_resolve_records(setup: dict, scene, inst_world, inst_adj,
     ], axis=1)
 
 
-def resolve_gbuffer(records, depth, tri_id, jitter, cfg, atlas=None,
-                    num_textures: int = 0):
-    """Per-pixel resolve from (T, 48) records + the visibility buffer.
+# interpolant plane stack: the per-pixel quantities that survive the
+# barycentric resolve.  The fused Pallas kernel computes these IN VMEM
+# (raster_pallas._fill_resolve_stream_kernel epilogue) so only 32 planes
+# leave the kernel instead of the raw 64-float records; the CPU path
+# computes the identical stack in XLA (resolve_interpolants).
+INTERP_C = 32
+I_NRM = slice(0, 3)      # interpolated (normalized) world normal
+I_UV = slice(3, 5)       # interpolated UV
+I_DUVX = slice(5, 7)     # analytic dUV/dx
+I_DUVY = slice(7, 9)     # analytic dUV/dy
+I_T = slice(9, 12)       # cotangent T (max-normalized; 0 if degenerate)
+I_B = slice(12, 15)      # cotangent B
+I_BASE = slice(15, 19)   # material base color factor RGBA
+I_MR = slice(19, 21)     # metallic, roughness factors
+I_EMIS = slice(21, 24)   # emissive factor
+I_MAT = 24               # material id (f32-exact)
+I_TEX = 25               # material atlas entry (-1 none)
+I_STAT = 26              # texture statics (w0 + 2048*h0 + 2048^2*wrap)
+I_CUT = 27               # alpha cutoff
+I_PREV = slice(28, 31)   # previous-frame clip x, y, w
+#                          31 is padding
 
-    jitter: (2,) current sub-pixel jitter in pixels (for unjittered motion
-    vectors, like the reference's motion output).
-    atlas: optional texture-atlas dict (DeviceScene.atlas_dict()) — enables
-    base-color texturing with analytic-derivative mip selection and emits
-    'tex_feedback' (per-texture min desired mip, the sampler-feedback
-    equivalent).
-    Returns the gbuffer dict (see module docstring).
+
+def resolve_interpolants(records, depth, tri_id, cfg):
+    """Per-pixel barycentric resolve: (T, 64) records + visibility buffer
+    -> (H, W, 32) interpolant stack (see layout above).
+
+    This is the XLA reference for the Pallas kernel's in-VMEM epilogue;
+    tests assert the two match.
     """
     h, w = depth.shape
-    hit = tri_id >= 0
     tid = jnp.maximum(tri_id, 0)
 
     if records.ndim == 3:
-        rec = records          # (H, W, R) pre-fetched (fused Pallas path)
+        rec = records          # (H, W, R) pre-fetched
     else:
         rec = records[tid]     # (T, R) -> per-pixel gather (CPU path)
     px = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
@@ -118,20 +135,79 @@ def resolve_gbuffer(records, depth, tri_id, jitter, cfg, atlas=None,
     pyn = py / h
 
     e = rec[..., 0:9].reshape(h, w, 3, 3)
-    l = (e[..., 0] * pxn[..., None] + e[..., 1] * pyn[..., None]
-         + e[..., 2])                                      # (H, W, 3)
-    lw = l * rec[..., 9:12]
-    denom = jnp.sum(lw, -1, keepdims=True)
-    pc = lw / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
-
-    n_w = jnp.sum(rec[..., 12:21].reshape(h, w, 3, 3)
-                  * pc[..., None], axis=-2)
-    n_w = normalize(n_w)
     uvs3 = rec[..., 21:27].reshape(h, w, 3, 2)
-    uv = jnp.sum(uvs3 * pc[..., None], axis=-2)
+    pos3 = rec[..., 49:58].reshape(h, w, 3, 3)
 
+    def bary_at(dpx, dpy):
+        l = (e[..., 0] * (pxn + dpx / w)[..., None]
+             + e[..., 1] * (pyn + dpy / h)[..., None] + e[..., 2])
+        lw = l * rec[..., 9:12]
+        d = jnp.sum(lw, -1, keepdims=True)
+        return lw / jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)
+
+    pc = bary_at(0.0, 0.0)                                 # (H, W, 3)
+    n_w = normalize(jnp.sum(rec[..., 12:21].reshape(h, w, 3, 3)
+                            * pc[..., None], axis=-2))
+    uv = jnp.sum(uvs3 * pc[..., None], axis=-2)
     prev_xyw = jnp.sum(rec[..., 27:36].reshape(h, w, 3, 3)
                        * pc[..., None], axis=-2)           # (H, W, 3)
+
+    # analytic UV / world-position derivatives: re-evaluate the
+    # interpolation one pixel right / below (pure register math)
+    pc_x = bary_at(1.0, 0.0)
+    pc_y = bary_at(0.0, 1.0)
+    duv_dx = jnp.sum(uvs3 * pc_x[..., None], axis=-2) - uv
+    duv_dy = jnp.sum(uvs3 * pc_y[..., None], axis=-2) - uv
+    pos = jnp.sum(pos3 * pc[..., None], axis=-2)
+    dp1 = jnp.sum(pos3 * pc_x[..., None], axis=-2) - pos
+    dp2 = jnp.sum(pos3 * pc_y[..., None], axis=-2) - pos
+
+    # cotangent frame (Schueler; CalculateTBNWithoutTangent parity,
+    # toyrenderer_common.hlsli:235-247); degenerate UVs -> T = B = 0
+    dp1perp = jnp.cross(n_w, dp1)
+    dp2perp = jnp.cross(dp2, n_w)
+    t_vec = (dp2perp * duv_dx[..., 0:1] + dp1perp * duv_dy[..., 0:1])
+    b_vec = (dp2perp * duv_dx[..., 1:2] + dp1perp * duv_dy[..., 1:2])
+    m2 = jnp.maximum(jnp.sum(t_vec * t_vec, -1),
+                     jnp.sum(b_vec * b_vec, -1))
+    inv_max = jax.lax.rsqrt(jnp.maximum(m2, 1e-20))[..., None]
+    ok_tbn = (m2 > 1e-16)[..., None]
+    t_n = jnp.where(ok_tbn, t_vec * inv_max, 0.0)
+    b_n = jnp.where(ok_tbn, b_vec * inv_max, 0.0)
+
+    return jnp.concatenate([
+        n_w, uv, duv_dx, duv_dy, t_n, b_n,
+        rec[..., 36:40],                        # base color factor
+        rec[..., 40:42],                        # metallic, roughness
+        rec[..., 42:45],                        # emissive
+        rec[..., 45:46],                        # material id
+        rec[..., 46:47],                        # atlas entry
+        rec[..., 47:48],                        # texture statics
+        rec[..., 48:49],                        # alpha cutoff
+        prev_xyw,
+        jnp.zeros((h, w, 1), jnp.float32),
+    ], axis=-1)
+
+
+def finish_gbuffer(interp, depth, tri_id, jitter, cfg, atlas=None,
+                   num_textures: int = 0, quad_taps: bool = False):
+    """Interpolant stack -> textured, packed GBuffer dict.
+
+    jitter: (2,) current sub-pixel jitter in pixels (for unjittered motion
+    vectors, like the reference's motion output).
+    atlas: optional texture-atlas dict (DeviceScene.atlas_dict()) — enables
+    material texturing with analytic-derivative mip selection and emits
+    'tex_feedback' (per-texture min desired mip, the sampler-feedback
+    equivalent).
+    """
+    h, w = depth.shape
+    hit = tri_id >= 0
+    px = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
+    py = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5
+
+    n_w = interp[..., I_NRM]
+    uv = interp[..., I_UV]
+    prev_xyw = interp[..., I_PREV]
     pw_safe = jnp.where(jnp.abs(prev_xyw[..., 2:3]) < 1e-8, 1e-8,
                         prev_xyw[..., 2:3])
     prev_ndc = prev_xyw[..., :2] / pw_safe
@@ -141,41 +217,33 @@ def resolve_gbuffer(records, depth, tri_id, jitter, cfg, atlas=None,
     motion = jnp.where((hit & (prev_xyw[..., 2] > 0))[..., None],
                        cur_px - prev_px, 0.0)
 
-    base_color = rec[..., 36:40]
-    metal = jnp.clip(rec[..., 40], 0.0, 1.0)
-    rough = jnp.clip(rec[..., 41], 0.02, 1.0)
-    emissive = jnp.maximum(rec[..., 42:45], 0.0)
-    mat_id = rec[..., 45].astype(jnp.uint32)
+    base_color = interp[..., I_BASE]
+    metal = jnp.clip(interp[..., 19], 0.0, 1.0)
+    rough = jnp.clip(interp[..., 20], 0.02, 1.0)
+    emissive = jnp.maximum(interp[..., I_EMIS], 0.0)
+    mat_id = interp[..., I_MAT].astype(jnp.uint32)
 
     tex_feedback = None
     if atlas is not None:
         from toyrenderer_tpu.ops.texture import (
-            sample_material_maps, srgb_to_linear, texture_feedback)
-        tex_id = rec[..., 46].astype(jnp.int32)
+            sample_material_maps, sample_material_maps_quad,
+            srgb_to_linear, texture_feedback)
+        tex_id = interp[..., I_TEX].astype(jnp.int32)
         tex_id = jnp.where(hit, tex_id, -1)
-        pos3 = rec[..., 49:58].reshape(h, w, 3, 3)
-
-        # analytic UV / world-position derivatives: re-evaluate the
-        # interpolation one pixel right / below (pure register math)
-        def interp_at(dpx, dpy):
-            l2 = (e[..., 0] * (pxn + dpx / w)[..., None]
-                  + e[..., 1] * (pyn + dpy / h)[..., None] + e[..., 2])
-            lw2 = l2 * rec[..., 9:12]
-            d2 = jnp.sum(lw2, -1, keepdims=True)
-            pc2 = lw2 / jnp.where(jnp.abs(d2) < 1e-30, 1e-30, d2)
-            return (jnp.sum(uvs3 * pc2[..., None], axis=-2),
-                    jnp.sum(pos3 * pc2[..., None], axis=-2))
-        uv_x, p_x = interp_at(1.0, 0.0)
-        uv_y, p_y = interp_at(0.0, 1.0)
-        duv_dx = uv_x - uv
-        duv_dy = uv_y - uv
-        statics = rec[..., 47].astype(jnp.int32)
+        duv_dx = interp[..., I_DUVX]
+        duv_dy = interp[..., I_DUVY]
+        statics = interp[..., I_STAT].astype(jnp.int32)
         tw0 = (statics % 2048).astype(jnp.float32)
         th0 = ((statics // 2048) % 2048).astype(jnp.float32)
         twrap = statics // (2048 * 2048)
-        maps = sample_material_maps(
-            atlas, tex_id, uv, duv_dx, duv_dy,
-            wrap=twrap, base_wh=(tw0, th0))
+        if quad_taps and h % 2 == 0 and w % 2 == 0:
+            maps = sample_material_maps_quad(
+                atlas, tex_id, uv, duv_dx, duv_dy,
+                wrap=twrap, base_wh=(tw0, th0))
+        else:
+            maps = sample_material_maps(
+                atlas, tex_id, uv, duv_dx, duv_dy,
+                wrap=twrap, base_wh=(tw0, th0))
         desired = maps['desired']
         tex_rgba = jnp.concatenate(
             [srgb_to_linear(maps['base'][..., :3]),
@@ -186,24 +254,14 @@ def resolve_gbuffer(records, depth, tri_id, jitter, cfg, atlas=None,
         metal = metal * maps['mr'][..., 2]
         emissive = emissive * srgb_to_linear(maps['emissive'][..., :3])
 
-        # normal mapping via the per-pixel cotangent frame (Schueler;
-        # CalculateTBNWithoutTangent parity) from analytic dP / dUV
-        dp1 = p_x - jnp.sum(pos3 * pc[..., None], axis=-2)
-        dp2 = p_y - jnp.sum(pos3 * pc[..., None], axis=-2)
-        dp1perp = jnp.cross(n_w, dp1)
-        dp2perp = jnp.cross(dp2, n_w)
-        t_vec = (dp2perp * duv_dx[..., 0:1] + dp1perp * duv_dy[..., 0:1])
-        b_vec = (dp2perp * duv_dx[..., 1:2] + dp1perp * duv_dy[..., 1:2])
-        inv_max = jax.lax.rsqrt(jnp.maximum(
-            jnp.maximum(jnp.sum(t_vec * t_vec, -1),
-                        jnp.sum(b_vec * b_vec, -1)), 1e-20))[..., None]
+        # normal mapping in the precomputed cotangent frame
+        t_n = interp[..., I_T]
+        b_n = interp[..., I_B]
         n_ts = maps['normal'][..., :3] * 2.0 - 1.0
-        n_mapped = normalize(t_vec * inv_max * n_ts[..., 0:1]
-                             + b_vec * inv_max * n_ts[..., 1:2]
+        n_mapped = normalize(t_n * n_ts[..., 0:1] + b_n * n_ts[..., 1:2]
                              + n_w * n_ts[..., 2:3])
-        # degenerate UVs (inv_max huge x zero vectors) fall back to n_w
-        ok_tbn = (jnp.maximum(jnp.sum(t_vec * t_vec, -1),
-                              jnp.sum(b_vec * b_vec, -1)) > 1e-16)
+        ok_tbn = (jnp.maximum(jnp.sum(t_n * t_n, -1),
+                              jnp.sum(b_n * b_n, -1)) > 0.0)
         n_w = jnp.where((ok_tbn & (tex_id >= 0))[..., None],
                         n_mapped, n_w)
         tex_feedback = texture_feedback(tex_id, desired, num_textures)
@@ -219,7 +277,7 @@ def resolve_gbuffer(records, depth, tri_id, jitter, cfg, atlas=None,
     alpha = jnp.where(hit, base_color[..., 3], 0.0)
     out = dict(
         alpha=alpha,
-        alpha_cutoff=rec[..., 48],
+        alpha_cutoff=interp[..., I_CUT],
         gbuffer0=jnp.where(hit, g0, zero),
         gbuffer1=jnp.where(hit, g1, zero),
         gbuffer2=jnp.where(hit, g2, zero),
@@ -232,6 +290,17 @@ def resolve_gbuffer(records, depth, tri_id, jitter, cfg, atlas=None,
         out['tex_feedback'] = tex_feedback
         out['tex_desired_mip'] = desired_plane
     return out
+
+
+def resolve_gbuffer(records, depth, tri_id, jitter, cfg, atlas=None,
+                    num_textures: int = 0, quad_taps: bool = False):
+    """Per-pixel resolve from (T, 64) records + the visibility buffer:
+    resolve_interpolants + finish_gbuffer.  The Pallas frame path instead
+    gets the interpolant stack straight from the fill kernel and calls
+    finish_gbuffer directly."""
+    interp = resolve_interpolants(records, depth, tri_id, cfg)
+    return finish_gbuffer(interp, depth, tri_id, jitter, cfg, atlas=atlas,
+                          num_textures=num_textures, quad_taps=quad_taps)
 
 
 def unpack_gbuffer(gb: dict):

@@ -10,6 +10,7 @@ virtual-texture system uses.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from toyrenderer_tpu.ops.packing import unpack_rgba8_u32
@@ -96,6 +97,119 @@ def sample_material_maps(atlas: dict, ent_id, uv, duv_dx=None,
              + (quad[..., 2, :] * (1 - fx) + quad[..., 3, :] * fx) * fy)
         out[name] = jnp.where(valid, c, neutral[mi])
     out['desired'] = desired
+    return out
+
+
+def _minpool2(x):
+    """2x2 stride-2 min pool of a 2D plane — lax.reduce_window hits the
+    TPU fast path (same op the HZB chain uses); strided slicing/jnp.repeat
+    on the lane dim would be relayout shuffles costing ms at 1080p."""
+    return jax.lax.reduce_window(x, x.dtype.type(jnp.inf)
+                                 if jnp.issubdtype(x.dtype, jnp.floating)
+                                 else jnp.iinfo(x.dtype).max,
+                                 jax.lax.min, (2, 2), (2, 2), 'VALID')
+
+
+def _maxpool2(x):
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                 (2, 2), (2, 2), 'VALID')
+
+
+def _quad_expand_ch(x):
+    """(Hq, Wq, C) -> (2Hq, 2Wq, C) nearest expansion.  With a trailing
+    channel dim the minor (sublane, lane) dims are (W, C), so both
+    repeats avoid lane-dim relayouts (measured 0.07 ms at 1080p x 22ch
+    vs 0.4 ms for broadcast+reshape and ~5 ms for 2D-plane repeats)."""
+    return jnp.repeat(jnp.repeat(x, 2, axis=0), 2, axis=1)
+
+
+def sample_material_maps_quad(atlas: dict, ent_id, uv, duv_dx, duv_dy,
+                              wrap, base_wh):
+    """Quad-shared material sampling: ONE atlas row gather per 2x2 pixel
+    quad instead of per pixel (gathers are latency-bound per ROW on TPU,
+    so tap count — not width — sets the cost; this is 4x fewer taps).
+
+    The quad samples at mip+1 (one level coarser than the per-pixel
+    footprint) so its 2x2 texel row covers all four pixels; each pixel
+    then applies its OWN bilinear weights inside that footprint.  The
+    net effect is per-pixel bilinear filtering at a +1 mip bias — the
+    speed/sharpness trade the reference makes with its half-resolution
+    passes, recovered partly by TAA.  The quad representative is the
+    per-field 2x2 min (fields agree exactly on single-material quads;
+    mixed quads are silhouette edges, <2% of pixels, which reuse the
+    representative's row).  Untextured pixels still resolve to neutral.
+
+    All inputs are FULL-resolution (H, W[, n]) with H, W even; returns
+    the same dict as sample_material_maps at full resolution ('desired'
+    is the biased mip actually sampled, at quad rate, expanded — the
+    feedback path keeps residency matched to real use).
+    """
+    f32 = jnp.float32
+    big = jnp.int32(1 << 20)
+    tid_q = jnp.minimum(
+        _minpool2(jnp.where(ent_id >= 0, ent_id, big)),
+        jnp.int32(atlas['tex_wrap'].shape[0] - 1))
+    tid_q = jnp.maximum(tid_q, 0)
+    u0_q = _minpool2(uv[..., 0])
+    v0_q = _minpool2(uv[..., 1])
+    wrap_q = _minpool2(wrap)
+    w0_q = _minpool2(base_wh[0])
+    h0_q = _minpool2(base_wh[1])
+
+    # footprint of the WHOLE quad: max per-pixel footprint + 1 level
+    des_px = mip_from_derivatives(duv_dx, duv_dy, base_wh[0], base_wh[1])
+    des_q = _maxpool2(des_px) + 1.0
+    mip = jnp.clip(jnp.round(des_q), 0.0, MAX_MIPS - 1.0).astype(jnp.int32)
+
+    row = atlas['tex_desc'][tid_q * MAX_MIPS + mip]       # (Hq, Wq, 4)
+    off, mw, mh = row[..., 0], row[..., 1], row[..., 2]
+
+    u_q = u0_q * mw.astype(f32) - 0.5
+    v_q = v0_q * mh.astype(f32) - 0.5
+    x0 = jnp.floor(u_q)
+    y0 = jnp.floor(v_q)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    rep_x = jnp.mod(x0i, jnp.maximum(mw, 1))
+    rep_y = jnp.mod(y0i, jnp.maximum(mh, 1))
+    x = jnp.where(wrap_q == WRAP_REPEAT, rep_x, jnp.clip(x0i, 0, mw - 1))
+    y = jnp.where(wrap_q == WRAP_REPEAT, rep_y, jnp.clip(y0i, 0, mh - 1))
+    idx = jnp.clip(off + y * mw + x, 0, atlas['tex_texels'].shape[0] - 1)
+    rows_q = atlas['tex_texels'][idx]                     # (Hq, Wq, 16)
+
+    # ONE channel-packed nearest upsample carries the gathered rows AND
+    # the quad metadata back to full res (no 2D-plane repeats)
+    meta_q = jnp.stack([x0, y0, mw.astype(f32), mh.astype(f32),
+                        u_q, v_q], axis=-1)               # (Hq, Wq, 6)
+    meta = _quad_expand_ch(meta_q)                        # (H, W, 6)
+    rows = _quad_expand_ch(rows_q)                        # (H, W, 16)
+
+    # full-res per-pixel weights INSIDE the quad's 2x2 footprint
+    u_p = uv[..., 0] * meta[..., 2] - 0.5
+    v_p = uv[..., 1] * meta[..., 3] - 0.5
+    fx = jnp.clip(u_p - meta[..., 0], 0.0, 1.0)[..., None]
+    fy = jnp.clip(v_p - meta[..., 1], 0.0, 1.0)[..., None]
+    # REPEAT wrap discontinuity inside a quad: offsets land far outside
+    # [0, 1]; snap those pixels to the representative's own weights
+    ok_u = jnp.abs(u_p - meta[..., 4]) < 2.0
+    ok_v = jnp.abs(v_p - meta[..., 5]) < 2.0
+    fq_x = jnp.clip(meta[..., 4] - meta[..., 0], 0.0, 1.0)[..., None]
+    fq_y = jnp.clip(meta[..., 5] - meta[..., 1], 0.0, 1.0)[..., None]
+    fx = jnp.where(ok_u[..., None], fx, fq_x)
+    fy = jnp.where(ok_v[..., None], fy, fq_y)
+    neutral = jnp.asarray([[1.0, 1.0, 1.0, 1.0],
+                           [0.5, 0.5, 1.0, 1.0],
+                           [1.0, 1.0, 1.0, 1.0],
+                           [1.0, 1.0, 1.0, 1.0]], jnp.float32)
+    valid = (ent_id >= 0)[..., None]
+    out = {}
+    for mi, name in enumerate(('base', 'normal', 'mr', 'emissive')):
+        quad = unpack_rgba8_u32(rows[..., mi * 4:(mi + 1) * 4])
+        c = ((quad[..., 0, :] * (1 - fx) + quad[..., 1, :] * fx)
+             * (1 - fy)
+             + (quad[..., 2, :] * (1 - fx) + quad[..., 3, :] * fx) * fy)
+        out[name] = jnp.where(valid, c, neutral[mi])
+    out['desired'] = _quad_expand_ch(des_q[..., None])[..., 0]
     return out
 
 
