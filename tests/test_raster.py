@@ -209,7 +209,17 @@ def test_fill_resolve_stream_matches_xla_fill():
     rec_img = np.asarray(rec_tiles_to_image(rec_s, cfg))
     recs = np.asarray(records)
     m = id_s >= 0
-    assert np.array_equal(rec_img[m], recs[np.maximum(id_s, 0)][m])
+    want = recs[np.maximum(id_s, 0)][m]
+    got = rec_img[m]
+    # the hi/lo bf16 MXU fetch restores ~2^-18 relative accuracy (a
+    # single bf16 pass, which Mosaic uses for f32 dots, would only give
+    # 2^-9 — breaking packed statics/ids)
+    assert np.allclose(got, want, rtol=1.6e-5, atol=1e-6), \
+        np.abs(got - want).max()
+    # integer-ish channels (mat id 45, atlas entry 46, statics 47/58)
+    # must survive the fetch EXACTLY after rounding
+    for ch in (45, 46, 47, 58):
+        assert np.array_equal(np.round(got[:, ch]), want[:, ch]), ch
 
     # phase-2 continuation: a different init plane must carry through
     z2r, id2r = R.fill_visibility(

@@ -32,12 +32,15 @@ RESOLVE_REC = 64
 #  36:40  base color RGBA      40:42  metallic, roughness
 #  42:45  emissive             45    material id
 #  46     material atlas entry (-1 none; see scene/textures.py)
-#  47     texture statics: w0 + 2048*h0 + 2048^2*wrap (f32-exact < 2^24)
+#  47     texture statics A: w0 + 4096*wrap (small values: the hi/lo
+#         bf16 MXU fetch is exact to ~2^-18 relative, so packed statics
+#         must stay < ~2^14 to survive the round trip)
 #  48     alpha cutoff (alpha-masked set)
 #  49:58  world-space vertex positions (3 x 3) — for the per-pixel
 #         cotangent frame (normal mapping, toyrenderer_common.hlsli:
 #         235-247 CalculateTBNWithoutTangent parity)
-#  58:64  padding
+#  58     texture statics B: h0
+#  59:64  padding
 
 
 def pack_resolve_records(setup: dict, scene, inst_world, inst_adj,
@@ -74,7 +77,7 @@ def pack_resolve_records(setup: dict, scene, inst_world, inst_adj,
     tw0 = scene.tex_width[tex_safe, 0]
     th0 = scene.tex_height[tex_safe, 0]
     twrap = scene.tex_wrap[tex_safe]
-    tex_statics = (tw0 + 2048 * th0 + 2048 * 2048 * twrap)
+    tex_statics_a = (tw0 + 4096 * twrap)
 
     return jnp.concatenate([
         setup['edges'].reshape(t, 9),
@@ -85,10 +88,11 @@ def pack_resolve_records(setup: dict, scene, inst_world, inst_adj,
         base, mr, emis,
         mat.astype(jnp.float32)[:, None],
         tex.astype(jnp.float32)[:, None],
-        tex_statics.astype(jnp.float32)[:, None],
+        tex_statics_a.astype(jnp.float32)[:, None],
         scene.mat_alpha_cutoff[mat][:, None],
         world_pos.reshape(t, 9),
-        jnp.zeros((t, 6), jnp.float32),
+        th0.astype(jnp.float32)[:, None],
+        jnp.zeros((t, 5), jnp.float32),
     ], axis=1)
 
 
@@ -109,10 +113,10 @@ I_MR = slice(19, 21)     # metallic, roughness factors
 I_EMIS = slice(21, 24)   # emissive factor
 I_MAT = 24               # material id (f32-exact)
 I_TEX = 25               # material atlas entry (-1 none)
-I_STAT = 26              # texture statics (w0 + 2048*h0 + 2048^2*wrap)
+I_WS = 26                # texture statics A (w0 + 4096*wrap)
 I_CUT = 27               # alpha cutoff
 I_PREV = slice(28, 31)   # previous-frame clip x, y, w
-#                          31 is padding
+I_H0 = 31                # texture statics B (h0)
 
 
 def resolve_interpolants(records, depth, tri_id, cfg):
@@ -182,10 +186,10 @@ def resolve_interpolants(records, depth, tri_id, cfg):
         rec[..., 42:45],                        # emissive
         rec[..., 45:46],                        # material id
         rec[..., 46:47],                        # atlas entry
-        rec[..., 47:48],                        # texture statics
+        rec[..., 47:48],                        # texture statics A
         rec[..., 48:49],                        # alpha cutoff
         prev_xyw,
-        jnp.zeros((h, w, 1), jnp.float32),
+        rec[..., 58:59],                        # texture statics B (h0)
     ], axis=-1)
 
 
@@ -232,10 +236,10 @@ def finish_gbuffer(interp, depth, tri_id, jitter, cfg, atlas=None,
         tex_id = jnp.where(hit, tex_id, -1)
         duv_dx = interp[..., I_DUVX]
         duv_dy = interp[..., I_DUVY]
-        statics = interp[..., I_STAT].astype(jnp.int32)
-        tw0 = (statics % 2048).astype(jnp.float32)
-        th0 = ((statics // 2048) % 2048).astype(jnp.float32)
-        twrap = statics // (2048 * 2048)
+        statics = jnp.round(interp[..., I_WS]).astype(jnp.int32)
+        tw0 = (statics % 4096).astype(jnp.float32)
+        twrap = statics // 4096
+        th0 = jnp.round(interp[..., I_H0])
         if quad_taps and h % 2 == 0 and w % 2 == 0:
             maps = sample_material_maps_quad(
                 atlas, tex_id, uv, duv_dx, duv_dy,

@@ -281,23 +281,33 @@ def _fill_resolve_kernel(counts_ref,     # scalar prefetch (tiles, 2) i32
         make_body(lambda b: bigcomb_ref[pl.ds(b, c), :16], k_cap,
                   big_count), 0)
 
-    # --- one-hot MXU record fetch: contract slots on dim 0 (no transposes)
-    res_tile = comb_ref[0, :, 16:]                     # (K, R)
-    res_big = bigcomb_ref[:, 16:]                      # (B, R)
+    # --- one-hot MXU record fetch: contract slots on dim 0 (no
+    # transposes).  hi/lo bf16 split keeps the fetch faithful: Mosaic
+    # lowers f32 dots to ONE bf16 MXU pass, which silently rounds
+    # records (see _fill_resolve_stream_kernel for the full rationale).
+    def hilo(x):
+        hi = x.astype(jnp.bfloat16)
+        return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    res_tile_hi, res_tile_lo = hilo(comb_ref[0, :, 16:])   # (K, R)
+    res_big_hi, res_big_lo = hilo(bigcomb_ref[:, 16:])     # (B, R)
     dn = (((0,), (0,)), ((), ()))                      # contract slot dims
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (k_cap, tw), 0)
     iota_b = jax.lax.broadcasted_iota(jnp.int32, (b_cap, tw), 0)
+
+    def fetch(hi, lo, oh):
+        return (jax.lax.dot_general(
+                    hi, oh, dn, preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(
+                    lo, oh, dn, preferred_element_type=jnp.float32))
+
     for r in range(th):                                # static unroll
         srow = slot_scr[r:r + 1, :]                    # (1, TW)
-        oh_k = (iota_k == srow).astype(jnp.float32)    # (K, TW)
-        oh_b = (iota_b == (srow - k_cap)).astype(jnp.float32)
+        oh_k = (iota_k == srow).astype(jnp.bfloat16)   # (K, TW)
+        oh_b = (iota_b == (srow - k_cap)).astype(jnp.bfloat16)
         # contracting dim0 of (K,R) with dim0 of (K,TW) yields (R, TW)
-        fetched = (jax.lax.dot_general(
-                       res_tile, oh_k, dn,
-                       preferred_element_type=jnp.float32)
-                   + jax.lax.dot_general(
-                       res_big, oh_b, dn,
-                       preferred_element_type=jnp.float32))
+        fetched = (fetch(res_tile_hi, res_tile_lo, oh_k)
+                   + fetch(res_big_hi, res_big_lo, oh_b))
         keep = srow < 0                                # init/background
         init = init_rec_ref[0, r]                      # (R, TW)
         rec_out[0, r] = jnp.where(keep, init, fetched)
@@ -475,13 +485,18 @@ def _fill_resolve_stream_kernel(
             best_slot = jnp.where(upd, slot_origin + base + r, best_slot)
         return best_z, best_id, best_slot
 
-    best = (z_out[0], id_out[0], slot_scr[...])
-    best = raster_rows(comb_ref[0, :, :16], slot_base, count, 0, best)
-    z_out[0], id_out[0], slot_scr[...] = best
+    # padding chunks (mandatory chunk of an empty tile / budget replay)
+    # skip the raster entirely — at 1080p ~half the grid steps are
+    # empty-tile mandatory chunks, pure VPU waste without this guard
+    @pl.when(slot_base < count)
+    def _():
+        best = (z_out[0], id_out[0], slot_scr[...])
+        best = raster_rows(comb_ref[0, :, :16], slot_base, count, 0, best)
+        z_out[0], id_out[0], slot_scr[...] = best
 
     # stash this chunk's resolve records for the epilogue's one-hot fetch
     # (padding chunks past K are masked by `count` and must not clobber)
-    @pl.when(slot_base < k_cap)
+    @pl.when(jnp.logical_and(slot_base < k_cap, slot_base < count))
     def _():
         rec_scr[pl.ds(slot_base, c), :] = comb_ref[0, :, 16:]
 
@@ -497,23 +512,46 @@ def _fill_resolve_stream_kernel(
                                   best2)
         z_out[0], id_out[0], slot_scr[...] = best2
 
-        # one-hot MXU record fetch (see _fill_resolve_kernel)
-        res_big = bigcomb_ref[:, 16:]
-        dn = (((0,), (0,)), ((), ()))
-        iota_k = jax.lax.broadcasted_iota(jnp.int32, (k_cap, tw), 0)
-        iota_b = jax.lax.broadcasted_iota(jnp.int32, (b_cap, tw), 0)
+        # one-hot MXU record fetch, count-blocked and bit-faithful:
+        #   - MXU matmuls run in bf16 regardless of f32 inputs, which
+        #     silently rounds fetched records (texture statics/ids break;
+        #     UVs swim).  Each 128-slot block is split hi = bf16(rec),
+        #     lo = rec - hi; one-hots are exact in bf16, so hi fetches
+        #     exactly and lo restores ~17 mantissa bits.
+        #   - blocks iterate ceil(count/128) instead of the full K cap,
+        #     so fetch FLOPs track real binned work.
         for r in range(th):
-            srow = slot_scr[r:r + 1, :]
-            oh_k = (iota_k == srow).astype(jnp.float32)
-            oh_b = (iota_b == (srow - k_cap)).astype(jnp.float32)
-            fetched = (jax.lax.dot_general(
-                           rec_scr[...], oh_k, dn,
-                           preferred_element_type=jnp.float32)
-                       + jax.lax.dot_general(
-                           res_big, oh_b, dn,
-                           preferred_element_type=jnp.float32))
-            keep = srow < 0
-            rec_out[0, r] = jnp.where(keep, init_rec_ref[0, r], fetched)
+            keep = slot_scr[r:r + 1, :] < 0
+            rec_out[0, r] = jnp.where(keep, init_rec_ref[0, r], 0.0)
+
+        dn = (((0,), (0,)), ((), ()))
+
+        def fetch_blocks(src, nblk, bsz, slot_shift):
+            def blk(b, _):
+                rows = src(b, bsz)                       # (bsz, R) f32
+                hi = rows.astype(jnp.bfloat16)
+                lo = (rows - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                for r in range(th):
+                    srow = slot_scr[r:r + 1, :] - slot_shift - b * bsz
+                    iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (bsz, tw), 0)
+                    oh = (iota == srow).astype(jnp.bfloat16)
+                    rec_out[0, r] += (
+                        jax.lax.dot_general(
+                            hi, oh, dn,
+                            preferred_element_type=jnp.float32)
+                        + jax.lax.dot_general(
+                            lo, oh, dn,
+                            preferred_element_type=jnp.float32))
+                return 0
+            jax.lax.fori_loop(0, nblk, blk, 0)
+
+        kb = 128 if k_cap % 128 == 0 else k_cap
+        fetch_blocks(lambda b, s: rec_scr[pl.ds(b * s, s), :],
+                     (jnp.minimum(count, k_cap) + kb - 1) // kb, kb, 0)
+        bb = 128 if b_cap % 128 == 0 else b_cap
+        fetch_blocks(lambda b, s: bigcomb_ref[pl.ds(b * s, s), 16:],
+                     (big_count + bb - 1) // bb, bb, k_cap)
 
 
 def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
