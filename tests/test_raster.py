@@ -171,8 +171,7 @@ def test_fill_resolve_stream_matches_xla_fill():
         meshlet_clip_triangles)
     from toyrenderer_tpu.ops import raster as R
     from toyrenderer_tpu.ops.gbuffer import pack_resolve_records
-    from toyrenderer_tpu.ops.raster_pallas import (
-        fill_resolve_stream, rec_tiles_to_image)
+    from toyrenderer_tpu.ops.raster_pallas import fill_resolve_stream
     from toyrenderer_tpu.engine import View
 
     s = load_scene("resources/cornell.gltf", use_cache=False)
@@ -206,19 +205,35 @@ def test_fill_resolve_stream_matches_xla_fill():
     assert np.allclose(z_ref, z_s, rtol=1e-6, atol=1e-7)
     assert (id_s >= 0).mean() > 0.5          # scene actually covers pixels
 
-    rec_img = np.asarray(rec_tiles_to_image(rec_s, cfg))
-    recs = np.asarray(records)
+    # the kernel's in-VMEM epilogue must reproduce the XLA interpolant
+    # resolve (the tested reference).  The hi/lo bf16 MXU fetch restores
+    # ~2^-18 relative accuracy on the records (a single bf16 pass, which
+    # Mosaic uses for f32 dots, would only give 2^-9), and the derivative
+    # planes (duv, T, B) subtract near-equal interpolants, so tolerances
+    # are per-plane.
+    from toyrenderer_tpu.ops import gbuffer as G
+    rec_img = np.asarray(rec_s)                      # (INTERP_C, H, W)
+    interp_ref = np.asarray(G.resolve_interpolants(
+        records, jnp.asarray(z_ref), jnp.asarray(id_ref), cfg))
     m = id_s >= 0
-    want = recs[np.maximum(id_s, 0)][m]
-    got = rec_img[m]
-    # the hi/lo bf16 MXU fetch restores ~2^-18 relative accuracy (a
-    # single bf16 pass, which Mosaic uses for f32 dots, would only give
-    # 2^-9 — breaking packed statics/ids)
-    assert np.allclose(got, want, rtol=1.6e-5, atol=1e-6), \
-        np.abs(got - want).max()
-    # integer-ish channels (mat id 45, atlas entry 46, statics 47/58)
-    # must survive the fetch EXACTLY after rounding
-    for ch in (45, 46, 47, 58):
+    want = interp_ref[:, m].T                        # (N, INTERP_C)
+    got = rec_img[:, m].T
+    assert got.shape[1] == G.INTERP_C
+    deriv = list(range(5, 15))                 # duv_dx/duv_dy/T/B planes
+    prev = list(range(28, 31))                 # clip-scale prev_xyw planes
+    for ch in range(G.INTERP_C):
+        tol = 2e-3 if ch in deriv else (1e-3 if ch in prev else 1e-4)
+        ok = np.isclose(got[:, ch], want[:, ch], rtol=tol, atol=tol)
+        # sub-pixel-thin silhouette slivers amplify the 2^-18 fetch error
+        # through near-zero barycentric denominators — bound the outlier
+        # fraction, and bound how far even those stray
+        assert ok.mean() > 0.995, (ch, ok.mean())
+        ok10 = np.isclose(got[:, ch], want[:, ch],
+                          rtol=10 * tol, atol=10 * tol)
+        assert ok10.mean() > 0.9995, (ch, ok10.mean())
+    # integer-ish planes (mat id, atlas entry, statics A/B) must survive
+    # the fetch + epilogue EXACTLY after rounding
+    for ch in (G.I_MAT, G.I_TEX, G.I_WS, G.I_H0):
         assert np.array_equal(np.round(got[:, ch]), want[:, ch]), ch
 
     # phase-2 continuation: a different init plane must carry through

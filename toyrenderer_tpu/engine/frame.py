@@ -149,26 +149,41 @@ def _raster_with_records(scene, geo, cfg, use_pallas, inst_world,
                          inst_adj, prev_inst_world, prev_vp,
                          init_depth=None,
                          init_tri_id=None, init_rec=None,
-                         emit_base: int = 0, tiles_io: bool = False):
-    """setup + bin + fill, producing per-pixel resolve records.
+                         emit_base: int = 0, padded_io: bool = False,
+                         sp_mesh=None):
+    """setup + bin + fill, producing per-pixel resolve data.
 
     Pallas path: the fused fill+resolve kernel fetches records via one-hot
-    MXU matmuls (no per-pixel gather).  Returns
-    (setup, records, depth, tri_id, rec_tiles-or-None); `records` is the
-    (T, R) array (CPU resolve gathers it), rec_tiles the fused output.
+    MXU matmuls (no per-pixel gather) and resolves them to the interpolant
+    stack in-kernel.  Returns (setup, records, depth, tri_id,
+    interp-or-None); `records` is the (T, 64) raw array (the CPU resolve
+    gathers it), interp the (INTERP_C, H, W) fused channel-first
+    interpolant output (-> resolve_gbuffer).  padded_io keeps images
+    padded to the tile grid across multi-phase fills.
     """
     setup = raster_mod.setup_triangles(geo, cfg)
     records = pack_resolve_records(setup, scene, inst_world, inst_adj,
                                    prev_inst_world, prev_vp)
     if use_pallas:
+        if sp_mesh is not None:
+            # single-frame multi-chip raster: tile rows shard over 'sp'
+            from toyrenderer_tpu.parallel.sp_raster import raster_frame_sp
+            mesh, axis = sp_mesh
+            depth, tid, interp, stats = raster_frame_sp(
+                setup, records, cfg, mesh, axis,
+                init_depth=init_depth, init_tri_id=init_tri_id,
+                init_rec=init_rec, emit_base=emit_base,
+                padded_io=padded_io,
+                interpret=jax.default_backend() not in ('tpu', 'axon'))
+            return setup, records, depth, tid, interp, stats
         from toyrenderer_tpu.ops.raster_pallas import fill_resolve_stream
         bins = raster_mod.bin_pairs_stream(setup, cfg)
-        depth, tid, rec_tiles = fill_resolve_stream(
+        depth, tid, interp = fill_resolve_stream(
             setup, records, bins, cfg,
             init_depth=init_depth, init_tri_id=init_tri_id,
-            init_rec=init_rec, emit_base=emit_base, tiles_io=tiles_io)
+            init_rec=init_rec, emit_base=emit_base, padded_io=padded_io)
         stats = _raster_stats(setup, bins)
-        return setup, records, depth, tid, rec_tiles, stats
+        return setup, records, depth, tid, interp, stats
     table, counts, big = raster_mod.bin_triangles(setup, cfg)
     depth, tid = raster_mod.fill_visibility(
         setup, table, big, cfg, init_depth=init_depth,
@@ -192,7 +207,7 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                  carry: FrameCarry, settings: RenderSettings,
                  ddgi_volume=None, trans_pair_inst=None,
                  trans_pair_meshlet=None, mask_pair_inst=None,
-                 mask_pair_meshlet=None):
+                 mask_pair_meshlet=None, sp_mesh=None):
     """One frame.  jit with static settings via `make_render_fn`.
 
     frame_inputs (all jnp arrays, dynamic):
@@ -223,7 +238,8 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     if settings.enable_culling and not settings.use_bruteforce_raster:
         records, depth, tri_id, cull_aux, new_hzb = _gbuffer_two_phase(
             scene, inst_world, inst_adj, prev_inst_world, frame_inputs,
-            carry, pair_inst, pair_meshlet, cfg, settings, use_pallas)
+            carry, pair_inst, pair_meshlet, cfg, settings, use_pallas,
+            sp_mesh=sp_mesh)
     else:
         geo = geo_mod.meshlet_clip_triangles(
             scene, inst_world, frame_inputs['view_proj'],
@@ -234,16 +250,11 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                 setup, scene, inst_world, inst_adj, prev_inst_world,
                 prev_vp)
         else:
-            (_, recs_t, depth, tri_id, rec_tiles,
+            (_, recs_t, depth, tri_id, interp,
              rstats) = _raster_with_records(
                 scene, geo, cfg, use_pallas, inst_world, inst_adj,
-                prev_inst_world, prev_vp)
-            if rec_tiles is not None:
-                from toyrenderer_tpu.ops.raster_pallas import (
-                    rec_tiles_to_image)
-                records = rec_tiles_to_image(rec_tiles, cfg)
-            else:
-                records = recs_t
+                prev_inst_world, prev_vp, sp_mesh=sp_mesh)
+            records = interp if interp is not None else recs_t
         cull_aux = {} if settings.use_bruteforce_raster else dict(
             **{f'raster_{k}': v for k, v in rstats.items()})
         new_hzb = None
@@ -268,15 +279,10 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         geo_m = geo_mod.meshlet_clip_triangles(
             scene, inst_world, frame_inputs['view_proj'],
             mask_pair_inst, mask_pair_meshlet)
-        _, recs_m, depth_m, tid_m, rtiles_m, _ = _raster_with_records(
+        _, recs_m, depth_m, tid_m, interp_m, _ = _raster_with_records(
             scene, geo_m, cfg, use_pallas, inst_world, inst_adj,
-            prev_inst_world, prev_vp)
-        if rtiles_m is not None:
-            from toyrenderer_tpu.ops.raster_pallas import (
-                rec_tiles_to_image)
-            rec_m = rec_tiles_to_image(rtiles_m, cfg)
-        else:
-            rec_m = recs_m
+            prev_inst_world, prev_vp, sp_mesh=sp_mesh)
+        rec_m = interp_m if interp_m is not None else recs_m
         gb_m = resolve_gbuffer(rec_m, depth_m, tid_m,
                                frame_inputs['jitter'], cfg, atlas=atlas,
                                num_textures=scene.num_textures,
@@ -432,15 +438,10 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         geo_t = geo_mod.meshlet_clip_triangles(
             scene, inst_world, frame_inputs['view_proj'],
             trans_pair_inst, trans_pair_meshlet)
-        _, recs_t2, depth_t, tid_t, rtiles_t, _ = _raster_with_records(
+        _, recs_t2, depth_t, tid_t, interp_t, _ = _raster_with_records(
             scene, geo_t, cfg, use_pallas, inst_world, inst_adj,
-            prev_inst_world, prev_vp)
-        if rtiles_t is not None:
-            from toyrenderer_tpu.ops.raster_pallas import (
-                rec_tiles_to_image)
-            rec_t = rec_tiles_to_image(rtiles_t, cfg)
-        else:
-            rec_t = recs_t2
+            prev_inst_world, prev_vp, sp_mesh=sp_mesh)
+        rec_t = interp_t if interp_t is not None else recs_t2
         gb_t = resolve_gbuffer(rec_t, depth_t, tid_t,
                                frame_inputs['jitter'], cfg, atlas=atlas,
                                num_textures=scene.num_textures)
@@ -527,7 +528,7 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
 
 def _gbuffer_two_phase(scene, inst_world, inst_adj, prev_inst_world,
                        frame_inputs, carry, pair_inst, pair_meshlet, cfg,
-                       settings, use_pallas):
+                       settings, use_pallas, sp_mesh=None):
     """GPU-driven 2-phase occlusion-culled GBuffer pass.
 
     Phase 1 (early): instances that pass frustum AND were visible against
@@ -560,13 +561,13 @@ def _gbuffer_two_phase(scene, inst_world, inst_adj, prev_inst_world,
     geo1 = geo_mod.meshlet_clip_triangles(
         scene, inst_world, frame_inputs['view_proj'], pi1, pm1, pv1)
     prev_vp = frame_inputs['prev_view_proj_nojitter']
-    setup1, recs1, depth1, tid1, rec_tiles1, rs1 = _raster_with_records(
+    setup1, recs1, depth1, tid1, interp1, rs1 = _raster_with_records(
         scene, geo1, cfg, use_pallas, inst_world, inst_adj,
-        prev_inst_world, prev_vp, tiles_io=use_pallas)
+        prev_inst_world, prev_vp, padded_io=use_pallas, sp_mesh=sp_mesh)
 
     if use_pallas:
-        from toyrenderer_tpu.ops.raster_pallas import _tiles_to_image
-        depth1_img = _tiles_to_image(depth1, cfg)
+        from toyrenderer_tpu.ops.raster_pallas import crop_image
+        depth1_img = crop_image(depth1, cfg)
     else:
         depth1_img = depth1
     hzb_mid = hzb_mod.build_hzb(depth1_img, w, h)
@@ -589,17 +590,17 @@ def _gbuffer_two_phase(scene, inst_world, inst_adj, prev_inst_world,
     geo2 = geo_mod.meshlet_clip_triangles(
         scene, inst_world, frame_inputs['view_proj'], pi2, pm2, pv2)
     t1 = setup1['valid'].shape[0]
-    setup2, recs2, depth, tri_id, rec_tiles, rs2 = _raster_with_records(
+    setup2, recs2, depth, tri_id, interp, rs2 = _raster_with_records(
         scene, geo2, cfg, use_pallas, inst_world, inst_adj,
         prev_inst_world, prev_vp, init_depth=depth1, init_tri_id=tid1,
-        init_rec=rec_tiles1, emit_base=t1, tiles_io=use_pallas)
+        init_rec=interp1, emit_base=t1, padded_io=use_pallas,
+        sp_mesh=sp_mesh)
 
-    if rec_tiles is not None:
-        from toyrenderer_tpu.ops.raster_pallas import (
-            _tiles_to_image, rec_tiles_to_image)
-        records = rec_tiles_to_image(rec_tiles, cfg)
-        depth = _tiles_to_image(depth, cfg)
-        tri_id = _tiles_to_image(tri_id, cfg)
+    if interp is not None:
+        from toyrenderer_tpu.ops.raster_pallas import crop_image
+        records = crop_image(interp, cfg)
+        depth = crop_image(depth, cfg)
+        tri_id = crop_image(tri_id, cfg)
     else:
         # CPU path: per-pixel gather over the concatenated phase records
         records = jnp.concatenate([recs1, recs2], axis=0)

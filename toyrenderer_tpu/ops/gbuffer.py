@@ -97,10 +97,13 @@ def pack_resolve_records(setup: dict, scene, inst_world, inst_adj,
 
 
 # interpolant plane stack: the per-pixel quantities that survive the
-# barycentric resolve.  The fused Pallas kernel computes these IN VMEM
-# (raster_pallas._fill_resolve_stream_kernel epilogue) so only 32 planes
-# leave the kernel instead of the raw 64-float records; the CPU path
-# computes the identical stack in XLA (resolve_interpolants).
+# barycentric resolve, stored CHANNEL-FIRST as (INTERP_C, H, W) planes —
+# the layout the Pallas kernel emits directly (each plane is a clean
+# (H, W) array, no strided channel slicing downstream).  The fused
+# kernel computes these IN VMEM (_fill_resolve_stream_kernel epilogue)
+# so only 32 planes leave the kernel instead of the raw 64-float
+# records; the CPU path computes the identical stack in XLA
+# (resolve_interpolants).
 INTERP_C = 32
 I_NRM = slice(0, 3)      # interpolated (normalized) world normal
 I_UV = slice(3, 5)       # interpolated UV
@@ -121,7 +124,7 @@ I_H0 = 31                # texture statics B (h0)
 
 def resolve_interpolants(records, depth, tri_id, cfg):
     """Per-pixel barycentric resolve: (T, 64) records + visibility buffer
-    -> (H, W, 32) interpolant stack (see layout above).
+    -> (INTERP_C, H, W) interpolant planes (see layout above).
 
     This is the XLA reference for the Pallas kernel's in-VMEM epilogue;
     tests assert the two match.
@@ -175,11 +178,14 @@ def resolve_interpolants(records, depth, tri_id, cfg):
     m2 = jnp.maximum(jnp.sum(t_vec * t_vec, -1),
                      jnp.sum(b_vec * b_vec, -1))
     inv_max = jax.lax.rsqrt(jnp.maximum(m2, 1e-20))[..., None]
-    ok_tbn = (m2 > 1e-16)[..., None]
+    # degenerate/constant UVs make duv pure f32 rounding noise (~1e-7);
+    # gate on |duv|^2 so the frame is zeroed instead of normalized noise
+    duv2 = (jnp.sum(duv_dx * duv_dx, -1) + jnp.sum(duv_dy * duv_dy, -1))
+    ok_tbn = ((m2 > 1e-16) & (duv2 > 1e-12))[..., None]
     t_n = jnp.where(ok_tbn, t_vec * inv_max, 0.0)
     b_n = jnp.where(ok_tbn, b_vec * inv_max, 0.0)
 
-    return jnp.concatenate([
+    stack = jnp.concatenate([
         n_w, uv, duv_dx, duv_dy, t_n, b_n,
         rec[..., 36:40],                        # base color factor
         rec[..., 40:42],                        # metallic, roughness
@@ -191,11 +197,12 @@ def resolve_interpolants(records, depth, tri_id, cfg):
         prev_xyw,
         rec[..., 58:59],                        # texture statics B (h0)
     ], axis=-1)
+    return jnp.moveaxis(stack, -1, 0)           # channel-first planes
 
 
 def finish_gbuffer(interp, depth, tri_id, jitter, cfg, atlas=None,
                    num_textures: int = 0, quad_taps: bool = False):
-    """Interpolant stack -> textured, packed GBuffer dict.
+    """Interpolant planes (INTERP_C, H, W) -> textured, packed GBuffer.
 
     jitter: (2,) current sub-pixel jitter in pixels (for unjittered motion
     vectors, like the reference's motion output).
@@ -209,9 +216,14 @@ def finish_gbuffer(interp, depth, tri_id, jitter, cfg, atlas=None,
     px = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
     py = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5
 
-    n_w = interp[..., I_NRM]
-    uv = interp[..., I_UV]
-    prev_xyw = interp[..., I_PREV]
+    def ch(sl):
+        """Plane group -> channel-last (H, W, k) view (fuses: a transpose
+        feeding elementwise consumers is an index remap, not a copy)."""
+        return jnp.moveaxis(interp[sl], 0, -1)
+
+    n_w = ch(I_NRM)
+    uv = ch(I_UV)
+    prev_xyw = ch(I_PREV)
     pw_safe = jnp.where(jnp.abs(prev_xyw[..., 2:3]) < 1e-8, 1e-8,
                         prev_xyw[..., 2:3])
     prev_ndc = prev_xyw[..., :2] / pw_safe
@@ -221,25 +233,25 @@ def finish_gbuffer(interp, depth, tri_id, jitter, cfg, atlas=None,
     motion = jnp.where((hit & (prev_xyw[..., 2] > 0))[..., None],
                        cur_px - prev_px, 0.0)
 
-    base_color = interp[..., I_BASE]
-    metal = jnp.clip(interp[..., 19], 0.0, 1.0)
-    rough = jnp.clip(interp[..., 20], 0.02, 1.0)
-    emissive = jnp.maximum(interp[..., I_EMIS], 0.0)
-    mat_id = interp[..., I_MAT].astype(jnp.uint32)
+    base_color = ch(I_BASE)
+    metal = jnp.clip(interp[19], 0.0, 1.0)
+    rough = jnp.clip(interp[20], 0.02, 1.0)
+    emissive = jnp.maximum(ch(I_EMIS), 0.0)
+    mat_id = interp[I_MAT].astype(jnp.uint32)
 
     tex_feedback = None
     if atlas is not None:
         from toyrenderer_tpu.ops.texture import (
             sample_material_maps, sample_material_maps_quad,
             srgb_to_linear, texture_feedback)
-        tex_id = interp[..., I_TEX].astype(jnp.int32)
+        tex_id = interp[I_TEX].astype(jnp.int32)
         tex_id = jnp.where(hit, tex_id, -1)
-        duv_dx = interp[..., I_DUVX]
-        duv_dy = interp[..., I_DUVY]
-        statics = jnp.round(interp[..., I_WS]).astype(jnp.int32)
+        duv_dx = ch(I_DUVX)
+        duv_dy = ch(I_DUVY)
+        statics = jnp.round(interp[I_WS]).astype(jnp.int32)
         tw0 = (statics % 4096).astype(jnp.float32)
         twrap = statics // 4096
-        th0 = jnp.round(interp[..., I_H0])
+        th0 = jnp.round(interp[I_H0])
         if quad_taps and h % 2 == 0 and w % 2 == 0:
             maps = sample_material_maps_quad(
                 atlas, tex_id, uv, duv_dx, duv_dy,
@@ -259,8 +271,8 @@ def finish_gbuffer(interp, depth, tri_id, jitter, cfg, atlas=None,
         emissive = emissive * srgb_to_linear(maps['emissive'][..., :3])
 
         # normal mapping in the precomputed cotangent frame
-        t_n = interp[..., I_T]
-        b_n = interp[..., I_B]
+        t_n = ch(I_T)
+        b_n = ch(I_B)
         n_ts = maps['normal'][..., :3] * 2.0 - 1.0
         n_mapped = normalize(t_n * n_ts[..., 0:1] + b_n * n_ts[..., 1:2]
                              + n_w * n_ts[..., 2:3])
@@ -281,7 +293,7 @@ def finish_gbuffer(interp, depth, tri_id, jitter, cfg, atlas=None,
     alpha = jnp.where(hit, base_color[..., 3], 0.0)
     out = dict(
         alpha=alpha,
-        alpha_cutoff=interp[..., I_CUT],
+        alpha_cutoff=interp[I_CUT],
         gbuffer0=jnp.where(hit, g0, zero),
         gbuffer1=jnp.where(hit, g1, zero),
         gbuffer2=jnp.where(hit, g2, zero),
@@ -298,11 +310,15 @@ def finish_gbuffer(interp, depth, tri_id, jitter, cfg, atlas=None,
 
 def resolve_gbuffer(records, depth, tri_id, jitter, cfg, atlas=None,
                     num_textures: int = 0, quad_taps: bool = False):
-    """Per-pixel resolve from (T, 64) records + the visibility buffer:
-    resolve_interpolants + finish_gbuffer.  The Pallas frame path instead
-    gets the interpolant stack straight from the fill kernel and calls
-    finish_gbuffer directly."""
-    interp = resolve_interpolants(records, depth, tri_id, cfg)
+    """Per-pixel resolve + GBuffer pack from either input form:
+      * (T, 64) raw records + visibility buffer -> resolve_interpolants
+        then finish_gbuffer (the XLA path), or
+      * (INTERP_C, H, W) interpolant planes straight from the Pallas fill
+        kernel's in-VMEM epilogue -> finish_gbuffer directly."""
+    if records.ndim == 3 and records.shape[0] == INTERP_C:
+        interp = records
+    else:
+        interp = resolve_interpolants(records, depth, tri_id, cfg)
     return finish_gbuffer(interp, depth, tri_id, jitter, cfg, atlas=atlas,
                           num_textures=num_textures, quad_taps=quad_taps)
 

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from toyrenderer_tpu.ops.gbuffer import INTERP_C
 from toyrenderer_tpu.ops.raster import RasterConfig
 
 REC = 16
@@ -53,10 +54,10 @@ def pack_tri_records(setup: dict, ids=None) -> jnp.ndarray:
 def _fill_kernel(counts_ref,            # scalar prefetch: (tiles, 2) i32
                  rec_ref,               # (1, K, 16) f32 tile triangle recs
                  bigrec_ref,            # (B, 16) f32 big-triangle records
-                 init_z_ref,            # (1, TH, TW) f32
-                 init_id_ref,           # (1, TH, TW) i32
-                 z_out,                 # (1, TH, TW) f32
-                 id_out,                # (1, TH, TW) i32
+                 init_z_ref,            # (TH, TW) f32
+                 init_id_ref,           # (TH, TW) i32
+                 z_out,                 # (TH, TW) f32
+                 id_out,                # (TH, TW) i32
                  *, cfg: RasterConfig, chunk: int, emit_base: int):
     i = pl.program_id(0)
     ty = i // cfg.tiles_x
@@ -79,8 +80,8 @@ def _fill_kernel(counts_ref,            # scalar prefetch: (tiles, 2) i32
         def body(ci, _):
             base = pl.multiple_of(ci * c, c)
             rec = rec_src(base)                       # (C, 16)
-            best_z = z_out[0]
-            best_id = id_out[0]
+            best_z = z_out[...]
+            best_id = id_out[...]
             for j in range(c):
                 e = rec[j]
                 l0 = e[0] * pxn + e[1] * pyn + e[2]
@@ -98,8 +99,8 @@ def _fill_kernel(counts_ref,            # scalar prefetch: (tiles, 2) i32
                 best_z = jnp.where(upd, depth, best_z)
                 best_id = jnp.where(
                     upd, tri_id.astype(jnp.int32) + emit_base, best_id)
-            z_out[0] = best_z
-            id_out[0] = best_id
+            z_out[...] = best_z
+            id_out[...] = best_id
             return 0
         return body
 
@@ -118,7 +119,10 @@ def fill_visibility_pallas(setup: dict, tile_table, tile_count, big_list,
                            cfg: RasterConfig, init_depth=None,
                            init_tri_id=None, chunk: int = 8,
                            emit_base: int = 0):
-    """Pallas fill: returns (depth (H, W) f32, tri_id (H, W) i32)."""
+    """Pallas fill: returns (depth (H, W) f32, tri_id (H, W) i32).
+
+    Output blocks are placed straight into the (padded) image by the
+    BlockSpec index map — no tile<->image transposes anywhere."""
     rec = pack_tri_records(setup)                     # (T, 16)
     safe = jnp.maximum(tile_table, 0)
     tile_recs = rec[safe]                             # (tiles, K, 16)
@@ -134,13 +138,17 @@ def fill_visibility_pallas(setup: dict, tile_table, tile_count, big_list,
 
     n_tiles = cfg.num_tiles
     th, tw = cfg.tile_h, cfg.tile_w
+    hp, wp = cfg.tiles_y * th, cfg.tiles_x * tw
     if init_depth is None:
-        init_z = jnp.zeros((n_tiles, th, tw), jnp.float32)
-        init_id = jnp.full((n_tiles, th, tw), -1, jnp.int32)
+        init_z = jnp.zeros((hp, wp), jnp.float32)
+        init_id = jnp.full((hp, wp), -1, jnp.int32)
     else:
-        init_z = _image_to_tiles(init_depth, cfg)
-        init_id = _image_to_tiles(init_tri_id, cfg)
+        init_z = pad_image(init_depth, cfg)
+        init_id = pad_image(init_tri_id, cfg, fill=-1)
 
+    tile_block = pl.BlockSpec(
+        (th, tw), lambda i, c: (i // cfg.tiles_x, i % cfg.tiles_x),
+        memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -150,260 +158,67 @@ def fill_visibility_pallas(setup: dict, tile_table, tile_count, big_list,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cfg.max_big_tris, REC),
                          lambda i, c: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, tw), lambda i, c: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, tw), lambda i, c: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            tile_block,
+            tile_block,
         ],
-        out_specs=[
-            pl.BlockSpec((1, th, tw), lambda i, c: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, tw), lambda i, c: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[tile_block, tile_block],
     )
     z, tid = pl.pallas_call(
         functools.partial(_fill_kernel, cfg=cfg, chunk=chunk,
                           emit_base=emit_base),
         out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, th, tw), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, th, tw), jnp.int32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
         ),
         grid_spec=grid_spec,
     )(counts, tile_recs, big_recs, init_z, init_id)
-    return _tiles_to_image(z, cfg), _tiles_to_image(tid, cfg)
+    return crop_image(z, cfg), crop_image(tid, cfg)
+
+
+def pad_image(img, cfg: RasterConfig, fill=0):
+    """(..., H, W) -> (..., Hpad, Wpad) padded to the tile grid."""
+    hpad = cfg.tiles_y * cfg.tile_h - img.shape[-2]
+    wpad = cfg.tiles_x * cfg.tile_w - img.shape[-1]
+    if hpad == 0 and wpad == 0:
+        return img
+    pad = [(0, 0)] * (img.ndim - 2) + [(0, hpad), (0, wpad)]
+    return jnp.pad(img, pad, constant_values=fill)
+
+
+def crop_image(img, cfg: RasterConfig):
+    """(..., Hpad, Wpad) -> (..., H, W)."""
+    return img[..., :cfg.height, :cfg.width]
 
 
 def _image_to_tiles(img, cfg: RasterConfig):
+    """(H, W) -> (tiles, TH, TW) — XLA-fill helper (raster.py)."""
     th, tw = cfg.tile_h, cfg.tile_w
-    hpad = cfg.tiles_y * th - cfg.height
-    wpad = cfg.tiles_x * tw - cfg.width
-    p = jnp.pad(img, ((0, hpad), (0, wpad)))
+    p = pad_image(img, cfg)
     p = p.reshape(cfg.tiles_y, th, cfg.tiles_x, tw)
     return jnp.transpose(p, (0, 2, 1, 3)).reshape(cfg.num_tiles, th, tw)
 
 
 def _tiles_to_image(tiles, cfg: RasterConfig):
+    """(tiles, TH, TW) -> (H, W) — XLA-fill helper (raster.py)."""
     th, tw = cfg.tile_h, cfg.tile_w
     img = tiles.reshape(cfg.tiles_y, cfg.tiles_x, th, tw)
     img = jnp.transpose(img, (0, 2, 1, 3))
     img = img.reshape(cfg.tiles_y * th, cfg.tiles_x * tw)
-    return img[:cfg.height, :cfg.width]
-
-
-# ---------------------------------------------------------------------------
-# Fused fill + resolve-record fetch
-# ---------------------------------------------------------------------------
-#
-# The per-pixel gather of 52-float resolve records (records[tri_id]) is the
-# single most expensive op of the frame on TPU (~34 ms at 1080p: 2M random
-# 208-byte rows).  This kernel removes it entirely: the fill tracks each
-# pixel's winning LOCAL slot in the tile's triangle list, then fetches the
-# records with ONE-HOT MATMULS on the MXU — (pixels x slots) @ (slots x 52)
-# — the classic TPU gather-as-matmul reshaping.  Everything stays in the
-# transposed (R, lanes) orientation so no lane<->sublane reshapes are
-# needed: per pixel ROW, one-hot^T (slots x 128 lanes) contracts with
-# records^T (R x slots) into (R x 128).  Output records are written in
-# (tiles, TH, R, TW) layout and reassembled to an (H, W, R) image by pure
-# transposes in XLA.
-
-
-def _fill_resolve_kernel(counts_ref,     # scalar prefetch (tiles, 2) i32
-                         comb_ref,       # (1, K, 16+R) f32 fill+resolve recs
-                         bigcomb_ref,    # (B, 16+R) f32
-                         init_z_ref,     # (1, TH, TW) f32
-                         init_id_ref,    # (1, TH, TW) i32
-                         init_rec_ref,   # (1, TH, R, TW) f32
-                         z_out,          # (1, TH, TW) f32
-                         id_out,         # (1, TH, TW) i32
-                         rec_out,        # (1, TH, R, TW) f32
-                         slot_scr,       # scratch (TH, TW) i32
-                         *, cfg: RasterConfig, chunk: int, emit_base: int,
-                         rec_width: int):
-    i = pl.program_id(0)
-    ty = i // cfg.tiles_x
-    tx = i % cfg.tiles_x
-    th, tw = cfg.tile_h, cfg.tile_w
-    k_cap = cfg.max_tris_per_tile
-    b_cap = cfg.max_big_tris
-
-    colf = jax.lax.broadcasted_iota(
-        jnp.int32, (th, tw), 1).astype(jnp.float32) + 0.5
-    rowf = jax.lax.broadcasted_iota(
-        jnp.int32, (th, tw), 0).astype(jnp.float32) + 0.5
-    pxn = (tx.astype(jnp.float32) * tw + colf) * (1.0 / cfg.width)
-    pyn = (ty.astype(jnp.float32) * th + rowf) * (1.0 / cfg.height)
-
-    z_out[...] = init_z_ref[...]
-    id_out[...] = init_id_ref[...]
-    slot_scr[...] = jnp.full((th, tw), -1, jnp.int32)
-
-    c = chunk
-
-    def make_body(rec_src, slot_base, limit):
-        def body(ci, _):
-            base = pl.multiple_of(ci * c, c)
-            rec = rec_src(base)                       # (C, 16)
-            best_z = z_out[0]
-            best_id = id_out[0]
-            best_slot = slot_scr[...]
-            for j in range(c):
-                e = rec[j]
-                l0 = e[0] * pxn + e[1] * pyn + e[2]
-                l1 = e[3] * pxn + e[4] * pyn + e[5]
-                l2 = e[6] * pxn + e[7] * pyn + e[8]
-                num = l0 * e[9] + l1 * e[10] + l2 * e[11]
-                den = l0 * e[12] + l1 * e[13] + l2 * e[14]
-                inside = ((l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)
-                          & (den > 0.0))
-                depth = jnp.where(
-                    inside, num / jnp.where(den == 0.0, 1.0, den), -1.0)
-                # chunk overshoot guarded by the REAL count (no id
-                # re-stamping needed; slot 15 keeps the true global id)
-                upd = (depth > best_z) & (base + j < limit)
-                best_z = jnp.where(upd, depth, best_z)
-                best_id = jnp.where(
-                    upd, e[15].astype(jnp.int32) + emit_base, best_id)
-                best_slot = jnp.where(upd, slot_base + base + j, best_slot)
-            z_out[0] = best_z
-            id_out[0] = best_id
-            slot_scr[...] = best_slot
-            return 0
-        return body
-
-    count = counts_ref[i, 0]
-    jax.lax.fori_loop(
-        0, (count + c - 1) // c,
-        make_body(lambda b: comb_ref[0, pl.ds(b, c), :16], 0, count), 0)
-    big_count = counts_ref[i, 1]
-    jax.lax.fori_loop(
-        0, (big_count + c - 1) // c,
-        make_body(lambda b: bigcomb_ref[pl.ds(b, c), :16], k_cap,
-                  big_count), 0)
-
-    # --- one-hot MXU record fetch: contract slots on dim 0 (no
-    # transposes).  hi/lo bf16 split keeps the fetch faithful: Mosaic
-    # lowers f32 dots to ONE bf16 MXU pass, which silently rounds
-    # records (see _fill_resolve_stream_kernel for the full rationale).
-    def hilo(x):
-        hi = x.astype(jnp.bfloat16)
-        return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-
-    res_tile_hi, res_tile_lo = hilo(comb_ref[0, :, 16:])   # (K, R)
-    res_big_hi, res_big_lo = hilo(bigcomb_ref[:, 16:])     # (B, R)
-    dn = (((0,), (0,)), ((), ()))                      # contract slot dims
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (k_cap, tw), 0)
-    iota_b = jax.lax.broadcasted_iota(jnp.int32, (b_cap, tw), 0)
-
-    def fetch(hi, lo, oh):
-        return (jax.lax.dot_general(
-                    hi, oh, dn, preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(
-                    lo, oh, dn, preferred_element_type=jnp.float32))
-
-    for r in range(th):                                # static unroll
-        srow = slot_scr[r:r + 1, :]                    # (1, TW)
-        oh_k = (iota_k == srow).astype(jnp.bfloat16)   # (K, TW)
-        oh_b = (iota_b == (srow - k_cap)).astype(jnp.bfloat16)
-        # contracting dim0 of (K,R) with dim0 of (K,TW) yields (R, TW)
-        fetched = (fetch(res_tile_hi, res_tile_lo, oh_k)
-                   + fetch(res_big_hi, res_big_lo, oh_b))
-        keep = srow < 0                                # init/background
-        init = init_rec_ref[0, r]                      # (R, TW)
-        rec_out[0, r] = jnp.where(keep, init, fetched)
-
-
-def fill_resolve_pallas(setup: dict, resolve_records, tile_table,
-                        tile_count, big_list, cfg: RasterConfig,
-                        init_depth=None, init_tri_id=None, init_rec=None,
-                        chunk: int = 8, emit_base: int = 0,
-                        tiles_io: bool = False):
-    """Fused fill + record fetch.
-
-    resolve_records: (T, R) f32 from gbuffer.pack_resolve_records.
-    init_rec: optional (tiles, TH, R, TW) from a previous phase.
-    Returns (depth (H,W), tri_id (H,W), rec_tiles (tiles, TH, R, TW)).
-    Use rec_tiles_to_image() after the LAST phase.
-
-    tiles_io=True keeps depth/id in (tiles, TH, TW) layout on BOTH ends
-    (multi-phase pipelines avoid the tile<->image transposes between
-    phases — they are pure data formatting, ~1.5 ms each at 1080p).
-    """
-    r = resolve_records.shape[1]
-    # ONE fused (16 + R)-wide row gather per (tile, slot): fill setup and
-    # resolve record travel together; validity comes from the counts, so
-    # no id re-stamping copies are needed
-    comb = jnp.concatenate([pack_tri_records(setup), resolve_records], 1)
-    safe = jnp.maximum(tile_table, 0)
-    tile_comb = comb[safe]                             # (tiles, K, 16+R)
-    big_safe = jnp.maximum(big_list, 0)
-    big_comb = comb[big_safe]                          # (B, 16+R)
-    big_count = jnp.sum((big_list >= 0).astype(jnp.int32))
-    counts = jnp.stack(
-        [tile_count, jnp.broadcast_to(big_count, tile_count.shape)], 1)
-
-    n_tiles = cfg.num_tiles
-    th, tw = cfg.tile_h, cfg.tile_w
-    if init_depth is None:
-        init_z = jnp.zeros((n_tiles, th, tw), jnp.float32)
-        init_id = jnp.full((n_tiles, th, tw), -1, jnp.int32)
-    elif tiles_io:
-        init_z, init_id = init_depth, init_tri_id
-    else:
-        init_z = _image_to_tiles(init_depth, cfg)
-        init_id = _image_to_tiles(init_tri_id, cfg)
-    if init_rec is None:
-        init_rec = jnp.zeros((n_tiles, th, r, tw), jnp.float32)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, cfg.max_tris_per_tile, REC + r),
-                         lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cfg.max_big_tris, REC + r),
-                         lambda i, c: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, tw), lambda i, c: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, tw), lambda i, c: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, r, tw), lambda i, c: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, th, tw), lambda i, c: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, tw), lambda i, c: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, r, tw), lambda i, c: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[pltpu.VMEM((th, tw), jnp.int32)],
-    )
-    z, tid, rec_tiles = pl.pallas_call(
-        functools.partial(_fill_resolve_kernel, cfg=cfg, chunk=chunk,
-                          emit_base=emit_base, rec_width=r),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, th, tw), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, th, tw), jnp.int32),
-            jax.ShapeDtypeStruct((n_tiles, th, r, tw), jnp.float32),
-        ),
-        grid_spec=grid_spec,
-    )(counts, tile_comb, big_comb, init_z, init_id, init_rec)
-    if tiles_io:
-        return z, tid, rec_tiles
-    return _tiles_to_image(z, cfg), _tiles_to_image(tid, cfg), rec_tiles
+    return crop_image(img, cfg)
 
 
 # ---------------------------------------------------------------------------
 # Streamed fill + resolve: chunk grid over REAL binned pairs
 # ---------------------------------------------------------------------------
 #
-# The fused kernel above still streams a DENSE (tiles, K, 16+R) table — at
-# 1080p that is ~520k slots for ~30k real (tile, tri) pairs (measured on the
-# bench scene), and the XLA-side gathers that build it cost ~16 ms/frame.
-# This variant bins to a SORTED pair stream instead (raster.bin_pairs_stream)
-# and lets the Pallas grid walk chunk-aligned slices of it:
+# The per-pixel gather of resolve records (records[tri_id]) is the single
+# most expensive op of the frame on TPU (~34 ms at 1080p: 2M random 256-byte
+# rows).  This kernel removes it entirely: the fill tracks each pixel's
+# winning LOCAL slot in the tile's triangle list, then fetches the records
+# with ONE-HOT MATMULS on the MXU — (pixels x slots) @ (slots x R) — the
+# classic TPU gather-as-matmul reshaping.  Binning produces a SORTED pair
+# stream (raster.bin_pairs_stream) and the Pallas grid walks chunk-aligned
+# slices of it:
 #
 #   grid step j  =  one chunk of CHUNK_S pair records of tile chunk_tile[j]
 #
@@ -414,6 +229,13 @@ def fill_resolve_pallas(setup: dict, resolve_records, tile_table,
 # MXU resolve fetch runs on the last chunk.  Cost is proportional to REAL
 # binned work + one mandatory chunk per tile — the GPU-driven-indirect
 # contract (BasePassRenderers.cpp:497-502) with tighter constants.
+#
+# The epilogue then resolves the fetched records to the per-pixel
+# INTERPOLANT STACK right in VMEM (barycentric interpolation, analytic UV
+# derivatives, cotangent frame — see gbuffer.resolve_interpolants, the XLA
+# reference implementation): only INTERP_C=32 planes leave the kernel
+# instead of the raw 64-float records, halving output bandwidth and
+# removing the dense XLA resolve pass entirely.
 
 CHUNK_S = 32
 
@@ -424,13 +246,14 @@ def _fill_resolve_stream_kernel(
         tcount_ref,          # prefetch (tiles, 2) i32: [pair count, big count]
         comb_ref,            # (1, C, 16+R) streamed pair records
         bigcomb_ref,         # (B, 16+R) big-triangle records (resident)
-        init_z_ref,          # (1, TH, TW) f32 (indexed by tile)
-        init_id_ref,         # (1, TH, TW) i32
-        init_rec_ref,        # (1, TH, R, TW) f32
-        z_out, id_out,       # (1, TH, TW)
-        rec_out,             # (1, TH, R, TW) f32
+        init_z_ref,          # (TH, TW) f32 (block at the tile's position)
+        init_id_ref,         # (TH, TW) i32
+        init_rec_ref,        # (INTERP_C, TH, TW) f32
+        z_out, id_out,       # (TH, TW)
+        rec_out,             # (INTERP_C, TH, TW) f32 interpolant stack
         slot_scr,            # VMEM (TH, TW) i32
         rec_scr,             # VMEM (K, R) f32
+        fet_scr,             # VMEM (TH, R, TW) f32 fetched-record planes
         *, cfg: RasterConfig, emit_base: int, rec_width: int):
     j = pl.program_id(0)
     n_ch = pl.num_programs(0)
@@ -490,9 +313,9 @@ def _fill_resolve_stream_kernel(
     # empty-tile mandatory chunks, pure VPU waste without this guard
     @pl.when(slot_base < count)
     def _():
-        best = (z_out[0], id_out[0], slot_scr[...])
+        best = (z_out[...], id_out[...], slot_scr[...])
         best = raster_rows(comb_ref[0, :, :16], slot_base, count, 0, best)
-        z_out[0], id_out[0], slot_scr[...] = best
+        z_out[...], id_out[...], slot_scr[...] = best
 
     # stash this chunk's resolve records for the epilogue's one-hot fetch
     # (padding chunks past K are masked by `count` and must not clobber)
@@ -507,10 +330,10 @@ def _fill_resolve_stream_kernel(
             base = pl.multiple_of(ci * c, c)
             return raster_rows(bigcomb_ref[pl.ds(base, c), :16], base,
                                big_count, k_cap, best)
-        best2 = (z_out[0], id_out[0], slot_scr[...])
+        best2 = (z_out[...], id_out[...], slot_scr[...])
         best2 = jax.lax.fori_loop(0, (big_count + c - 1) // c, big_body,
                                   best2)
-        z_out[0], id_out[0], slot_scr[...] = best2
+        z_out[...], id_out[...], slot_scr[...] = best2
 
         # one-hot MXU record fetch, count-blocked and bit-faithful:
         #   - MXU matmuls run in bf16 regardless of f32 inputs, which
@@ -520,10 +343,7 @@ def _fill_resolve_stream_kernel(
         #     exactly and lo restores ~17 mantissa bits.
         #   - blocks iterate ceil(count/128) instead of the full K cap,
         #     so fetch FLOPs track real binned work.
-        for r in range(th):
-            keep = slot_scr[r:r + 1, :] < 0
-            rec_out[0, r] = jnp.where(keep, init_rec_ref[0, r], 0.0)
-
+        fet_scr[...] = jnp.zeros((th, rec_width, tw), jnp.float32)
         dn = (((0,), (0,)), ((), ()))
 
         def fetch_blocks(src, nblk, bsz, slot_shift):
@@ -536,7 +356,7 @@ def _fill_resolve_stream_kernel(
                     iota = jax.lax.broadcasted_iota(
                         jnp.int32, (bsz, tw), 0)
                     oh = (iota == srow).astype(jnp.bfloat16)
-                    rec_out[0, r] += (
+                    fet_scr[r] += (
                         jax.lax.dot_general(
                             hi, oh, dn,
                             preferred_element_type=jnp.float32)
@@ -553,16 +373,94 @@ def _fill_resolve_stream_kernel(
         fetch_blocks(lambda b, s: bigcomb_ref[pl.ds(b * s, s), 16:],
                      (big_count + bb - 1) // bb, bb, k_cap)
 
+        # --- in-VMEM interpolant resolve (gbuffer.resolve_interpolants
+        # parity — the XLA function is the tested reference).  All math
+        # runs on full (TH, TW) VPU blocks; record slot k of the fetched
+        # records is the plane fe(k).
+        def fe(k):
+            return fet_scr[:, k, :]                    # (TH, TW)
+
+        def bary(dx, dy):
+            lw = [(fe(3 * v) * (pxn + dx) + fe(3 * v + 1) * (pyn + dy)
+                   + fe(3 * v + 2)) * fe(9 + v) for v in range(3)]
+            d = lw[0] + lw[1] + lw[2]
+            d = jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)
+            return [x / d for x in lw]
+
+        pc = bary(0.0, 0.0)
+        pc_x = bary(1.0 / cfg.width, 0.0)
+        pc_y = bary(0.0, 1.0 / cfg.height)
+
+        def lerp3(base, pcv):
+            return [fe(base + i) * pcv[0] + fe(base + 3 + i) * pcv[1]
+                    + fe(base + 6 + i) * pcv[2] for i in range(3)]
+
+        def lerp2(base, pcv):
+            return [fe(base + i) * pcv[0] + fe(base + 2 + i) * pcv[1]
+                    + fe(base + 4 + i) * pcv[2] for i in range(2)]
+
+        nr = lerp3(12, pc)
+        nn = jnp.sqrt(nr[0] * nr[0] + nr[1] * nr[1] + nr[2] * nr[2])
+        nn = jnp.maximum(nn, 1e-20)
+        n_w = [x / nn for x in nr]
+        uv = lerp2(21, pc)
+        duv_dx = [a - b for a, b in zip(lerp2(21, pc_x), uv)]
+        duv_dy = [a - b for a, b in zip(lerp2(21, pc_y), uv)]
+        prev_xyw = lerp3(27, pc)
+        pos = lerp3(49, pc)
+        dp1 = [a - b for a, b in zip(lerp3(49, pc_x), pos)]
+        dp2 = [a - b for a, b in zip(lerp3(49, pc_y), pos)]
+
+        def cross(a, b):
+            return [a[1] * b[2] - a[2] * b[1],
+                    a[2] * b[0] - a[0] * b[2],
+                    a[0] * b[1] - a[1] * b[0]]
+
+        # cotangent frame (Schueler); degenerate UVs -> T = B = 0
+        dp1perp = cross(n_w, dp1)
+        dp2perp = cross(dp2, n_w)
+        t_vec = [dp2perp[i] * duv_dx[0] + dp1perp[i] * duv_dy[0]
+                 for i in range(3)]
+        b_vec = [dp2perp[i] * duv_dx[1] + dp1perp[i] * duv_dy[1]
+                 for i in range(3)]
+        m2 = jnp.maximum(sum(x * x for x in t_vec),
+                         sum(x * x for x in b_vec))
+        inv_max = jax.lax.rsqrt(jnp.maximum(m2, 1e-20))
+        duv2 = (sum(x * x for x in duv_dx) + sum(x * x for x in duv_dy))
+        ok_tbn = jnp.logical_and(m2 > 1e-16, duv2 > 1e-12)
+        t_n = [jnp.where(ok_tbn, x * inv_max, 0.0) for x in t_vec]
+        b_n = [jnp.where(ok_tbn, x * inv_max, 0.0) for x in b_vec]
+
+        planes = (n_w + uv + duv_dx + duv_dy + t_n + b_n
+                  + [fe(36 + i) for i in range(4)]     # base color factor
+                  + [fe(40), fe(41)]                   # metallic, roughness
+                  + [fe(42 + i) for i in range(3)]     # emissive
+                  + [fe(45), fe(46), fe(47), fe(48)]   # mat/tex/statics/cut
+                  + prev_xyw + [fe(58)])
+        keep = slot_scr[...] < 0                       # init/background
+        for k, p in enumerate(planes):
+            rec_out[k] = jnp.where(keep, init_rec_ref[k], p)
+
 
 def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
                         cfg: RasterConfig, init_depth=None,
                         init_tri_id=None, init_rec=None,
-                        emit_base: int = 0, tiles_io: bool = False,
+                        emit_base: int = 0, padded_io: bool = False,
                         interpret: bool = False):
-    """Streamed fused fill: bins from raster.bin_pairs_stream.
+    """Streamed fused fill + in-VMEM interpolant resolve.
 
-    Same contract as fill_resolve_pallas; cost scales with real binned
-    pairs instead of tiles x K capacity.
+    resolve_records: (T, R) f32 from gbuffer.pack_resolve_records.
+    init_rec: optional (INTERP_C, H, W) interp planes from a previous
+    phase.  Returns (depth (H, W), tri_id (H, W),
+    interp (INTERP_C, H, W)) — the per-pixel interpolant stack
+    (gbuffer.INTERP_C layout, channel-FIRST image planes), NOT raw
+    records; feed gbuffer.finish_gbuffer / resolve_gbuffer directly.
+    Output blocks are placed straight into the images by the BlockSpec
+    index maps, so there are NO tile<->image transposes anywhere.
+
+    padded_io=True keeps all images padded to the tile grid on BOTH ends
+    (multi-phase pipelines skip the pad/crop between phases).
+    Cost scales with real binned pairs instead of tiles x K capacity.
     """
     r = resolve_records.shape[1]
     comb = jnp.concatenate([pack_tri_records(setup), resolve_records], 1)
@@ -617,19 +515,23 @@ def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
         [counts_eff, jnp.broadcast_to(big_count, counts_eff.shape)], 1)
 
     th, tw = cfg.tile_h, cfg.tile_w
+    hp, wp = cfg.tiles_y * th, cfg.tiles_x * tw
     if init_depth is None:
-        init_z = jnp.zeros((n_tiles, th, tw), jnp.float32)
-        init_id = jnp.full((n_tiles, th, tw), -1, jnp.int32)
-    elif tiles_io:
+        init_z = jnp.zeros((hp, wp), jnp.float32)
+        init_id = jnp.full((hp, wp), -1, jnp.int32)
+    elif padded_io:
         init_z, init_id = init_depth, init_tri_id
     else:
-        init_z = _image_to_tiles(init_depth, cfg)
-        init_id = _image_to_tiles(init_tri_id, cfg)
+        init_z = pad_image(init_depth, cfg)
+        init_id = pad_image(init_tri_id, cfg, fill=-1)
     if init_rec is None:
-        init_rec = jnp.zeros((n_tiles, th, r, tw), jnp.float32)
+        init_rec = jnp.zeros((INTERP_C, hp, wp), jnp.float32)
+    elif not padded_io:
+        init_rec = pad_image(init_rec, cfg)
 
-    by_tile = lambda j, ct, cb, tc: (ct[j], 0, 0)       # noqa: E731
-    by_tile4 = lambda j, ct, cb, tc: (ct[j], 0, 0, 0)   # noqa: E731
+    tx_ = cfg.tiles_x
+    by_tile = lambda j, ct, cb, tc: (ct[j] // tx_, ct[j] % tx_)  # noqa: E731
+    by_tile3 = lambda j, ct, cb, tc: (0, ct[j] // tx_, ct[j] % tx_)  # noqa: E731,E501
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(ch_cap,),
@@ -639,42 +541,33 @@ def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
             pl.BlockSpec((cfg.max_big_tris, REC + r),
                          lambda j, ct, cb, tc: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, tw), by_tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, tw), by_tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, r, tw), by_tile4,
+            pl.BlockSpec((th, tw), by_tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, tw), by_tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((INTERP_C, th, tw), by_tile3,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, th, tw), by_tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, tw), by_tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, r, tw), by_tile4,
+            pl.BlockSpec((th, tw), by_tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, tw), by_tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((INTERP_C, th, tw), by_tile3,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((th, tw), jnp.int32),
-                        pltpu.VMEM((k_cap, r), jnp.float32)],
+                        pltpu.VMEM((k_cap, r), jnp.float32),
+                        pltpu.VMEM((th, r, tw), jnp.float32)],
     )
-    z, tid, rec_tiles = pl.pallas_call(
+    z, tid, rec = pl.pallas_call(
         functools.partial(_fill_resolve_stream_kernel, cfg=cfg,
                           emit_base=emit_base, rec_width=r),
         out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, th, tw), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, th, tw), jnp.int32),
-            jax.ShapeDtypeStruct((n_tiles, th, r, tw), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((INTERP_C, hp, wp), jnp.float32),
         ),
         grid_spec=grid_spec,
         interpret=interpret,
     )(chunk_tile, chunk_base[:-1], tcounts,
       comb_padded, big_comb, init_z, init_id, init_rec)
-    if tiles_io:
-        return z, tid, rec_tiles
-    return _tiles_to_image(z, cfg), _tiles_to_image(tid, cfg), rec_tiles
-
-
-def rec_tiles_to_image(rec_tiles, cfg: RasterConfig):
-    """(tiles, TH, R, TW) -> (H, W, R)."""
-    th, tw = cfg.tile_h, cfg.tile_w
-    r = rec_tiles.shape[2]
-    x = rec_tiles.reshape(cfg.tiles_y, cfg.tiles_x, th, r, tw)
-    x = jnp.transpose(x, (0, 2, 1, 4, 3))   # (ty, th, tx, tw, r)
-    x = x.reshape(cfg.tiles_y * th, cfg.tiles_x * tw, r)
-    return x[:cfg.height, :cfg.width]
+    if padded_io:
+        return z, tid, rec
+    return crop_image(z, cfg), crop_image(tid, cfg), crop_image(rec, cfg)

@@ -7,10 +7,12 @@ behavior to match, so this package is NEW TPU-native capability:
   (multi-client serving, cubemap baking, stereo) — near-linear scaling
   since frames are independent;
 * screen-space sharding ('sp'): row-sharded per-pixel stages via GSPMD
-  sharding constraints (lighting, post, TAA are embarrassingly parallel;
-  geometry/binning stay replicated until a cross-chip binning exchange is
-  profitable).
+  sharding constraints (lighting, post, TAA are embarrassingly parallel),
+  plus a SINGLE-FRAME sharded raster (sp_raster.py): each chip bins and
+  Pallas-fills only the tile rows it owns, so one frame's raster cost
+  divides over the mesh with zero halo exchange.
 """
 
 from toyrenderer_tpu.parallel.sharding import (
-    make_view_batch_renderer, replicate_scene)
+    make_sp_frame_renderer, make_view_batch_renderer, replicate_scene)
+from toyrenderer_tpu.parallel.sp_raster import raster_frame_sp

@@ -41,3 +41,28 @@ def make_view_batch_renderer(mesh: Mesh, settings, ddgi_volume=None):
         in_shardings=(replicated, replicated, replicated, batch, batch),
         out_shardings=(NamedSharding(mesh, P('dp', 'sp', None, None)),
                        batch))
+
+
+def make_sp_frame_renderer(mesh: Mesh, settings, ddgi_volume=None,
+                           axis: str = 'sp'):
+    """Jitted SINGLE-view renderer with the raster stage itself sharded
+    over `axis` tile rows (parallel.sp_raster) — one frame gets faster
+    with more chips, unlike the view-batch renderer.  The screen-space
+    tail follows the row sharding GSPMD propagates from the raster
+    output.  Requires tiles_y % mesh.shape[axis] == 0."""
+    from toyrenderer_tpu.parallel.sp_raster import shard_config
+
+    shard_config(settings.raster_config(), mesh.shape[axis])  # validate
+
+    replicated = NamedSharding(mesh, P())
+
+    def step(scene, pair_inst, pair_meshlet, fi, carry):
+        img, new_carry, aux = render_frame(
+            scene, pair_inst, pair_meshlet, fi, carry,
+            settings=settings, ddgi_volume=ddgi_volume,
+            sp_mesh=(mesh, axis))
+        img = jax.lax.with_sharding_constraint(
+            img, NamedSharding(mesh, P(axis, None, None)))
+        return img, new_carry, aux
+
+    return jax.jit(step, in_shardings=(replicated,) * 5)

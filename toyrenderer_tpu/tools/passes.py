@@ -1,0 +1,198 @@
+"""In-frame per-pass timing table from a REAL device trace.
+
+The reference shows a per-renderer GPU ms table in its HUD
+(source/Scene.cpp:530-562, microprofile timestamps around each pass).
+Here the frame is ONE fused XLA program, so pass boundaries are recovered
+from the profiler trace instead: every device op carries HLO metadata
+pointing at the Python source that built it, and each pass lives in its
+own ops module — so aggregating op durations by source module yields the
+per-pass table without breaking the single-jit design (unlike
+tools/profile_stages.py, which jits stages separately and pays ~27 ms
+dispatch per stage).
+
+Usage:
+  python -m toyrenderer_tpu.tools.passes --scene resources/cornell.gltf \
+      --displayresolution 448x256 --frames 4 [--json out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import json
+import os
+import re
+
+# source module -> pass label (reference renderer names where they map)
+PASS_OF_MODULE = [
+    ('ops/raster_pallas', 'BasePass(fill+resolve)'),
+    ('ops/raster', 'BasePass(bin)'),
+    ('ops/culling', 'GPUCulling'),
+    ('ops/geometry', 'UpdateInstanceConsts'),
+    ('ops/gbuffer', 'GBufferResolve'),
+    ('ops/texture', 'TextureSampling'),
+    ('ops/hzb', 'HZB(SPD)'),
+    ('ops/lighting', 'DeferredLighting'),
+    ('ops/brdf', 'DeferredLighting'),
+    ('ops/shadowmap', 'ShadowMask'),
+    ('ops/shadows', 'ShadowMask'),
+    ('ops/denoise', 'Denoise'),
+    ('ops/gtao', 'AmbientOcclusion'),
+    ('ops/ddgi', 'GI(DDGI)'),
+    ('ops/bvh', 'RT(BVH)'),
+    ('ops/sky', 'Sky'),
+    ('ops/bloom', 'Bloom'),
+    ('ops/exposure', 'AdaptLuminance'),
+    ('ops/taa', 'TAA'),
+    ('ops/postprocess', 'PostProcess'),
+    ('ops/restir', 'ReSTIR'),
+    ('ops/packing', 'Pack/Unpack'),
+    ('engine/frame', 'FrameGlue'),
+    ('parallel/', 'MultiChip'),
+]
+
+_SRC_RE = re.compile(r'toyrenderer_tpu/([\w/]+)\.py')
+
+
+def _pass_of(text: str) -> str | None:
+    m = _SRC_RE.search(text)
+    if not m:
+        return None
+    mod = m.group(1)
+    for prefix, label in PASS_OF_MODULE:
+        if mod.startswith(prefix):
+            return label
+    return f'other({mod})'
+
+
+def aggregate_trace(trace_dir: str, frames: int) -> dict:
+    """Parse the newest xplane.pb under trace_dir; return
+    {pass: ms_per_frame} from the device plane's op events."""
+    from toyrenderer_tpu.utils.xplane import parse_xspace, stat_values
+
+    pbs = sorted(glob.glob(os.path.join(
+        trace_dir, 'plugins', 'profile', '*', '*.xplane.pb')),
+        key=os.path.getmtime)
+    if not pbs:
+        raise FileNotFoundError(f'no xplane.pb under {trace_dir}')
+    with open(pbs[-1], 'rb') as f:
+        planes = parse_xspace(f.read())
+
+    dev = [p for p in planes
+           if ('TPU' in p['name'] or 'GPU' in p['name']
+               or '/device:' in p['name'])
+           and not p['name'].startswith('/host')]
+    if not dev:                      # CPU backend: host-instr plane
+        dev = [p for p in planes if p['lines']]
+    by_pass = collections.Counter()
+    unattributed = collections.Counter()
+    total_ps = 0
+    for p in dev:
+        emd = p['event_metadata']
+        # memoize: event metadata id -> pass label
+        label_of = {}
+        for mid, md in emd.items():
+            text = md['name'] + ' ' + ' '.join(
+                str(s.get('value', '')) for s in md.get('stats', []))
+            label_of[mid] = _pass_of(text)
+        for line in p['lines']:
+            lname = line['name'].lower()
+            # XLA op lines carry per-op spans; skip step/module summary
+            # lines to avoid double counting
+            if 'step' in lname or 'module' in lname:
+                continue
+            for ev in line['events']:
+                lab = label_of.get(ev['metadata_id'])
+                dur = ev['duration_ps']
+                total_ps += dur
+                if lab:
+                    by_pass[lab] += dur
+                else:
+                    nm = emd.get(ev['metadata_id'], {}).get('name', '?')
+                    unattributed[nm.split('.')[0]] += dur
+    out = {k: v / 1e9 / frames for k, v in by_pass.items()}
+    out['_unattributed'] = sum(unattributed.values()) / 1e9 / frames
+    out['_unattributed_top'] = {
+        k: round(v / 1e9 / frames, 3)
+        for k, v in unattributed.most_common(8)}
+    out['_total'] = total_ps / 1e9 / frames
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--scene", default="resources/cornell.gltf")
+    p.add_argument("--displayresolution", default="448x256")
+    p.add_argument("--frames", type=int, default=4)
+    p.add_argument("--trace-dir", default="/tmp/toyrenderer_passes")
+    p.add_argument("--platform", default=None)
+    p.add_argument("--json", default=None)
+    p.add_argument("--shadows", action="store_true")
+    p.add_argument("--stress", action="store_true",
+                   help="bench.py's procedural sponza-class scene + "
+                        "2-phase culling (ignores --scene)")
+    args = p.parse_args(argv)
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    from toyrenderer_tpu.scene import load_scene
+    from toyrenderer_tpu.engine import RenderSettings, init_carry, View
+    from toyrenderer_tpu.engine.frame import (
+        make_render_fn, default_frame_inputs)
+    from toyrenderer_tpu.ops.geometry import static_meshlet_pairs
+
+    w, h = (int(x) for x in args.displayresolution.split("x"))
+    if args.stress:
+        from toyrenderer_tpu.scene.procedural import make_stress_scene
+        scene_host = make_stress_scene(n_objects=192, sphere_res=24,
+                                       textured=True)
+    else:
+        scene_host = load_scene(args.scene)
+    scene = scene_host.to_device()
+    pi, pm = static_meshlet_pairs(scene_host)
+    if args.stress:
+        cap = max(int(len(pi) * 0.6), 256)
+        pi, pm = pi[:cap], pm[:cap]
+    pi, pm = jnp.asarray(pi), jnp.asarray(pm)
+    settings = RenderSettings(width=w, height=h,
+                              manual_exposure=0.1 if args.stress else 0.01,
+                              enable_culling=args.stress,
+                              enable_shadows=args.shadows)
+    view = View.from_scene(scene_host, w, h)
+    carry = init_carry(scene, settings)
+    render = make_render_fn(settings)
+
+    fi = default_frame_inputs(scene_host, view.matrices())
+    img, carry, _ = render(scene, pi, pm, fi, carry)   # compile outside
+    img.block_until_ready()
+
+    with jax.profiler.trace(args.trace_dir):
+        for _ in range(args.frames):
+            mats = view.matrices()
+            fi = default_frame_inputs(scene_host, mats)
+            img, carry, _ = render(scene, pi, pm, fi, carry)
+            img.block_until_ready()
+            view.advance(mats)
+
+    table = aggregate_trace(args.trace_dir, args.frames)
+    width = max(len(k) for k in table) + 2
+    print(f"{'pass':<{width}} ms/frame")
+    shown = {k: v for k, v in table.items() if not k.startswith('_')}
+    for k, v in sorted(shown.items(), key=lambda kv: -kv[1]):
+        print(f"{k:<{width}} {v:8.3f}")
+    print(f"{'(unattributed)':<{width}} "
+          f"{table['_unattributed']:8.3f}   "
+          f"{table['_unattributed_top']}")
+    print(f"{'TOTAL device':<{width}} {table['_total']:8.3f}")
+    if args.json:
+        with open(args.json, 'w') as f:
+            json.dump(table, f, indent=1, default=str)
+        print(f"[passes] wrote {args.json}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
