@@ -197,3 +197,46 @@ def test_quad_taps_match_per_pixel_sampling():
     # the biased mip is exactly one level coarser
     dd = np.asarray(b['desired']) - np.asarray(a['desired'])
     np.testing.assert_allclose(dd, 1.0, atol=1e-4)
+
+
+def test_anisotropic_sampling():
+    """Software aniso (lightingcommon.hlsli MaxAnisotropy parity): under a
+    stretched footprint the aniso sampler must (a) pick a finer mip than
+    the isotropic one (log2(p_max/N) vs log2(p_max)), and (b) average
+    taps spread along the MAJOR axis — on a horizontal gradient texture a
+    horizontally-stretched footprint keeps the same mean but derives it
+    from multiple taps, and on an isotropic footprint aniso must not
+    change the result."""
+    import jax.numpy as jnp
+    grad = np.zeros((64, 64, 4), np.uint8)
+    grad[:, :, 3] = 255
+    for x in range(64):
+        grad[:, x, :3] = int(x * 255 / 63)
+    atlas = _atlas_from(grad)
+    tid = jnp.asarray([0])
+    uv = jnp.asarray([[0.5, 0.5]])
+    # anisotropic footprint: 16 texels wide, 1 texel tall
+    dx = jnp.asarray([[16.0 / 64.0, 0.0]])
+    dy = jnp.asarray([[0.0, 1.0 / 64.0]])
+
+    iso = TS.sample_material_maps(atlas, tid, uv, dx, dy)
+    an4 = TS.sample_material_maps(atlas, tid, uv, dx, dy, aniso=4)
+    # (a) finer mip: log2(16) = 4 isotropic vs log2(16/4) = 2 aniso
+    assert float(iso['desired'][0]) > 3.5
+    assert 1.5 < float(an4['desired'][0]) < 2.5
+    # (b) mean preserved on a linear gradient (taps straddle the center)
+    assert abs(float(an4['base'][0, 0]) - float(iso['base'][0, 0])) < 0.06
+
+    # isotropic footprint: aniso must be a no-op (clamped at p_min)
+    dxi = jnp.asarray([[2.0 / 64.0, 0.0]])
+    dyi = jnp.asarray([[0.0, 2.0 / 64.0]])
+    iso2 = TS.sample_material_maps(atlas, tid, uv, dxi, dyi)
+    an2 = TS.sample_material_maps(atlas, tid, uv, dxi, dyi, aniso=4)
+    assert abs(float(an2['desired'][0]) - float(iso2['desired'][0])) < 1e-5
+    np.testing.assert_allclose(np.asarray(an2['base']),
+                               np.asarray(iso2['base']), atol=0.03)
+
+    # neutral maps for untextured pixels survive the aniso path
+    neg = TS.sample_material_maps(atlas, jnp.asarray([-1]), uv, dx, dy,
+                                  aniso=4)
+    np.testing.assert_allclose(np.asarray(neg['base'][0]), 1.0, atol=1e-6)

@@ -74,6 +74,9 @@ class RenderSettings:
     enable_textures: bool = True          # material texture sampling
     texture_quad_taps: bool = True        # one atlas tap per 2x2 quad at
     #   +1 mip (4x fewer latency-bound gathers); False = exact per-pixel
+    texture_aniso: int = 1                # software anisotropic taps along
+    #   the major UV-gradient axis (reference: MaxAnisotropy sampler);
+    #   > 1 uses the per-pixel sampler (disables quad_taps)
     enable_culling: bool = False          # 2-phase GPU-driven culling
     enable_cone_culling: bool = True
     lod_error_px: float = 2.0             # screen-error LOD threshold
@@ -269,7 +272,8 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     gb = resolve_gbuffer(records, depth, tri_id, frame_inputs['jitter'],
                          cfg, atlas=atlas,
                          num_textures=scene.num_textures,
-                         quad_taps=settings.texture_quad_taps)
+                         quad_taps=settings.texture_quad_taps,
+                         aniso=settings.texture_aniso)
 
     # -- Alpha-masked set (second base-pass set, basepass.hlsl
     #    ALPHA_MASK_MODE parity): rasterized separately, alpha-tested at
@@ -286,7 +290,8 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         gb_m = resolve_gbuffer(rec_m, depth_m, tid_m,
                                frame_inputs['jitter'], cfg, atlas=atlas,
                                num_textures=scene.num_textures,
-                               quad_taps=settings.texture_quad_taps)
+                               quad_taps=settings.texture_quad_taps,
+                               aniso=settings.texture_aniso)
         passes = ((gb_m['alpha'] >= gb_m['alpha_cutoff'])
                   & (depth_m > depth) & (depth_m > 0.0))
         for k in ('gbuffer0', 'gbuffer1', 'gbuffer2', 'gbuffer3'):
@@ -444,7 +449,8 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         rec_t = interp_t if interp_t is not None else recs_t2
         gb_t = resolve_gbuffer(rec_t, depth_t, tid_t,
                                frame_inputs['jitter'], cfg, atlas=atlas,
-                               num_textures=scene.num_textures)
+                               num_textures=scene.num_textures,
+                               aniso=settings.texture_aniso)
         hdr_t = deferred_lighting(
             gb_t, frame_inputs['cam_pos'], frame_inputs['inv_view_proj'],
             frame_inputs['sun_direction'], frame_inputs['sun_color'],

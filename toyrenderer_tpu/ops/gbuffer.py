@@ -201,7 +201,8 @@ def resolve_interpolants(records, depth, tri_id, cfg):
 
 
 def finish_gbuffer(interp, depth, tri_id, jitter, cfg, atlas=None,
-                   num_textures: int = 0, quad_taps: bool = False):
+                   num_textures: int = 0, quad_taps: bool = False,
+                   aniso: int = 1):
     """Interpolant planes (INTERP_C, H, W) -> textured, packed GBuffer.
 
     jitter: (2,) current sub-pixel jitter in pixels (for unjittered motion
@@ -252,14 +253,14 @@ def finish_gbuffer(interp, depth, tri_id, jitter, cfg, atlas=None,
         tw0 = (statics % 4096).astype(jnp.float32)
         twrap = statics // 4096
         th0 = jnp.round(interp[I_H0])
-        if quad_taps and h % 2 == 0 and w % 2 == 0:
+        if quad_taps and aniso <= 1 and h % 2 == 0 and w % 2 == 0:
             maps = sample_material_maps_quad(
                 atlas, tex_id, uv, duv_dx, duv_dy,
                 wrap=twrap, base_wh=(tw0, th0))
         else:
             maps = sample_material_maps(
                 atlas, tex_id, uv, duv_dx, duv_dy,
-                wrap=twrap, base_wh=(tw0, th0))
+                wrap=twrap, base_wh=(tw0, th0), aniso=aniso)
         desired = maps['desired']
         tex_rgba = jnp.concatenate(
             [srgb_to_linear(maps['base'][..., :3]),
@@ -309,7 +310,8 @@ def finish_gbuffer(interp, depth, tri_id, jitter, cfg, atlas=None,
 
 
 def resolve_gbuffer(records, depth, tri_id, jitter, cfg, atlas=None,
-                    num_textures: int = 0, quad_taps: bool = False):
+                    num_textures: int = 0, quad_taps: bool = False,
+                    aniso: int = 1):
     """Per-pixel resolve + GBuffer pack from either input form:
       * (T, 64) raw records + visibility buffer -> resolve_interpolants
         then finish_gbuffer (the XLA path), or
@@ -320,7 +322,8 @@ def resolve_gbuffer(records, depth, tri_id, jitter, cfg, atlas=None,
     else:
         interp = resolve_interpolants(records, depth, tri_id, cfg)
     return finish_gbuffer(interp, depth, tri_id, jitter, cfg, atlas=atlas,
-                          num_textures=num_textures, quad_taps=quad_taps)
+                          num_textures=num_textures, quad_taps=quad_taps,
+                          aniso=aniso)
 
 
 def unpack_gbuffer(gb: dict):

@@ -28,18 +28,27 @@ def mip_from_derivatives(duv_dx, duv_dy, width, height):
 
 
 def sample_material_maps(atlas: dict, ent_id, uv, duv_dx=None,
-                         duv_dy=None, wrap=None, base_wh=None):
-    """Bilinear-sample ALL four material maps with ONE texel-row gather.
+                         duv_dy=None, wrap=None, base_wh=None,
+                         aniso: int = 1):
+    """Bilinear-sample ALL four material maps with ONE texel-row gather
+    per tap.
 
     ent_id (...,) i32 material atlas entries (< 0 -> neutral maps),
     uv (..., 2), duv_dx/duv_dy optional analytic derivatives.
 
-    Per-pixel memory traffic is exactly TWO row gathers: one packed
-    descriptor row [offset, w, h] (mip clamping + residency redirection
-    baked at build, see TextureAtlas.packed_desc) and one 16-u32 row
-    holding the 2x2 bilinear quads of base/normal/MR/emissive.
+    Per-pixel memory traffic is exactly TWO row gathers per tap: one
+    packed descriptor row [offset, w, h] (mip clamping + residency
+    redirection baked at build, see TextureAtlas.packed_desc) and one
+    16-u32 row holding the 2x2 bilinear quads of base/normal/MR/emissive.
     `wrap`/`base_wh` can be supplied per-pixel (baked into resolve
     records) to avoid two more tiny-table gathers.
+
+    aniso > 1 enables software anisotropic filtering (the reference uses
+    a MaxAnisotropy hardware sampler, lightingcommon.hlsli:358-406):
+    `aniso` taps spread along the MAJOR UV-gradient axis, with the mip
+    chosen from the major footprint divided by the tap count (the D3D
+    anisotropic LOD rule, clamped at the minor footprint) — grazing-angle
+    surfaces stay sharp instead of over-blurring to the isotropic mip.
 
     Returns dict(base (..., 4), normal (..., 4), mr (..., 4),
                  emissive (..., 4), desired (...,)) — raw [0, 1] values;
@@ -55,7 +64,19 @@ def sample_material_maps(atlas: dict, ent_id, uv, duv_dx=None,
     if wrap is None:
         wrap = atlas['tex_wrap'][tid]
 
-    if duv_dx is not None:
+    d_major = None
+    if duv_dx is not None and aniso > 1:
+        fx2 = jnp.square(duv_dx[..., 0] * w0) + jnp.square(
+            duv_dx[..., 1] * h0)
+        fy2 = jnp.square(duv_dy[..., 0] * w0) + jnp.square(
+            duv_dy[..., 1] * h0)
+        p_max = jnp.sqrt(jnp.maximum(jnp.maximum(fx2, fy2), 1e-12))
+        p_min = jnp.sqrt(jnp.maximum(jnp.minimum(fx2, fy2), 1e-12))
+        # D3D11 anisotropic LOD: footprint shrunk by the taps taken
+        # along the major axis, never finer than the minor footprint
+        desired = jnp.log2(jnp.maximum(p_max / aniso, p_min))
+        d_major = jnp.where((fx2 >= fy2)[..., None], duv_dx, duv_dy)
+    elif duv_dx is not None:
         desired = mip_from_derivatives(duv_dx, duv_dy, w0, h0)
     else:
         desired = jnp.zeros(uv.shape[:-1], jnp.float32)
@@ -67,23 +88,47 @@ def sample_material_maps(atlas: dict, ent_id, uv, duv_dx=None,
     mw = row[..., 1]
     mh = row[..., 2]
 
-    u = uv[..., 0] * mw.astype(jnp.float32) - 0.5
-    v = uv[..., 1] * mh.astype(jnp.float32) - 0.5
-    x0 = jnp.floor(u)
-    y0 = jnp.floor(v)
-    fx = (u - x0)[..., None]
-    fy = (v - y0)[..., None]
+    def tap(uv_t):
+        u = uv_t[..., 0] * mw.astype(jnp.float32) - 0.5
+        v = uv_t[..., 1] * mh.astype(jnp.float32) - 0.5
+        x0 = jnp.floor(u)
+        y0 = jnp.floor(v)
+        fx = (u - x0)[..., None]
+        fy = (v - y0)[..., None]
+        # single row gather: the row holds the full 2x2 footprint of
+        # every map (wrap baked at build), so only the BASE texel needs
+        # wrapping
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        rep_x = jnp.mod(x0i, jnp.maximum(mw, 1))
+        rep_y = jnp.mod(y0i, jnp.maximum(mh, 1))
+        x = jnp.where(wrap == WRAP_REPEAT, rep_x,
+                      jnp.clip(x0i, 0, mw - 1))
+        y = jnp.where(wrap == WRAP_REPEAT, rep_y,
+                      jnp.clip(y0i, 0, mh - 1))
+        idx = jnp.clip(off + y * mw + x,
+                       0, atlas['tex_texels'].shape[0] - 1)
+        rows = atlas['tex_texels'][idx]                   # (..., 16) u32
+        maps = []
+        for mi in range(4):
+            quad = unpack_rgba8_u32(rows[..., mi * 4:(mi + 1) * 4])
+            maps.append(
+                (quad[..., 0, :] * (1 - fx) + quad[..., 1, :] * fx)
+                * (1 - fy)
+                + (quad[..., 2, :] * (1 - fx) + quad[..., 3, :] * fx)
+                * fy)
+        return maps
 
-    # single row gather: the row holds the full 2x2 footprint of every
-    # map (wrap baked at build), so only the BASE texel needs wrapping
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    rep_x = jnp.mod(x0i, jnp.maximum(mw, 1))
-    rep_y = jnp.mod(y0i, jnp.maximum(mh, 1))
-    x = jnp.where(wrap == WRAP_REPEAT, rep_x, jnp.clip(x0i, 0, mw - 1))
-    y = jnp.where(wrap == WRAP_REPEAT, rep_y, jnp.clip(y0i, 0, mh - 1))
-    idx = jnp.clip(off + y * mw + x, 0, atlas['tex_texels'].shape[0] - 1)
-    rows = atlas['tex_texels'][idx]                       # (..., 16) u32
+    if d_major is None:
+        acc = tap(uv)
+    else:
+        acc = None
+        for i in range(aniso):
+            t = (i + 0.5) / aniso - 0.5
+            m = tap(uv + d_major * t)
+            acc = m if acc is None else [a + b for a, b in zip(acc, m)]
+        acc = [a * (1.0 / aniso) for a in acc]
+
     neutral = jnp.asarray([[1.0, 1.0, 1.0, 1.0],
                            [0.5, 0.5, 1.0, 1.0],
                            [1.0, 1.0, 1.0, 1.0],
@@ -91,11 +136,7 @@ def sample_material_maps(atlas: dict, ent_id, uv, duv_dx=None,
     valid = (ent_id >= 0)[..., None]
     out = {}
     for mi, name in enumerate(('base', 'normal', 'mr', 'emissive')):
-        quad = unpack_rgba8_u32(rows[..., mi * 4:(mi + 1) * 4])
-        c = ((quad[..., 0, :] * (1 - fx) + quad[..., 1, :] * fx)
-             * (1 - fy)
-             + (quad[..., 2, :] * (1 - fx) + quad[..., 3, :] * fx) * fy)
-        out[name] = jnp.where(valid, c, neutral[mi])
+        out[name] = jnp.where(valid, acc[mi], neutral[mi])
     out['desired'] = desired
     return out
 

@@ -52,6 +52,9 @@ def main(argv=None):
     p.add_argument("--orbit", type=float, default=0.0,
                    help="orbit the camera by this many radians/frame "
                         "(exercises TAA/motion/denoiser history)")
+    p.add_argument("--aniso", type=int, default=1,
+                   help="anisotropic filtering taps (1 = off; >1 uses "
+                        "the per-pixel sampler instead of quad taps)")
     p.add_argument("--forcedlod", type=int, default=-1)
     p.add_argument("--platform", default=None,
                    help="force jax platform (cpu for software-WARP parity)")
@@ -122,6 +125,7 @@ def main(argv=None):
         enable_restir=args.restir,
         enable_transparency=args.transparency,
         forced_lod=args.forcedlod,
+        texture_aniso=args.aniso,
         use_bruteforce_raster=args.bruteforceraster)
     ddgi_volume = None
     if args.gi:
