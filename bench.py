@@ -64,9 +64,12 @@ def main():
         pi, pm = pi[:cap], pm[:cap]
     pi, pm = jnp.asarray(pi), jnp.asarray(pm)
 
+    tile_h = int(os.environ.get("BENCH_TILE_H", "16"))
+    pair_cap = int(os.environ.get("BENCH_PAIR_CAP", "0")) or None
     settings = RenderSettings(width=width, height=height,
                               manual_exposure=0.1,
-                              enable_culling=culling)
+                              enable_culling=culling, tile_h=tile_h,
+                              pair_capacity=pair_cap)
     view = View.from_scene(scene_host, width, height)
     carry = init_carry(scene, settings)
     render = make_render_fn(settings)

@@ -77,3 +77,95 @@ def test_pool_allocator_reuses_space(mgr):
     blocks = sorted(m.block_of.values())
     for (o1, s1), (o2, _) in zip(blocks, blocks[1:]):
         assert o1 + s1 <= o2
+
+
+# ---------------------------------------------------------------------------
+# Tile-granularity streaming (TileStreamingManager)
+# ---------------------------------------------------------------------------
+
+def _sample_mip0(dev, n=8):
+    """Sample an n x n grid of points at mip 0 (tiny derivatives)."""
+    g = (np.arange(n) + 0.5) / n
+    uv = jnp.asarray([[u, v] for v in g for u in g])
+    k = uv.shape[0]
+    d = jnp.full((k, 2), 1e-4)
+    return np.asarray(TS.sample_texture(dev, jnp.zeros(k, jnp.int32),
+                                        uv, d, d))
+
+
+@pytest.fixture()
+def tile_mgr():
+    from toyrenderer_tpu.engine.streaming import TileStreamingManager
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (256, 256, 4), dtype=np.uint8)
+    img[..., 3] = 255
+    atlas = TX.build_atlas(images=[img])
+    return atlas, TileStreamingManager(atlas, pool_tiles=32,
+                                       tiles_per_frame=8,
+                                       evict_after=5)
+
+
+def test_tiles_initial_fallback_then_refine(tile_mgr):
+    atlas, m = tile_mgr
+    # 256: mip0 = 4x4 tiles, mip1 (128) = 2x2 tiles (pinned), mip2+ static
+    assert m.first_tiled[0] == 1
+    assert m.stats['resident_tiles'] == 4          # pinned 2x2
+
+    truth = _sample_mip0(atlas.to_device())
+    ov = m.update(np.full(m.table_size, np.inf))
+    dev = dict(atlas.to_device())
+    dev.update(ov)
+    got0 = _sample_mip0(dev)
+    # fallback serves the pinned coarser mip: content differs from the
+    # true mip 0 on a 16-tile checker (coarser mip averages pairs)
+    assert not np.allclose(got0, truth, atol=0.05)
+
+    # drive with real device feedback until resident
+    for _ in range(8):
+        maps = TS.sample_material_maps(
+            dev, jnp.zeros(64, jnp.int32),
+            jnp.asarray([[(i % 8 + 0.5) / 8, (i // 8 + 0.5) / 8]
+                         for i in range(64)]),
+            jnp.full((64, 2), 1e-4), jnp.full((64, 2), 1e-4))
+        fb = np.full(m.table_size, np.inf, np.float32)
+        tid = np.asarray(maps['tile_id'])
+        des = np.asarray(maps['desired'])
+        for i in range(64):
+            if tid[i] >= 0:
+                fb[tid[i]] = min(fb[tid[i]], des[i])
+        ov = m.update(fb)
+        dev = dict(atlas.to_device())
+        dev.update(ov)
+    got = _sample_mip0(dev)
+    np.testing.assert_allclose(got, truth, atol=1e-3)
+    assert m.stats['tile_loads'] >= 16 + 4         # all mip-0 tiles in
+
+
+def test_tiles_evict_and_defrag(tile_mgr):
+    atlas, m = tile_mgr
+    # load everything
+    fb_hot = np.zeros(m.table_size, np.float32)
+    for _ in range(6):
+        m.update(fb_hot)
+    resident_peak = m.stats['resident_tiles']
+    assert resident_peak > 4
+    # go cold: everything but the pinned fallback evicts
+    for _ in range(10):
+        ov = m.update(np.full(m.table_size, np.inf))
+    assert m.stats['tile_evictions'] > 0
+    assert m.stats['resident_tiles'] == 4
+    # pool compacted: occupied slots are the lowest ones
+    occupied = sorted(m.tile_of_slot)
+    assert occupied == list(range(m.slot0, m.slot0 + len(occupied)))
+    # correctness after defrag moves: fallback sampling still works
+    dev = dict(atlas.to_device())
+    dev.update(ov)
+    got = _sample_mip0(dev)
+    assert np.isfinite(got).all()
+    # and re-loading after defrag still lands correct content
+    for _ in range(8):
+        ov = m.update(fb_hot)
+    dev = dict(atlas.to_device())
+    dev.update(ov)
+    truth = _sample_mip0(atlas.to_device())
+    np.testing.assert_allclose(_sample_mip0(dev), truth, atol=1e-3)

@@ -90,6 +90,11 @@ class RenderSettings:
     raster_chunk: int = 32
     max_big_tris: int = 256
     tile_batch: int = 32
+    tile_h: int = 16                      # fill-tile height (8 = native
+    #   VPU vreg rows: half the per-pair edge-eval cost, ~40% more pairs)
+    pair_capacity: int | None = None      # global (tile, tri) pair budget
+    #   for the streamed fill (None = triangle count); bounds the chunk
+    #   grid and the scalar-prefetch SMEM footprint
     use_bruteforce_raster: bool = False   # tiny scenes / tests
     use_pallas_fill: bool | None = None   # None = auto (TPU yes, CPU no)
     # lighting / post
@@ -105,7 +110,8 @@ class RenderSettings:
             width=self.width, height=self.height,
             max_tris_per_tile=self.max_tris_per_tile,
             chunk=self.raster_chunk, max_big_tris=self.max_big_tris,
-            tile_batch=self.tile_batch)
+            tile_batch=self.tile_batch, tile_h=self.tile_h,
+            pair_capacity=self.pair_capacity)
 
 
 # The carry is a plain dict pytree so later milestones can add entries
@@ -266,7 +272,8 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     if settings.enable_textures and scene.num_textures > 0:
         atlas = scene.atlas_dict()
         # virtual-texture residency overrides from the streaming manager
-        for k in ('tex_texels', 'tex_desc', 'tex_min_mip'):
+        for k in ('tex_texels', 'tex_desc', 'tex_min_mip',
+                  'tex_tile_table'):
             if k in frame_inputs:
                 atlas = dict(atlas, **{k: frame_inputs[k]})
     gb = resolve_gbuffer(records, depth, tri_id, frame_inputs['jitter'],
@@ -491,6 +498,8 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         aux['ao'] = ao
     if 'tex_feedback' in gb:
         aux['tex_feedback'] = gb['tex_feedback']
+    if 'vt_tile_feedback' in gb:
+        aux['vt_tile_feedback'] = gb['vt_tile_feedback']
 
     # Bloom (from the lighting output, pre-TAA: Scene.cpp pass order)
     bloom_tex = None

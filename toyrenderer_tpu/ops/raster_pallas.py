@@ -51,7 +51,11 @@ def pack_tri_records(setup: dict, ids=None) -> jnp.ndarray:
     return rec
 
 
-def _fill_kernel(counts_ref,            # scalar prefetch: (tiles, 2) i32
+def _fill_kernel(counts_ref,            # scalar prefetch: (tiles,) i32
+                 bigcount_ref,          # scalar prefetch: (1,) i32
+                 # NOTE: prefetch arrays must stay 1D — Mosaic pads the
+                 # minor dim of SMEM arrays to 128, so a (tiles, 2) table
+                 # would cost 64x its size against the 1MB SMEM budget
                  rec_ref,               # (1, K, 16) f32 tile triangle recs
                  bigrec_ref,            # (B, 16) f32 big-triangle records
                  init_z_ref,            # (TH, TW) f32
@@ -104,12 +108,12 @@ def _fill_kernel(counts_ref,            # scalar prefetch: (tiles, 2) i32
             return 0
         return body
 
-    count = counts_ref[i, 0]
+    count = counts_ref[i]
     n_chunks = (count + c - 1) // c
     jax.lax.fori_loop(
         0, n_chunks, make_body(lambda b: rec_ref[0, pl.ds(b, c), :]), 0)
 
-    big_count = counts_ref[i, 1]
+    big_count = bigcount_ref[0]
     n_big = (big_count + c - 1) // c
     jax.lax.fori_loop(
         0, n_big, make_body(lambda b: bigrec_ref[pl.ds(b, c), :]), 0)
@@ -131,10 +135,7 @@ def fill_visibility_pallas(setup: dict, tile_table, tile_count, big_list,
     big_safe = jnp.maximum(big_list, 0)
     big_recs = rec[big_safe]                          # (B, 16)
     big_recs = big_recs.at[:, 15].set(big_list.astype(jnp.float32))
-    big_count = jnp.sum((big_list >= 0).astype(jnp.int32))
-    counts = jnp.stack(
-        [tile_count,
-         jnp.broadcast_to(big_count, tile_count.shape)], axis=1)
+    big_count = jnp.sum((big_list >= 0).astype(jnp.int32)).reshape(1)
 
     n_tiles = cfg.num_tiles
     th, tw = cfg.tile_h, cfg.tile_w
@@ -147,17 +148,17 @@ def fill_visibility_pallas(setup: dict, tile_table, tile_count, big_list,
         init_id = pad_image(init_tri_id, cfg, fill=-1)
 
     tile_block = pl.BlockSpec(
-        (th, tw), lambda i, c: (i // cfg.tiles_x, i % cfg.tiles_x),
+        (th, tw), lambda i, c, b: (i // cfg.tiles_x, i % cfg.tiles_x),
         memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((1, cfg.max_tris_per_tile, REC),
-                         lambda i, c: (i, 0, 0),
+                         lambda i, c, b: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cfg.max_big_tris, REC),
-                         lambda i, c: (0, 0), memory_space=pltpu.VMEM),
+                         lambda i, c, b: (0, 0), memory_space=pltpu.VMEM),
             tile_block,
             tile_block,
         ],
@@ -171,7 +172,7 @@ def fill_visibility_pallas(setup: dict, tile_table, tile_count, big_list,
             jax.ShapeDtypeStruct((hp, wp), jnp.int32),
         ),
         grid_spec=grid_spec,
-    )(counts, tile_recs, big_recs, init_z, init_id)
+    )(tile_count, big_count, tile_recs, big_recs, init_z, init_id)
     return crop_image(z, cfg), crop_image(tid, cfg)
 
 
@@ -243,7 +244,10 @@ CHUNK_S = 32
 def _fill_resolve_stream_kernel(
         chunk_tile_ref,      # prefetch (CH,) i32: tile of each chunk
         chunk_base_ref,      # prefetch (tiles,) i32: first chunk of tile
-        tcount_ref,          # prefetch (tiles, 2) i32: [pair count, big count]
+        count_ref,           # prefetch (tiles,) i32: effective pair count
+        bigcount_ref,        # prefetch (1,) i32 — 1D only: Mosaic pads
+        #                      SMEM minor dims to 128 (a (tiles, 2) table
+        #                      would cost 64x its size of the 1MB budget)
         comb_ref,            # (1, C, 16+R) streamed pair records
         bigcomb_ref,         # (B, 16+R) big-triangle records (resident)
         init_z_ref,          # (TH, TW) f32 (block at the tile's position)
@@ -264,8 +268,8 @@ def _fill_resolve_stream_kernel(
         j == n_ch - 1, chunk_tile_ref[jnp.minimum(j + 1, n_ch - 1)] != tile)
     c = CHUNK_S
     slot_base = (j - chunk_base_ref[tile]) * c
-    count = tcount_ref[tile, 0]
-    big_count = tcount_ref[tile, 1]
+    count = count_ref[tile]
+    big_count = bigcount_ref[0]
 
     th, tw = cfg.tile_h, cfg.tile_w
     k_cap = cfg.max_tris_per_tile
@@ -477,27 +481,40 @@ def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
     vals_s = bins['vals_s']
     big_list = bins['big_list']
 
-    # chunk allotment: 1 mandatory chunk per tile + extras from the global
-    # pair budget (overflow drops pairs, bounded-amplification semantics)
-    n_extra = -(-counts // c) - jnp.where(counts > 0, 1, 0)
-    n_extra = jnp.maximum(n_extra, 0)
-    extra_budget = ch_cap - n_tiles
-    extra_before = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(n_extra)])[:-1]
-    extra_allowed = jnp.clip(extra_budget - extra_before, 0, n_extra)
-    n_chunks = 1 + extra_allowed                   # (tiles,) >= 1
+    # chunk allotment: WORK tiles only — init->output buffer aliasing
+    # passes untouched tiles straight through, so empty tiles cost
+    # nothing (in the late cull phase that is ~95% of the grid).  Tiles
+    # with pairs take ceil(count/c) chunks; when the big-triangle list is
+    # non-empty EVERY tile needs one visit (big tris are tested per
+    # tile).  The global chunk budget clamps cumulatively (overflow
+    # drops pairs — bounded-amplification semantics, gpuculling.hlsl
+    # overflow parity).
+    has_big = jnp.any(big_list >= 0)
+    want = jnp.maximum(-(-counts // c),
+                       jnp.where(has_big, 1, 0))   # (tiles,)
+    before = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(want)])[:-1]
+    n_chunks = jnp.clip(ch_cap - before, 0, want)  # (tiles,) >= 0
     counts_eff = jnp.minimum(counts, n_chunks * c)
     chunk_base = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32),
          jnp.cumsum(n_chunks)]).astype(jnp.int32)  # (tiles+1,)
     total_chunks = chunk_base[-1]
 
-    # per-chunk tile table (padding chunks replay the last tile, which is
-    # idempotent: their rows are masked by counts_eff)
+    # per-chunk tile table.  Padding chunks REPLAY the tile of the last
+    # real chunk: they stay consecutive with it, so `last` (and with it
+    # the one-hot fetch + interpolant epilogue) fires exactly once, on
+    # the final padding chunk, with all state still resident.
     jj = jnp.arange(ch_cap, dtype=jnp.int32)
     chunk_tile = jnp.searchsorted(chunk_base, jj, side='right') - 1
+    last_tile = jnp.where(
+        total_chunks > 0,
+        jnp.clip(jnp.searchsorted(chunk_base,
+                                  jnp.maximum(total_chunks - 1, 0),
+                                  side='right') - 1, 0, n_tiles - 1),
+        0)
     chunk_tile = jnp.where(jj < total_chunks, chunk_tile,
-                           n_tiles - 1).astype(jnp.int32)
+                           last_tile).astype(jnp.int32)
 
     # chunk-aligned pair records: two gathers over the static pair budget
     pp = jnp.arange(ch_cap * c, dtype=jnp.int32)
@@ -510,9 +527,7 @@ def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
 
     big_safe = jnp.maximum(big_list, 0)
     big_comb = comb[big_safe]
-    big_count = jnp.sum((big_list >= 0).astype(jnp.int32))
-    tcounts = jnp.stack(
-        [counts_eff, jnp.broadcast_to(big_count, counts_eff.shape)], 1)
+    big_count = jnp.sum((big_list >= 0).astype(jnp.int32)).reshape(1)
 
     th, tw = cfg.tile_h, cfg.tile_w
     hp, wp = cfg.tiles_y * th, cfg.tiles_x * tw
@@ -530,16 +545,17 @@ def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
         init_rec = pad_image(init_rec, cfg)
 
     tx_ = cfg.tiles_x
-    by_tile = lambda j, ct, cb, tc: (ct[j] // tx_, ct[j] % tx_)  # noqa: E731
-    by_tile3 = lambda j, ct, cb, tc: (0, ct[j] // tx_, ct[j] % tx_)  # noqa: E731,E501
+    by_tile = lambda j, ct, cb, c_, b_: (ct[j] // tx_, ct[j] % tx_)  # noqa: E731,E501
+    by_tile3 = lambda j, ct, cb, c_, b_: (0, ct[j] // tx_, ct[j] % tx_)  # noqa: E731,E501
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(ch_cap,),
         in_specs=[
-            pl.BlockSpec((1, c, REC + r), lambda j, ct, cb, tc: (j, 0, 0),
+            pl.BlockSpec((1, c, REC + r),
+                         lambda j, ct, cb, c_, b_: (j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cfg.max_big_tris, REC + r),
-                         lambda j, ct, cb, tc: (0, 0),
+                         lambda j, ct, cb, c_, b_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((th, tw), by_tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((th, tw), by_tile, memory_space=pltpu.VMEM),
@@ -566,7 +582,11 @@ def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(chunk_tile, chunk_base[:-1], tcounts,
+        # init planes alias the outputs: tiles no chunk visits keep their
+        # init content without any work (indices count the flattened
+        # inputs INCLUDING the scalar-prefetch operands)
+        input_output_aliases={6: 0, 7: 1, 8: 2},
+    )(chunk_tile, chunk_base[:-1], counts_eff, big_count,
       comb_padded, big_comb, init_z, init_id, init_rec)
     if padded_io:
         return z, tid, rec

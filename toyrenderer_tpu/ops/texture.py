@@ -17,6 +17,45 @@ from toyrenderer_tpu.ops.packing import unpack_rgba8_u32
 from toyrenderer_tpu.scene.textures import MAX_MIPS, WRAP_REPEAT
 
 
+VT_TILE = 64            # texels per tile side; one tile = 64*64 texel
+VT_TILE_ROWS = VT_TILE * VT_TILE   # rows (4096 x 64B = 256KB: the 4-map
+#                         equivalent of the reference's 64KB D3D12 tile)
+
+
+def _texel_index(atlas: dict, row, x, y, mw):
+    """Texel-row index for (x, y) of the mip described by desc `row`.
+
+    Contiguous mips address offset + y*mw + x.  When the atlas carries a
+    VT tile table ('tex_tile_table', engine/streaming.py
+    TileStreamingManager) and the desc's slot 3 holds a tile base >= 0,
+    the mip is stored as scattered 64x64-texel POOL TILES: the table maps
+    (tile_base + tile-grid index) -> packed (delta << 24 | pool slot),
+    where delta > 0 redirects to the co-located tile of a 2^delta coarser
+    mip (per-REGION residency fallback — the RTXTS MinMip idea at tile
+    granularity).  Quad-expanded rows are self-contained (each carries
+    its own 2x2 footprint), so tiles never need neighbors.
+
+    Returns (index, requested_tile_id) — tile id is -1 off the VT path.
+    """
+    base = row[..., 0]
+    flat = base + y * mw + x
+    if 'tex_tile_table' not in atlas:
+        return flat, None
+    table = atlas['tex_tile_table']
+    tb = row[..., 3]
+    wt = (mw + VT_TILE - 1) // VT_TILE
+    tid = tb + (y // VT_TILE) * wt + (x // VT_TILE)
+    ent = table[jnp.clip(tid, 0, table.shape[0] - 1)]
+    delta = ent >> 24
+    slot = ent & 0xFFFFFF
+    xs = x >> delta
+    ys = y >> delta
+    idx_vt = (slot * VT_TILE_ROWS + (ys % VT_TILE) * VT_TILE
+              + (xs % VT_TILE))
+    vt = tb >= 0
+    return jnp.where(vt, idx_vt, flat), jnp.where(vt, tid, -1)
+
+
 def mip_from_derivatives(duv_dx, duv_dy, width, height):
     """Standard isotropic LOD: log2 of the max screen footprint in texels."""
     fx = jnp.square(duv_dx[..., 0] * width) + jnp.square(
@@ -88,7 +127,10 @@ def sample_material_maps(atlas: dict, ent_id, uv, duv_dx=None,
     mw = row[..., 1]
     mh = row[..., 2]
 
+    tile_id = None
+
     def tap(uv_t):
+        nonlocal tile_id
         u = uv_t[..., 0] * mw.astype(jnp.float32) - 0.5
         v = uv_t[..., 1] * mh.astype(jnp.float32) - 0.5
         x0 = jnp.floor(u)
@@ -106,8 +148,10 @@ def sample_material_maps(atlas: dict, ent_id, uv, duv_dx=None,
                       jnp.clip(x0i, 0, mw - 1))
         y = jnp.where(wrap == WRAP_REPEAT, rep_y,
                       jnp.clip(y0i, 0, mh - 1))
-        idx = jnp.clip(off + y * mw + x,
-                       0, atlas['tex_texels'].shape[0] - 1)
+        idx, tid_t = _texel_index(atlas, row, x, y, mw)
+        if tid_t is not None and tile_id is None:
+            tile_id = tid_t
+        idx = jnp.clip(idx, 0, atlas['tex_texels'].shape[0] - 1)
         rows = atlas['tex_texels'][idx]                   # (..., 16) u32
         maps = []
         for mi in range(4):
@@ -138,6 +182,8 @@ def sample_material_maps(atlas: dict, ent_id, uv, duv_dx=None,
     for mi, name in enumerate(('base', 'normal', 'mr', 'emissive')):
         out[name] = jnp.where(valid, acc[mi], neutral[mi])
     out['desired'] = desired
+    if tile_id is not None:
+        out['tile_id'] = jnp.where(ent_id >= 0, tile_id, -1)
     return out
 
 
@@ -215,7 +261,8 @@ def sample_material_maps_quad(atlas: dict, ent_id, uv, duv_dx, duv_dy,
     rep_y = jnp.mod(y0i, jnp.maximum(mh, 1))
     x = jnp.where(wrap_q == WRAP_REPEAT, rep_x, jnp.clip(x0i, 0, mw - 1))
     y = jnp.where(wrap_q == WRAP_REPEAT, rep_y, jnp.clip(y0i, 0, mh - 1))
-    idx = jnp.clip(off + y * mw + x, 0, atlas['tex_texels'].shape[0] - 1)
+    idx, tile_id_q = _texel_index(atlas, row, x, y, mw)
+    idx = jnp.clip(idx, 0, atlas['tex_texels'].shape[0] - 1)
     rows_q = atlas['tex_texels'][idx]                     # (Hq, Wq, 16)
 
     # ONE channel-packed nearest upsample carries the gathered rows AND
@@ -251,6 +298,9 @@ def sample_material_maps_quad(atlas: dict, ent_id, uv, duv_dx, duv_dy,
              + (quad[..., 2, :] * (1 - fx) + quad[..., 3, :] * fx) * fy)
         out[name] = jnp.where(valid, c, neutral[mi])
     out['desired'] = _quad_expand_ch(des_q[..., None])[..., 0]
+    if tile_id_q is not None:
+        tile_full = _quad_expand_ch(tile_id_q[..., None])[..., 0]
+        out['tile_id'] = jnp.where(valid[..., 0], tile_full, -1)
     return out
 
 
@@ -269,6 +319,19 @@ def sample_texture(atlas: dict, tex_id, uv, duv_dx=None, duv_dy=None,
     if feedback:
         return maps['base'], maps['desired']
     return maps['base']
+
+
+def vt_tile_feedback(tile_id, desired_mip, num_tiles: int):
+    """Per-TILE min desired mip — sampler feedback at 64x64-texel tile
+    granularity (TextureFeedbackManager.cpp resolve parity).  tile_id
+    (H, W) i32 from the sampler (-1 = no VT tile sampled); returns
+    (num_tiles,) f32 with +inf for untouched tiles."""
+    import jax
+    flat_id = jnp.where(tile_id >= 0, tile_id, num_tiles).reshape(-1)
+    mins = jax.ops.segment_min(
+        desired_mip.reshape(-1).astype(jnp.float32), flat_id,
+        num_segments=num_tiles + 1)
+    return mins[:num_tiles]
 
 
 def texture_feedback(tex_id, desired_mip, num_textures: int):
