@@ -55,6 +55,14 @@ def main(argv=None):
     p.add_argument("--aniso", type=int, default=1,
                    help="anisotropic filtering taps (1 = off; >1 uses "
                         "the per-pixel sampler instead of quad taps)")
+    p.add_argument("--vtstream", choices=("off", "mip", "tile"),
+                   default="off",
+                   help="virtual-texture streaming: per-mip residency "
+                        "or 64x64-texel tiles with spatial feedback "
+                        "(TextureFeedbackManager parity)")
+    p.add_argument("--vtpool", type=int, default=64,
+                   help="tile-pool budget (tiles) / mip-pool budget "
+                        "(x64K texel rows) for --vtstream")
     p.add_argument("--forcedlod", type=int, default=-1)
     p.add_argument("--platform", default=None,
                    help="force jax platform (cpu for software-WARP parity)")
@@ -78,8 +86,16 @@ def main(argv=None):
     w, h = (int(x) for x in args.displayresolution.split("x"))
 
     t0 = time.time()
-    scene_host = load_scene(args.scene, scale=args.customscenescale,
-                            use_cache=not args.nocache)
+    if args.scene == "stress":
+        # procedural sponza-class scene (the bench scene): textured
+        # spheres/boxes — handy for texture/VT/culling demos without
+        # shipping large assets
+        from toyrenderer_tpu.scene.procedural import make_stress_scene
+        scene_host = make_stress_scene(n_objects=64, sphere_res=16,
+                                       textured=True)
+    else:
+        scene_host = load_scene(args.scene, scale=args.customscenescale,
+                                use_cache=not args.nocache)
     print(f"[scene] {args.scene}: {scene_host.num_vertices} verts, "
           f"{scene_host.num_meshlets} meshlets, "
           f"{scene_host.num_instances} instances "
@@ -140,6 +156,39 @@ def main(argv=None):
     carry = init_carry(scene, settings, ddgi_volume)
     render = make_render_fn(settings, ddgi_volume)
 
+    # virtual-texture streaming: residency overrides ride frame_inputs
+    # from frame 0 (constant shapes -> one trace); device feedback from
+    # aux drives the next update (TextureFeedbackManager.cpp loop parity)
+    stream_mgr = None
+    stream_overrides = {}
+    if args.vtstream != "off" and scene_host.num_textures > 0:
+        from toyrenderer_tpu.scene.textures import TextureAtlas
+        atlas_h = TextureAtlas(
+            texels=scene_host.tex_texels,
+            desc_offset=scene_host.tex_offset,
+            desc_width=scene_host.tex_width,
+            desc_height=scene_host.tex_height,
+            num_mips=scene_host.tex_num_mips,
+            wrap_mode=scene_host.tex_wrap,
+            min_resident_mip=scene_host.tex_min_mip,
+            num_textures=scene_host.num_textures)
+        if args.vtstream == "mip":
+            from toyrenderer_tpu.engine.streaming import (
+                TextureStreamingManager)
+            stream_mgr = TextureStreamingManager(
+                atlas_h, pool_texels=args.vtpool << 16)
+            stream_overrides = stream_mgr.update(
+                np.full(scene_host.num_textures, np.inf))
+        else:
+            from toyrenderer_tpu.engine.streaming import (
+                TileStreamingManager)
+            stream_mgr = TileStreamingManager(atlas_h,
+                                              pool_tiles=args.vtpool)
+            stream_overrides = stream_mgr.update(
+                np.full(stream_mgr.table_size, np.inf))
+        print(f"[vt] {args.vtstream}-granularity streaming, "
+              f"pool budget {args.vtpool}")
+
     player = None
     if args.animate:
         from toyrenderer_tpu.scene.animation import AnimationPlayer
@@ -152,6 +201,7 @@ def main(argv=None):
     for i in range(args.frames):
         mats = view.matrices()
         fi = default_frame_inputs(scene_host, mats)
+        fi.update(stream_overrides)
         if player is not None and player.enabled:
             t, r, s = player.evaluate(
                 i / 60.0, scene_host.node_translation,
@@ -172,6 +222,12 @@ def main(argv=None):
             view.rotate_yaw_pitch(args.orbit, 0.0)
         label = "compile+run" if i == 0 else "frame"
         print(f"[frame {i}] {label}: {dt:.2f} ms")
+        if stream_mgr is not None:
+            fb_key = ('vt_tile_feedback' if args.vtstream == 'tile'
+                      else 'tex_feedback')
+            stream_overrides = stream_mgr.update(np.asarray(aux[fb_key]))
+            if args.stats:
+                print(f"[vt] {stream_mgr.stats}")
         if args.stats:
             rec = dict(frame=i, ms=round(dt, 3),
                        coverage=round(float(
