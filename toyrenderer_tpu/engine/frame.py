@@ -284,7 +284,12 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
 
     # -- Alpha-masked set (second base-pass set, basepass.hlsl
     #    ALPHA_MASK_MODE parity): rasterized separately, alpha-tested at
-    #    resolve, merged into the GBuffer where it passes and is closer ----
+    #    resolve, merged into the GBuffer where it passes and is closer.
+    #    KNOWN LIMIT (single-layer): only the NEAREST masked fragment per
+    #    pixel is alpha-tested; if it fails the cutoff, a farther masked
+    #    fragment that would pass is lost (the reference discards during
+    #    raster and keeps the next-closest).  Visible only on stacked
+    #    cutout layers; fixing it needs in-kernel alpha testing ----------
     if (settings.enable_alpha_test and mask_pair_inst is not None
             and mask_pair_inst.shape[0] > 0):
         geo_m = geo_mod.meshlet_clip_triangles(

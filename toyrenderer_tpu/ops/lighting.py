@@ -10,6 +10,7 @@ use tri_id < 0 <=> depth == 0).  Also hosts the 13 debug view modes
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from toyrenderer_tpu.ops import brdf
@@ -91,6 +92,44 @@ def deferred_lighting(gb: dict, cam_pos, inv_view_proj,
     return jnp.where(hit[..., None], lit, sky_rgb)
 
 
+# 3x5 bitmap digits 0-9 (rows top-down, 3-bit masks) for the MinMip
+# debug overlay — the function of the reference's SDF digit atlas
+# (visualizeminmip.hlsl) without shipping font data
+_DIGITS = jnp.asarray([
+    [0b111, 0b101, 0b101, 0b101, 0b111],   # 0
+    [0b010, 0b110, 0b010, 0b010, 0b111],   # 1
+    [0b111, 0b001, 0b111, 0b100, 0b111],   # 2
+    [0b111, 0b001, 0b111, 0b001, 0b111],   # 3
+    [0b101, 0b101, 0b111, 0b001, 0b001],   # 4
+    [0b111, 0b100, 0b111, 0b001, 0b111],   # 5
+    [0b111, 0b100, 0b111, 0b101, 0b111],   # 6
+    [0b111, 0b001, 0b010, 0b010, 0b010],   # 7
+    [0b111, 0b101, 0b111, 0b101, 0b111],   # 8
+    [0b111, 0b101, 0b111, 0b001, 0b111],   # 9
+], jnp.int32)
+
+
+def _digit_overlay(img, values, block: int = 32, scale: int = 3):
+    """Draw each 32px block's floor(value) as a bitmap digit (white on
+    dark pad) in its top-left corner; negative values draw nothing."""
+    h, w = values.shape
+    py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    # value at each pixel's BLOCK ORIGIN so the whole block agrees
+    v = values[(py // block) * block, (px // block) * block]
+    d = jnp.clip(jnp.floor(v), 0, 9).astype(jnp.int32)
+    ly = py % block - 2
+    lx = px % block - 2
+    fy = ly // scale
+    fx = lx // scale
+    inside = ((ly >= 0) & (lx >= 0) & (fy < 5) & (fx < 3) & (v >= 0))
+    rows = _DIGITS[d, jnp.clip(fy, 0, 4)]
+    on = ((rows >> (2 - jnp.clip(fx, 0, 2))) & 1) == 1
+    pad = ((ly >= -1) & (lx >= -1) & (fy <= 5) & (fx <= 3) & (v >= 0))
+    img = jnp.where(pad[..., None], img * 0.35, img)
+    return jnp.where((inside & on)[..., None], 1.0, img)
+
+
 def debug_view(gb: dict, mode: int, extras: dict | None = None):
     """Static debug visualizations of GBuffer / intermediate planes."""
     m = unpack_gbuffer(gb)
@@ -121,11 +160,14 @@ def debug_view(gb: dict, mode: int, extras: dict | None = None):
         return jnp.stack([uv[..., 0] % 1.0, uv[..., 1] % 1.0,
                           jnp.zeros_like(uv[..., 0])], -1)
     if mode == DEBUG_MIP and 'tex_desired_mip' in extras:
-        # mip heatmap: fine mips hot (red), coarse cool (blue), no-tex grey
+        # mip heatmap: fine mips hot (red), coarse cool (blue), no-tex
+        # grey — plus per-32px-block DIGIT overlays of the mip value
+        # (visualizeminmip.hlsl SDF-digit parity)
         m = extras['tex_desired_mip']
         t = jnp.clip(m / 10.0, 0.0, 1.0)
         color = jnp.stack([1.0 - t, 0.2 + 0.3 * t, t], -1)
-        return jnp.where((m >= 0)[..., None], color, 0.3)
+        img = jnp.where((m >= 0)[..., None], color, 0.3)
+        return _digit_overlay(img, m)
     if mode == DEBUG_MESHLET and 'tri_id' in extras:
         tid = jnp.maximum(extras['tri_id'], 0) // 96
         c = (tid.astype(jnp.uint32) * jnp.uint32(2654435761))

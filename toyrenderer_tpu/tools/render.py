@@ -233,6 +233,12 @@ def main(argv=None):
                        coverage=round(float(
                            (np.asarray(aux['tri_id']) >= 0).mean()), 4),
                        exposure=float(carry['exposure']))
+            mem = getattr(jax.devices()[0], 'memory_stats',
+                          lambda: None)()
+            if mem:    # device memory telemetry (reference HUD VRAM row)
+                rec['hbm_mb'] = round(mem.get('bytes_in_use', 0) / 2**20)
+                rec['hbm_peak_mb'] = round(
+                    mem.get('peak_bytes_in_use', 0) / 2**20)
             for k in ('early_instances', 'late_instances',
                       'early_meshlets', 'late_meshlets'):
                 if k in aux:

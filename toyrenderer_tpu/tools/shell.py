@@ -267,6 +267,14 @@ def main(argv=None):
             'exposure': f"{float(carry['exposure']):.4f}",
             'covered px': int((np.asarray(aux['tri_id']) >= 0).sum()),
         }
+        # device memory telemetry (the reference HUD's VRAM row,
+        # Engine.cpp:414-423)
+        mem = getattr(jax.devices()[0], 'memory_stats', lambda: None)()
+        if mem:
+            used = mem.get('bytes_in_use', 0)
+            peak = mem.get('peak_bytes_in_use', 0)
+            stats['hbm used'] = f"{used / 2**20:.0f} MB"
+            stats['hbm peak'] = f"{peak / 2**20:.0f} MB"
         for k in ('early_instances', 'late_instances', 'early_pairs',
                   'late_pairs', 'resolved_pixels', 'raster_tris',
                   'raster_binned_pairs', 'early_raster_binned_pairs',
