@@ -260,3 +260,43 @@ def test_alpha_masked_cutout():
     diff = (np.asarray(img_mask).astype(int)
             - np.asarray(img_op).astype(int))
     assert np.abs(diff).max() > 10
+
+
+def test_depth_peeled_oit_layers():
+    """With TWO stacked blend surfaces (glass sphere in front of a glass
+    ground), oit_layers=2 must composite the second layer that the
+    single-layer path drops — pixels where the stack overlaps change."""
+    from toyrenderer_tpu.scene.procedural import make_stress_scene
+    from toyrenderer_tpu.scene.gltf import ALPHA_BLEND
+    s = make_stress_scene(n_objects=8, sphere_res=8, seed=9)
+    ground_mat = int(s.prim_material[int(s.inst_prim[0])])
+    s.mat_alpha_mode[ground_mat] = ALPHA_BLEND
+    s.mat_base_color[ground_mat] = [0.1, 0.9, 0.1, 0.4]
+    obj_mat = int(s.prim_material[int(s.inst_prim[1])])
+    s.mat_alpha_mode[obj_mat] = ALPHA_BLEND
+    s.mat_base_color[obj_mat] = [0.9, 0.1, 0.1, 0.5]
+    d = s.to_device()
+    from toyrenderer_tpu.ops.geometry import static_meshlet_pairs
+    pi, pm = static_meshlet_pairs(s, 'opaque')
+    ti, tm = static_meshlet_pairs(s, 'blend')
+    assert len(ti) >= 2
+    view = View.from_scene(s, 192, 96)
+    view.enable_jitter = False
+    fi = default_frame_inputs(s, view.matrices())
+
+    imgs = {}
+    for k in (1, 2):
+        st = RenderSettings(width=192, height=96, manual_exposure=0.05,
+                            enable_transparency=True, oit_layers=k,
+                            max_tris_per_tile=256, max_big_tris=64,
+                            tile_batch=4)
+        img, _, _ = make_render_fn(st)(
+            d, jnp.asarray(pi), jnp.asarray(pm), fi, init_carry(d, st),
+            trans_pair_inst=jnp.asarray(ti),
+            trans_pair_meshlet=jnp.asarray(tm))
+        imgs[k] = np.asarray(img).astype(int)
+    diff = np.abs(imgs[1] - imgs[2]).sum(-1)
+    # the second peel adds the occluded glass layer somewhere...
+    assert (diff > 10).sum() > 20
+    # ...but identical where at most one layer exists
+    assert (diff == 0).mean() > 0.5

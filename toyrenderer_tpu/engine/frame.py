@@ -64,6 +64,8 @@ class RenderSettings:
     gi_update_phases: int = 1             # probes update in P/N blocks
     show_gi_probes: bool = False          # probe visualization overlay
     enable_transparency: bool = False     # forward blend (reference: stub)
+    oit_layers: int = 1                   # depth-peeled OIT layers for
+    #   the blend set (1 = nearest-layer only)
     enable_alpha_test: bool = True        # alpha-masked cutout set
     enable_restir: bool = False           # ReSTIR DI (off: reference parity)
     restir_candidates: int = 8
@@ -159,7 +161,7 @@ def _raster_with_records(scene, geo, cfg, use_pallas, inst_world,
                          init_depth=None,
                          init_tri_id=None, init_rec=None,
                          emit_base: int = 0, padded_io: bool = False,
-                         sp_mesh=None):
+                         sp_mesh=None, peel_depth=None):
     """setup + bin + fill, producing per-pixel resolve data.
 
     Pallas path: the fused fill+resolve kernel fetches records via one-hot
@@ -190,13 +192,15 @@ def _raster_with_records(scene, geo, cfg, use_pallas, inst_world,
         depth, tid, interp = fill_resolve_stream(
             setup, records, bins, cfg,
             init_depth=init_depth, init_tri_id=init_tri_id,
-            init_rec=init_rec, emit_base=emit_base, padded_io=padded_io)
+            init_rec=init_rec, emit_base=emit_base, padded_io=padded_io,
+            peel_depth=peel_depth)
         stats = _raster_stats(setup, bins)
         return setup, records, depth, tid, interp, stats
     table, counts, big = raster_mod.bin_triangles(setup, cfg)
     depth, tid = raster_mod.fill_visibility(
         setup, table, big, cfg, init_depth=init_depth,
-        init_tri_id=init_tri_id, emit_base=emit_base)
+        init_tri_id=init_tri_id, emit_base=emit_base,
+        peel_depth=peel_depth)
     stats = _raster_stats(
         setup, dict(counts=counts, big_list=big))
     return setup, records, depth, tid, None, stats
@@ -447,33 +451,46 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     if restir_light is not None:
         hdr = hdr + jnp.where((depth > 0)[..., None], restir_light, 0.0)
 
-    # -- TransparentForward (single-layer alpha blend; the reference stubs
-    #    this pass out — Setup returns false, BasePassRenderers.cpp:729 —
-    #    here implemented but likewise off by default) ----------------------
+    # -- TransparentForward (the reference stubs this pass out — Setup
+    #    returns false, BasePassRenderers.cpp:729 — here implemented with
+    #    DEPTH-PEELED order-independent transparency: oit_layers extracts
+    #    successive depth layers of the blend set, composited back to
+    #    front, so stacked glass sorts correctly) -------------------------
     if (settings.enable_transparency and trans_pair_inst is not None
             and trans_pair_inst.shape[0] > 0):
+        from toyrenderer_tpu.ops.packing import unpack_rgba8_u32
         geo_t = geo_mod.meshlet_clip_triangles(
             scene, inst_world, frame_inputs['view_proj'],
             trans_pair_inst, trans_pair_meshlet)
-        _, recs_t2, depth_t, tid_t, interp_t, _ = _raster_with_records(
-            scene, geo_t, cfg, use_pallas, inst_world, inst_adj,
-            prev_inst_world, prev_vp, sp_mesh=sp_mesh)
-        rec_t = interp_t if interp_t is not None else recs_t2
-        gb_t = resolve_gbuffer(rec_t, depth_t, tid_t,
-                               frame_inputs['jitter'], cfg, atlas=atlas,
-                               num_textures=scene.num_textures,
-                               aniso=settings.texture_aniso)
-        hdr_t = deferred_lighting(
-            gb_t, frame_inputs['cam_pos'], frame_inputs['inv_view_proj'],
-            frame_inputs['sun_direction'], frame_inputs['sun_color'],
-            frame_inputs['sun_intensity'], gi_irradiance=gi_irradiance,
-            sky_turbidity=settings.sky_turbidity,
-            ambient_factor=settings.ambient_factor, sky_fn=sky_fn)
-        from toyrenderer_tpu.ops.packing import unpack_rgba8_u32
-        alpha_t = unpack_rgba8_u32(gb_t['gbuffer0'])[..., 3]
-        front = (depth_t > depth) & (depth_t > 0.0)
-        blend = jnp.where(front, alpha_t, 0.0)[..., None]
-        hdr = hdr * (1.0 - blend) + hdr_t * blend
+        layers = []
+        peel = None
+        for _layer in range(max(settings.oit_layers, 1)):
+            (_, recs_t2, depth_t, tid_t, interp_t,
+             _) = _raster_with_records(
+                scene, geo_t, cfg, use_pallas, inst_world, inst_adj,
+                prev_inst_world, prev_vp, sp_mesh=sp_mesh,
+                peel_depth=peel)
+            rec_t = interp_t if interp_t is not None else recs_t2
+            gb_t = resolve_gbuffer(rec_t, depth_t, tid_t,
+                                   frame_inputs['jitter'], cfg,
+                                   atlas=atlas,
+                                   num_textures=scene.num_textures,
+                                   aniso=settings.texture_aniso)
+            hdr_t = deferred_lighting(
+                gb_t, frame_inputs['cam_pos'],
+                frame_inputs['inv_view_proj'],
+                frame_inputs['sun_direction'], frame_inputs['sun_color'],
+                frame_inputs['sun_intensity'],
+                gi_irradiance=gi_irradiance,
+                sky_turbidity=settings.sky_turbidity,
+                ambient_factor=settings.ambient_factor, sky_fn=sky_fn)
+            alpha_t = unpack_rgba8_u32(gb_t['gbuffer0'])[..., 3]
+            layers.append((depth_t, hdr_t, alpha_t))
+            peel = depth_t
+        for depth_t, hdr_t, alpha_t in reversed(layers):
+            front = (depth_t > depth) & (depth_t > 0.0)
+            blend = jnp.where(front, alpha_t, 0.0)[..., None]
+            hdr = hdr * (1.0 - blend) + hdr_t * blend
     if settings.show_gi_probes and settings.enable_gi:
         hdr = ddgi_mod.visualize_probes(
             hdr, depth, ddgi_volume, gi_carry['ddgi_irradiance'],

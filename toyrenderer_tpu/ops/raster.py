@@ -280,12 +280,16 @@ def bin_pairs_stream(setup: dict, cfg: RasterConfig):
 
 
 def fill_visibility(setup: dict, tile_table, big_list, cfg: RasterConfig,
-                    init_depth=None, init_tri_id=None, emit_base: int = 0):
+                    init_depth=None, init_tri_id=None, emit_base: int = 0,
+                    peel_depth=None):
     """Rasterize per-tile lists -> (depth (H,W) f32, tri_id (H,W) i32).
 
     depth is reverse-Z (greater == closer, 0 == far/background);
     tri_id is -1 where nothing was drawn.  Optional init planes continue a
     previous fill (phase 2 of the 2-phase occlusion pipeline).
+    peel_depth: optional (H, W) EXCLUSIVE near bound — only fragments
+    strictly farther (depth < peel_depth) can win, yielding the next
+    depth layer (depth-peeling OIT).
     """
     th, tw = cfg.tile_h, cfg.tile_w
     tb = cfg.tile_batch
@@ -304,10 +308,15 @@ def fill_visibility(setup: dict, tile_table, big_list, cfg: RasterConfig,
         from toyrenderer_tpu.ops.raster_pallas import _image_to_tiles
         init_z_tiles = _image_to_tiles(init_depth, cfg)
         init_id_tiles = _image_to_tiles(init_tri_id, cfg)
+    if peel_depth is not None:
+        from toyrenderer_tpu.ops.raster_pallas import _image_to_tiles
+        peel_tiles = _image_to_tiles(peel_depth, cfg)
 
-    def raster_chunk(ids, pxn, pyn, best):
+    def raster_chunk(ids, pxn, pyn, peel, best):
         """ids (TB, C); pxn/pyn (TB,1,TH,TW); best = (z, id) per pixel."""
         inside, depth = _coverage_depth(setup, ids, pxn, pyn)
+        if peel is not None:
+            depth = jnp.where(depth < peel[:, None], depth, -1.0)
         best_z, best_id = best
         emit_ids = jnp.where(ids >= 0, ids + emit_base, ids)
         cz = jnp.max(depth, axis=1)                              # (TB,TH,TW)
@@ -340,15 +349,16 @@ def fill_visibility(setup: dict, tile_table, big_list, cfg: RasterConfig,
         else:
             best = (jnp.zeros((tb, th, tw), jnp.float32),
                     jnp.full((tb, th, tw), -1, jnp.int32))
+        peel = (peel_tiles[tile_ids] if peel_depth is not None else None)
 
         def body(i, best):
             ids = jax.lax.dynamic_slice(table, (0, i * c), (tb, c))
-            return raster_chunk(ids, pxn, pyn, best)
+            return raster_chunk(ids, pxn, pyn, peel, best)
         best = jax.lax.fori_loop(0, n_chunks, body, best)
 
         def body_big(i, best):
             ids = jax.lax.dynamic_slice(big_b, (0, i * c), (tb, c))
-            return raster_chunk(ids, pxn, pyn, best)
+            return raster_chunk(ids, pxn, pyn, peel, best)
         best = jax.lax.fori_loop(0, n_big_chunks, body_big, best)
         return best
 

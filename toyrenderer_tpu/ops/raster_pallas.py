@@ -258,7 +258,8 @@ def _fill_resolve_stream_kernel(
         slot_scr,            # VMEM (TH, TW) i32
         rec_scr,             # VMEM (K, R) f32
         fet_scr,             # VMEM (TH, R, TW) f32 fetched-record planes
-        *, cfg: RasterConfig, emit_base: int, rec_width: int):
+        *, cfg: RasterConfig, emit_base: int, rec_width: int,
+        peel_ref=None):      # optional (TH, TW) exclusive near bound
     j = pl.program_id(0)
     n_ch = pl.num_programs(0)
     tile = chunk_tile_ref[j]
@@ -306,6 +307,10 @@ def _fill_resolve_stream_kernel(
             depth = jnp.where(
                 inside, num / jnp.where(den == 0.0, 1.0, den), -1.0)
             upd = (depth > best_z) & (base + r < limit)
+            if peel_ref is not None:
+                # depth peeling: only fragments strictly FARTHER than
+                # the previous layer may win (next-layer extraction)
+                upd = upd & (depth < peel_ref[...])
             best_z = jnp.where(upd, depth, best_z)
             best_id = jnp.where(
                 upd, e[15].astype(jnp.int32) + emit_base, best_id)
@@ -446,11 +451,25 @@ def _fill_resolve_stream_kernel(
             rec_out[k] = jnp.where(keep, init_rec_ref[k], p)
 
 
+def _fill_resolve_stream_kernel_peel(
+        chunk_tile_ref, chunk_base_ref, count_ref, bigcount_ref,
+        comb_ref, bigcomb_ref, init_z_ref, init_id_ref, init_rec_ref,
+        peel_ref, z_out, id_out, rec_out, slot_scr, rec_scr, fet_scr,
+        **kw):
+    """Depth-peeling entry: same kernel with the extra peel-bound input
+    (positional ref order differs, so it needs its own signature)."""
+    _fill_resolve_stream_kernel(
+        chunk_tile_ref, chunk_base_ref, count_ref, bigcount_ref,
+        comb_ref, bigcomb_ref, init_z_ref, init_id_ref, init_rec_ref,
+        z_out, id_out, rec_out, slot_scr, rec_scr, fet_scr,
+        peel_ref=peel_ref, **kw)
+
+
 def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
                         cfg: RasterConfig, init_depth=None,
                         init_tri_id=None, init_rec=None,
                         emit_base: int = 0, padded_io: bool = False,
-                        interpret: bool = False):
+                        peel_depth=None, interpret: bool = False):
     """Streamed fused fill + in-VMEM interpolant resolve.
 
     resolve_records: (T, R) f32 from gbuffer.pack_resolve_records.
@@ -464,6 +483,8 @@ def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
 
     padded_io=True keeps all images padded to the tile grid on BOTH ends
     (multi-phase pipelines skip the pad/crop between phases).
+    peel_depth: optional (H, W) EXCLUSIVE near bound — only fragments
+    strictly farther than it can win (depth-peeling OIT layers).
     Cost scales with real binned pairs instead of tiles x K capacity.
     """
     r = resolve_records.shape[1]
@@ -473,6 +494,8 @@ def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
     n_tiles = cfg.num_tiles
     k_cap = cfg.max_tris_per_tile
     assert k_cap % c == 0, "max_tris_per_tile must be a CHUNK_S multiple"
+    assert cfg.max_big_tris % c == 0, \
+        "max_big_tris must be a CHUNK_S multiple"
     p_cap = cfg.resolve_pair_capacity(t)
     ch_cap = -(-p_cap // c) + n_tiles
 
@@ -543,25 +566,31 @@ def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
         init_rec = jnp.zeros((INTERP_C, hp, wp), jnp.float32)
     elif not padded_io:
         init_rec = pad_image(init_rec, cfg)
+    if peel_depth is not None and not padded_io:
+        peel_depth = pad_image(peel_depth, cfg)
 
     tx_ = cfg.tiles_x
     by_tile = lambda j, ct, cb, c_, b_: (ct[j] // tx_, ct[j] % tx_)  # noqa: E731,E501
     by_tile3 = lambda j, ct, cb, c_, b_: (0, ct[j] // tx_, ct[j] % tx_)  # noqa: E731,E501
+    in_specs = [
+        pl.BlockSpec((1, c, REC + r),
+                     lambda j, ct, cb, c_, b_: (j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cfg.max_big_tris, REC + r),
+                     lambda j, ct, cb, c_, b_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((th, tw), by_tile, memory_space=pltpu.VMEM),
+        pl.BlockSpec((th, tw), by_tile, memory_space=pltpu.VMEM),
+        pl.BlockSpec((INTERP_C, th, tw), by_tile3,
+                     memory_space=pltpu.VMEM),
+    ]
+    if peel_depth is not None:
+        in_specs.append(
+            pl.BlockSpec((th, tw), by_tile, memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(ch_cap,),
-        in_specs=[
-            pl.BlockSpec((1, c, REC + r),
-                         lambda j, ct, cb, c_, b_: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((cfg.max_big_tris, REC + r),
-                         lambda j, ct, cb, c_, b_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((th, tw), by_tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((th, tw), by_tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((INTERP_C, th, tw), by_tile3,
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((th, tw), by_tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((th, tw), by_tile, memory_space=pltpu.VMEM),
@@ -572,8 +601,14 @@ def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
                         pltpu.VMEM((k_cap, r), jnp.float32),
                         pltpu.VMEM((th, r, tw), jnp.float32)],
     )
+    kernel = _fill_resolve_stream_kernel
+    inputs = [chunk_tile, chunk_base[:-1], counts_eff, big_count,
+              comb_padded, big_comb, init_z, init_id, init_rec]
+    if peel_depth is not None:
+        kernel = _fill_resolve_stream_kernel_peel
+        inputs.append(peel_depth)
     z, tid, rec = pl.pallas_call(
-        functools.partial(_fill_resolve_stream_kernel, cfg=cfg,
+        functools.partial(kernel, cfg=cfg,
                           emit_base=emit_base, rec_width=r),
         out_shape=(
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
@@ -586,8 +621,7 @@ def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
         # init content without any work (indices count the flattened
         # inputs INCLUDING the scalar-prefetch operands)
         input_output_aliases={6: 0, 7: 1, 8: 2},
-    )(chunk_tile, chunk_base[:-1], counts_eff, big_count,
-      comb_padded, big_comb, init_z, init_id, init_rec)
+    )(*inputs)
     if padded_io:
         return z, tid, rec
     return crop_image(z, cfg), crop_image(tid, cfg), crop_image(rec, cfg)

@@ -46,6 +46,8 @@ def main(argv=None):
     p.add_argument("--restir", action="store_true", help="ReSTIR DI")
     p.add_argument("--transparency", action="store_true",
                    help="forward alpha-blend pass")
+    p.add_argument("--oitlayers", type=int, default=1,
+                   help="depth-peeled OIT layers for the blend set")
     p.add_argument("--giraysperprobe", type=int, default=64)
     p.add_argument("--animate", action="store_true",
                    help="play scene animations at 60 fps frame steps")
@@ -140,6 +142,7 @@ def main(argv=None):
         show_gi_probes=args.showprobes,
         enable_restir=args.restir,
         enable_transparency=args.transparency,
+        oit_layers=args.oitlayers,
         forced_lod=args.forcedlod,
         texture_aniso=args.aniso,
         use_bruteforce_raster=args.bruteforceraster)
