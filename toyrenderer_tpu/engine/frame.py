@@ -69,6 +69,8 @@ class RenderSettings:
     enable_alpha_test: bool = True        # alpha-masked cutout set
     enable_restir: bool = False           # ReSTIR DI (off: reference parity)
     restir_candidates: int = 8
+    restir_spatial_taps: int = 4          # RTXDI spatial-resampling taps
+    restir_spatial_radius: float = 16.0   # px
     restir_max_lights: int = 256
     enable_bloom: bool = False
     enable_auto_exposure: bool = False
@@ -428,7 +430,9 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
             carry['frame_index'],
             prev_reservoir=carry.get('restir_reservoir'),
             motion=gb['motion'],
-            num_candidates=settings.restir_candidates)
+            num_candidates=settings.restir_candidates,
+            num_spatial=settings.restir_spatial_taps,
+            spatial_radius=settings.restir_spatial_radius)
         restir_carry['restir_reservoir'] = reservoir
 
     # -- AmbientOcclusion (GTAO) -------------------------------------------------

@@ -79,8 +79,11 @@ def _target_pdf(world_pos, normal, albedo, lpos, lnormal, emission, area):
 
 def restir_di(scene_bvh, lights, world_pos, normal, albedo, hit_mask,
               frame_index, prev_reservoir=None, motion=None,
-              num_candidates: int = 8, max_steps: int = 64):
-    """One ReSTIR DI step.
+              num_candidates: int = 8, max_steps: int = 64,
+              num_spatial: int = 4, spatial_radius: float = 16.0):
+    """One ReSTIR DI step: RIS candidates -> temporal reuse -> SPATIAL
+    reuse (disk-neighbor reservoir merging with geometric rejection, the
+    RTXDI spatial-resampling pass) -> one visibility ray + shading.
 
     Returns (radiance (H, W, 3), reservoir dict for the carry).
     Reservoir per pixel: light index, sample uv (r1, r2), weight W,
@@ -145,6 +148,59 @@ def restir_di(scene_bvh, lights, world_pos, normal, albedo, hit_mask,
 
     big_w = res_wsum / jnp.maximum(res_m * jnp.maximum(res_p, 1e-12),
                                    1e-12)
+    # the carry keeps the PRE-spatial reservoir: feeding the spatially
+    # merged result back through temporal reuse compounds neighbor
+    # correlation frame over frame (RTXDI likewise decouples the
+    # temporal feedback from the spatial pass)
+    reservoir = dict(li=res_li, r1=res_r1, r2=res_r2, w=big_w, m=res_m)
+
+    # --- spatial reuse (RTXDI spatial resampling): merge disk-neighbor
+    # reservoirs with geometric rejection (normal agreement + the
+    # neighbor's surface lying near OUR tangent plane, scale-invariant),
+    # re-evaluating each neighbor sample's target pdf at OUR pixel ------
+    if num_spatial > 0:
+        py = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        px = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        in_li, in_r1, in_r2 = res_li, res_r1, res_r2
+        in_w, in_m, in_p = big_w, res_m, res_p
+        # restart the running reservoir with our OWN sample's combined
+        # weight (Bitterli alg. 4: update with p_hat * W * M)
+        res_wsum = in_p * in_w * in_m
+        for k in range(num_spatial):
+            ang = noise(83 + 5 * k) * (2.0 * jnp.pi)
+            rad = jnp.sqrt(noise(84 + 5 * k)) * spatial_radius
+            ny = jnp.clip(py + rad * jnp.sin(ang), 0, h - 1).astype(
+                jnp.int32)
+            nx = jnp.clip(px + rad * jnp.cos(ang), 0, w - 1).astype(
+                jnp.int32)
+            n_li = in_li[ny, nx]
+            n_r1 = in_r1[ny, nx]
+            n_r2 = in_r2[ny, nx]
+            n_w = in_w[ny, nx]
+            n_m = in_m[ny, nx]
+            nrm_nb = normal[ny, nx]
+            wp_nb = world_pos[ny, nx]
+            dwp = wp_nb - world_pos
+            plane_d = jnp.abs(jnp.sum(normal * dwp, -1))
+            lateral = jnp.maximum(jnp.linalg.norm(dwp, axis=-1), 1e-6)
+            ok = ((jnp.sum(normal * nrm_nb, -1) > 0.9)
+                  & (plane_d < 0.1 * lateral + 1e-5)
+                  & hit_mask[ny, nx])
+            lpos, ln, area = _sample_light_point(lights, n_li, n_r1,
+                                                 n_r2)
+            p_hat = _target_pdf(world_pos, normal, albedo, lpos, ln,
+                                lights['emission'][n_li], area)
+            wgt = jnp.where(ok, p_hat * n_w * n_m, 0.0)
+            res_wsum = res_wsum + wgt
+            take = (noise(85 + 5 * k)
+                    < wgt / jnp.maximum(res_wsum, 1e-12))
+            res_li = jnp.where(take, n_li, res_li)
+            res_r1 = jnp.where(take, n_r1, res_r1)
+            res_r2 = jnp.where(take, n_r2, res_r2)
+            res_p = jnp.where(take, p_hat, res_p)
+            res_m = res_m + jnp.where(ok, n_m, 0.0)
+        big_w = res_wsum / jnp.maximum(
+            res_m * jnp.maximum(res_p, 1e-12), 1e-12)
 
     # --- visibility + shading ------------------------------------------------
     lpos, ln, area = _sample_light_point(lights, res_li, res_r1, res_r2)
@@ -173,6 +229,4 @@ def restir_di(scene_bvh, lights, world_pos, normal, albedo, hit_mask,
         * visible.astype(jnp.float32))[..., None]
     lit = jnp.where((hit_mask & (lights['count'] > 0))[..., None],
                     lit, 0.0)
-    reservoir = dict(li=res_li, r1=res_r1, r2=res_r2,
-                     w=big_w, m=res_m)
     return lit, reservoir
