@@ -66,10 +66,12 @@ def main():
 
     tile_h = int(os.environ.get("BENCH_TILE_H", "16"))
     pair_cap = int(os.environ.get("BENCH_PAIR_CAP", "0")) or None
+    chunk = int(os.environ.get("BENCH_CHUNK", "32"))
     settings = RenderSettings(width=width, height=height,
                               manual_exposure=0.1,
                               enable_culling=culling, tile_h=tile_h,
-                              pair_capacity=pair_cap)
+                              pair_capacity=pair_cap,
+                              raster_chunk=chunk)
     view = View.from_scene(scene_host, width, height)
     carry = init_carry(scene, settings)
     render = make_render_fn(settings)

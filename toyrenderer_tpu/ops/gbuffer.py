@@ -79,12 +79,18 @@ def pack_resolve_records(setup: dict, scene, inst_world, inst_adj,
     mr = scene.mat_metal_rough[mat]                        # (T, 2)
     emis = scene.mat_emissive[mat]                         # (T, 3)
 
-    tex = scene.mat_base_color_tex[mat]
-    tex_safe = jnp.maximum(tex, 0)
-    tw0 = scene.tex_width[tex_safe, 0]
-    th0 = scene.tex_height[tex_safe, 0]
-    twrap = scene.tex_wrap[tex_safe]
-    tex_statics_a = (tw0 + 4096 * twrap)
+    # texture statics resolved per MATERIAL first (M is tiny), then ONE
+    # per-triangle gather — chaining tex -> width/height/wrap gathers at
+    # T rate costs ~2 ms/frame at 100k triangles (gathers are
+    # latency-bound regardless of table size)
+    m_tex = scene.mat_base_color_tex                       # (M,)
+    m_safe = jnp.maximum(m_tex, 0)
+    m_statics_a = (scene.tex_width[m_safe, 0]
+                   + 4096 * scene.tex_wrap[m_safe])        # (M,)
+    m_h0 = scene.tex_height[m_safe, 0]
+    tex = m_tex[mat]
+    tex_statics_a = m_statics_a[mat]
+    th0 = m_h0[mat]
 
     return jnp.concatenate([
         setup['edges'].reshape(t, 9),

@@ -238,7 +238,7 @@ def _tiles_to_image(tiles, cfg: RasterConfig):
 # instead of the raw 64-float records, halving output bandwidth and
 # removing the dense XLA resolve pass entirely.
 
-CHUNK_S = 32
+CHUNK_S = 32     # default stream chunk; cfg.chunk overrides
 
 
 def _fill_resolve_stream_kernel(
@@ -267,7 +267,7 @@ def _fill_resolve_stream_kernel(
         j == 0, chunk_tile_ref[jnp.maximum(j - 1, 0)] != tile)
     last = jnp.logical_or(
         j == n_ch - 1, chunk_tile_ref[jnp.minimum(j + 1, n_ch - 1)] != tile)
-    c = CHUNK_S
+    c = cfg.chunk
     slot_base = (j - chunk_base_ref[tile]) * c
     count = count_ref[tile]
     big_count = bigcount_ref[0]
@@ -490,7 +490,7 @@ def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
     r = resolve_records.shape[1]
     comb = jnp.concatenate([pack_tri_records(setup), resolve_records], 1)
     t = comb.shape[0]
-    c = CHUNK_S
+    c = cfg.chunk
     n_tiles = cfg.num_tiles
     k_cap = cfg.max_tris_per_tile
     assert k_cap % c == 0, "max_tris_per_tile must be a CHUNK_S multiple"
