@@ -108,21 +108,33 @@ def sample_shadow_map(map_quads, resolution: int, sun_view_proj,
                       world_pos, normal, sun_dir_to_light, hit_mask,
                       frame_index, bias: float = 2e-3,
                       jitter_texels: float = 1.0):
-    """One temporally-jittered bilinear depth-compare tap per pixel.
+    """One temporally-jittered bilinear depth-compare tap per 2x2 QUAD.
 
-    Returns (H, W) f32 visibility (1 = lit).  The temporal+spatial shadow
-    denoiser integrates the jitter into soft penumbras.
+    Returns (H, W) f32 visibility (1 = lit).  The raw mask is a 1-spp
+    stochastic signal feeding the temporal+spatial denoiser, so the tap
+    runs at quad rate (map gathers are random-access bound: full-rate
+    taps cost ~5 ms at 1080p); the per-quad visibility expands to full
+    res and the full-res ndotl / hit masks reapply on top.  Odd
+    dimensions fall back to full-rate taps.
     """
     h, w = hit_mask.shape
-    ph = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])],
-                         -1)
+    quad_rate = (h % 2 == 0 and w % 2 == 0)
+    if quad_rate:
+        wp = jax.lax.reduce_window(
+            world_pos, 0.0, jax.lax.add, (2, 2, 1), (2, 2, 1),
+            'VALID') * 0.25
+        hq, wq = h // 2, w // 2
+    else:
+        wp = world_pos
+        hq, wq = h, w
+    ph = jnp.concatenate([wp, jnp.ones_like(wp[..., :1])], -1)
     clip = jnp.einsum('ij,...j->...i', sun_view_proj, ph)
     u = clip[..., 0] * 0.5 + 0.5
     v = 0.5 - clip[..., 1] * 0.5
     z = clip[..., 2]                                   # 1 == sun-near
 
-    r1 = interleaved_gradient_noise(h, w, frame_index)
-    r2 = interleaved_gradient_noise(h, w, frame_index + 29)
+    r1 = interleaved_gradient_noise(hq, wq, frame_index)
+    r2 = interleaved_gradient_noise(hq, wq, frame_index + 29)
     s = jnp.float32(resolution)
     x = u * s - 0.5 + (r1 - 0.5) * 2.0 * jitter_texels
     y = v * s - 0.5 + (r2 - 0.5) * 2.0 * jitter_texels
@@ -132,16 +144,18 @@ def sample_shadow_map(map_quads, resolution: int, sun_view_proj,
     fy = y - y0
     xi = jnp.clip(x0, 0, resolution - 1).astype(jnp.int32)
     yi = jnp.clip(y0, 0, resolution - 1).astype(jnp.int32)
-    quad = map_quads[yi * resolution + xi]             # (H, W, 4)
+    quad = map_quads[yi * resolution + xi]             # (Hq, Wq, 4)
 
     # percentage-closer: compare each footprint texel, then bilinear mix
     zb = z + bias
     lit4 = (quad <= zb[..., None]).astype(jnp.float32)
     lit = ((lit4[..., 0] * (1 - fx) + lit4[..., 1] * fx) * (1 - fy)
            + (lit4[..., 2] * (1 - fx) + lit4[..., 3] * fx) * fy)
-
     inside = ((u >= 0) & (u <= 1) & (v >= 0) & (v <= 1))
     lit = jnp.where(inside, lit, 1.0)
+    if quad_rate:
+        lit = jnp.repeat(jnp.repeat(lit, 2, 0), 2, 1)
+
     ndotl = jnp.sum(normal * sun_dir_to_light, -1)
     lit = jnp.where(ndotl <= 0.0, 0.0, lit)
     return jnp.where(hit_mask, lit, 1.0)
