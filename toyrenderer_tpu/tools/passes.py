@@ -129,6 +129,9 @@ def main(argv=None):
     p.add_argument("--platform", default=None)
     p.add_argument("--json", default=None)
     p.add_argument("--shadows", action="store_true")
+    p.add_argument("--full", action="store_true",
+                   help="everything on: shadows + GI + AO + TAA + bloom "
+                        "+ auto exposure")
     p.add_argument("--stress", action="store_true",
                    help="bench.py's procedural sponza-class scene + "
                         "2-phase culling (ignores --scene)")
@@ -160,10 +163,19 @@ def main(argv=None):
     settings = RenderSettings(width=w, height=h,
                               manual_exposure=0.1 if args.stress else 0.01,
                               enable_culling=args.stress,
-                              enable_shadows=args.shadows)
+                              enable_shadows=args.shadows or args.full,
+                              enable_ao=args.full, enable_gi=args.full,
+                              enable_taa=args.full,
+                              enable_bloom=args.full,
+                              enable_auto_exposure=args.full)
+    ddgi_volume = None
+    if args.full:
+        from toyrenderer_tpu.ops.ddgi import volume_from_aabb
+        ddgi_volume = volume_from_aabb(
+            scene_host.world_aabb[0], scene_host.world_aabb[1])
     view = View.from_scene(scene_host, w, h)
-    carry = init_carry(scene, settings)
-    render = make_render_fn(settings)
+    carry = init_carry(scene, settings, ddgi_volume)
+    render = make_render_fn(settings, ddgi_volume)
 
     fi = default_frame_inputs(scene_host, view.matrices())
     img, carry, _ = render(scene, pi, pm, fi, carry)   # compile outside
