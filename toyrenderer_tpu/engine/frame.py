@@ -59,6 +59,9 @@ class RenderSettings:
     shadow_max_steps: int = 96            # BVH traversal budget per ray
     enable_ao: bool = False               # GTAO
     ao_radius: float = 1.5                # world-space AO radius
+    ao_half_res: bool = True              # GTAO horizons at half res +
+    #   depth-aware full-res blur (4x cheaper; XeGTAO-class quality
+    #   after TAA)
     enable_gi: bool = False               # DDGI probe GI
     gi_max_steps: int = 64                # probe-ray traversal budget
     gi_update_phases: int = 1             # probes update in P/N blocks
@@ -460,9 +463,29 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     ao = None
     if settings.enable_ao:
         from toyrenderer_tpu.ops.gtao import gtao as gtao_fn
-        ao = gtao_fn(depth, m_gb['normal'], frame_inputs['cam_pos'],
-                     frame_inputs['inv_view_proj'], carry['frame_index'],
-                     radius=settings.ao_radius)
+        if (settings.ao_half_res and settings.height % 2 == 0
+                and settings.width % 2 == 0):
+            # AO horizons at half res (NDC reconstruction is
+            # resolution-independent): reverse-Z max pool keeps the
+            # NEAREST surface per quad; the full-res depth-aware blur
+            # restores edges
+            from toyrenderer_tpu.mathlib.transforms import normalize
+            d_h = jax.lax.reduce_window(depth, -jnp.inf, jax.lax.max,
+                                        (2, 2), (2, 2), 'VALID')
+            n_h = normalize(jax.lax.reduce_window(
+                m_gb['normal'], 0.0, jax.lax.add, (2, 2, 1), (2, 2, 1),
+                'VALID') * 0.25)
+            ao_h = gtao_fn(d_h, n_h, frame_inputs['cam_pos'],
+                           frame_inputs['inv_view_proj'],
+                           carry['frame_index'],
+                           radius=settings.ao_radius)
+            ao = jnp.repeat(jnp.repeat(ao_h, 2, 0), 2, 1)
+        else:
+            ao = gtao_fn(depth, m_gb['normal'],
+                         frame_inputs['cam_pos'],
+                         frame_inputs['inv_view_proj'],
+                         carry['frame_index'],
+                         radius=settings.ao_radius)
         ao = denoise_mod.depth_aware_blur(ao, depth, radius=2)
 
     # -- Deferred lighting + sky ----------------------------------------------
