@@ -134,6 +134,105 @@ def test_world_triangles_expansion():
     assert pts.min() > -2.5 and pts.max() < 2.5
 
 
+def _cornell_device_pairs():
+    from toyrenderer_tpu.scene import load_scene
+    from toyrenderer_tpu.ops import geometry as G
+    s = load_scene("resources/cornell.gltf", use_cache=False)
+    d = s.to_device()
+    pi, pm = G.static_meshlet_pairs(s)
+    return s, d, jnp.asarray(pi), jnp.asarray(pm)
+
+
+def test_refit_matches_rebuild_rigid_motion():
+    """BLAS-cache parity (Visual.cpp:509-542 / Scene.cpp:411-466): the
+    static-topology refit under rigid instance motion must produce the
+    same traversal results as a from-scratch rebuild."""
+    from toyrenderer_tpu.ops import geometry as G
+    from toyrenderer_tpu.mathlib.transforms import compose_trs
+
+    s, d, pi, pm = _cornell_device_pairs()
+    rts = B.build_rt_static(s, pi, pm)
+
+    # animate: rotate + translate every node (rigid motion)
+    rng = np.random.default_rng(7)
+    n = s.node_translation.shape[0]
+    tr = s.node_translation + rng.uniform(-0.4, 0.4, (n, 3)).astype(
+        np.float32)
+    ang = rng.uniform(-0.5, 0.5, n).astype(np.float32)
+    rot = np.stack([np.zeros(n), np.sin(ang / 2), np.zeros(n),
+                    np.cos(ang / 2)], axis=1).astype(np.float32)
+    world = G.node_world_matrices(d, jnp.asarray(tr), jnp.asarray(rot),
+                                  jnp.asarray(s.node_scale))
+    iw, _ = G.instance_transforms(d, world)
+
+    bvh_refit = B.refit_bvh(rts, iw)
+    v0, v1, v2, valid = B.world_triangles(d, iw, pi, pm)
+    bvh_fresh = B.build_bvh(v0, v1, v2, valid)
+
+    rng2 = np.random.default_rng(8)
+    n_rays = 96
+    o = rng2.uniform(-2, 2, (n_rays, 3)).astype(np.float32)
+    dirs = rng2.normal(size=(n_rays, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+
+    ra = B.traverse(bvh_refit, jnp.asarray(o), jnp.asarray(dirs),
+                    t_max=50.0, max_steps=8192)
+    rb = B.traverse(bvh_fresh, jnp.asarray(o), jnp.asarray(dirs),
+                    t_max=50.0, max_steps=8192)
+    ha, hb = np.asarray(ra['hit']), np.asarray(rb['hit'])
+    np.testing.assert_array_equal(ha, hb)
+    np.testing.assert_allclose(np.asarray(ra['t'])[ha],
+                               np.asarray(rb['t'])[ha], rtol=2e-4,
+                               atol=2e-5)
+    # payloads use the same pair-order triangle ids in both paths
+    np.testing.assert_array_equal(np.asarray(ra['tri'])[ha],
+                                  np.asarray(rb['tri'])[ha])
+
+    # and against the brute-force oracle
+    t_want, tri_want = _brute_force(
+        np.asarray(v0), np.asarray(v1), np.asarray(v2), np.asarray(valid),
+        o, dirs, 50.0)
+    np.testing.assert_array_equal(ha, tri_want >= 0)
+    np.testing.assert_allclose(np.asarray(ra['t'])[ha], t_want[ha],
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_refit_aabbs_contain_triangles():
+    """Every refit leaf triangle must be inside its group AABB chain up to
+    the root (containment is the refit invariant)."""
+    from toyrenderer_tpu.ops import geometry as G
+
+    s, d, pi, pm = _cornell_device_pairs()
+    rts = B.build_rt_static(s, pi, pm)
+    world = G.node_world_matrices(d, d.node_translation, d.node_rotation,
+                                  d.node_scale)
+    iw, _ = G.instance_transforms(d, world)
+    bvh = B.refit_bvh(rts, iw)
+
+    leaf = np.asarray(bvh.leaf_rows).reshape(-1, 10)
+    pay = leaf[:, 9]
+    v0 = leaf[:, 0:3]
+    v1 = v0 + leaf[:, 3:6]
+    v2 = v0 + leaf[:, 6:9]
+    tri_lo = np.minimum(np.minimum(v0, v1), v2)
+    tri_hi = np.maximum(np.maximum(v0, v1), v2)
+    ok = pay >= 0
+
+    # walk the parent chain: group g at leaf level, parent g//8 etc.
+    boxes = np.asarray(bvh.child_boxes)
+    offs = list(bvh.level_offset)
+    g = np.arange(leaf.shape[0] // 8).repeat(8)
+    for lvl in range(bvh.num_levels - 2, -1, -1):
+        parent = g // 8
+        child = g % 8
+        row = boxes[offs[lvl] + parent]
+        lo = row.reshape(-1, 8, 6)[np.arange(len(g)), child, 0:3]
+        hi = row.reshape(-1, 8, 6)[np.arange(len(g)), child, 3:6]
+        assert np.all(lo[ok] <= tri_lo[ok] + 1e-3)
+        assert np.all(hi[ok] >= tri_hi[ok] - 1e-3)
+        g = parent
+
+
 def test_traverse_pallas_matches_lockstep():
     """Packet traversal (interpret mode) must agree with the XLA lockstep
     traversal: same hit set, same winning triangle, t within tolerance;

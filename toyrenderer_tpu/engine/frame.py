@@ -227,7 +227,7 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                  carry: FrameCarry, settings: RenderSettings,
                  ddgi_volume=None, trans_pair_inst=None,
                  trans_pair_meshlet=None, mask_pair_inst=None,
-                 mask_pair_meshlet=None, sp_mesh=None):
+                 mask_pair_meshlet=None, sp_mesh=None, rt_static=None):
     """One frame.  jit with static settings via `make_render_fn`.
 
     frame_inputs (all jnp arrays, dynamic):
@@ -341,16 +341,27 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
 
     # -- RT acceleration structure (shared by shadows + DDGI) -------------------
     # the RT scene uses the FULL pair list — off-screen geometry still
-    # casts shadows / bounces light (culling only affects the raster pass)
+    # casts shadows / bounces light (culling only affects the raster pass).
+    # With rt_static (the BLAS-cache analogue, built once at scene load)
+    # the frame only REFITS: transform + AABB re-reduction, no sort —
+    # Visual.cpp:509-542 / Scene.cpp:411-466 parity.
     bvh = None
     needs_rays = (settings.enable_shadows
                   and settings.shadow_technique == 'rt')
     needs_rt = (needs_rays or settings.enable_gi or settings.enable_restir)
     needs_wp = needs_rt or settings.enable_shadows
+    # pair-order world triangles feed DDGI shade records / ReSTIR lights
+    needs_tris = settings.enable_gi or settings.enable_restir
     if needs_rt:
-        tv0, tv1, tv2, tvalid = bvh_mod.world_triangles(
-            scene, inst_world, pair_inst, pair_meshlet)
-        bvh = bvh_mod.build_bvh(tv0, tv1, tv2, tvalid)
+        if rt_static is not None:
+            bvh = bvh_mod.refit_bvh(rt_static, inst_world)
+            if needs_tris:
+                tv0, tv1, tv2, tvalid = bvh_mod.world_triangles(
+                    scene, inst_world, pair_inst, pair_meshlet)
+        else:
+            tv0, tv1, tv2, tvalid = bvh_mod.world_triangles(
+                scene, inst_world, pair_inst, pair_meshlet)
+            bvh = bvh_mod.build_bvh(tv0, tv1, tv2, tvalid)
 
     from toyrenderer_tpu.ops.gbuffer import unpack_gbuffer
     from toyrenderer_tpu.ops.lighting import world_pos_from_depth

@@ -119,7 +119,20 @@ def build_bvh(v0, v1, v2, valid, n_levels: int | None = None) -> Bvh:
         return jnp.pad(x, pw, constant_values=fill)
     v0s, v1s, v2s = pad(v0s), pad(v1s), pad(v2s)
     payload = pad(payload, -1)
+    n_real = min(-(-t // LEAF_TRIS), n_groups)
+    return _pack_tree(v0s, v1s - v0s, v2s - v0s, payload, n_levels, n_real)
+
+
+def _pack_tree(v0s, e1s, e2s, payload, n_levels: int, n_real_groups: int
+               ) -> Bvh:
+    """Pack morton-ORDERED padded triangles (n_groups*8 rows, v0 + edge
+    vectors, payload -1 = padding) into the flattened complete-tree Bvh.
+    Shared by the per-frame full rebuild and the refit path."""
+    n_groups = ARITY ** (n_levels - 1)
+    big = jnp.float32(3e37)
     valid_p = payload >= 0
+    v1s = v0s + e1s
+    v2s = v0s + e2s
 
     tri_lo = jnp.minimum(jnp.minimum(v0s, v1s), v2s)
     tri_hi = jnp.maximum(jnp.maximum(v0s, v1s), v2s)
@@ -163,16 +176,182 @@ def build_bvh(v0, v1, v2, valid, n_levels: int | None = None) -> Bvh:
     # can never reach them; store only the reachable prefix (complete-
     # tree padding would otherwise waste up to 8x leaf memory).
     leaf = jnp.concatenate([
-        v0s, v1s - v0s, v2s - v0s,
+        v0s, e1s, e2s,
         payload.astype(jnp.float32)[:, None],
     ], axis=1)                                          # (Ng*8, 10)
     leaf_rows = leaf.reshape(n_groups, LEAF_TRIS * 10)
-    n_real = min(-(-t // LEAF_TRIS), n_groups)
-    n_real = -(-n_real // 8) * 8                        # sublane align
+    n_real = -(-n_real_groups // 8) * 8                 # sublane align
+    n_real = min(n_real, n_groups)
     leaf_rows = leaf_rows[:n_real]
 
     return Bvh(child_boxes=child_boxes, level_offset=offsets,
                num_levels=n_levels, leaf_rows=leaf_rows)
+
+
+@dataclass
+class RtStatic:
+    """Static ray-tracing topology — the BLAS-cache analogue.
+
+    The reference builds one BLAS per mesh ONCE (compaction-allowed,
+    source/Visual.cpp:509-542) and per frame only updates instance
+    transforms + rebuilds the TLAS (source/Scene.cpp:411-466,
+    source/BasePassRenderers.cpp:125-162).  The TPU-first equivalent:
+    freeze the morton ORDER (tree topology) from the rest pose at scene
+    load, store object-space triangles + their instance ids in that order,
+    and per frame only REFIT — transform leaves by the current instance
+    matrices and re-reduce the AABB levels bottom-up.  No per-frame sort,
+    no hierarchy rebuild; traversal is unchanged.  Instance motion only
+    loosens AABBs (slower traversal, never wrong); rebuild via build_bvh
+    remains the fallback for topology-changing deformation.
+
+    Arrays are in morton order, padded to a multiple of 8 covering the
+    reachable leaf-group prefix (valid triangles sort first).
+    """
+    obj_v0: jnp.ndarray          # (cap, 3) f32 object-space v0
+    obj_e1: jnp.ndarray          # (cap, 3) f32 object-space v1 - v0
+    obj_e2: jnp.ndarray          # (cap, 3) f32 object-space v2 - v0
+    tri_inst: jnp.ndarray        # (cap,) i32 instance id (0 for padding)
+    payload: jnp.ndarray         # (cap,) i32 pair-order tri id; -1 pad
+    num_levels: int              # static
+    n_real_groups: int           # static: reachable leaf-group prefix
+
+
+def _register_rt_static():
+    arr = ('obj_v0', 'obj_e1', 'obj_e2', 'tri_inst', 'payload')
+    static = ('num_levels', 'n_real_groups')
+    jax.tree_util.register_pytree_node(
+        RtStatic,
+        lambda b: (tuple(getattr(b, f) for f in arr),
+                   tuple(getattr(b, f) for f in static)),
+        lambda aux, ch: RtStatic(**dict(zip(arr, ch)),
+                                 **dict(zip(static, aux))))
+
+
+_register_rt_static()
+
+
+def build_rt_static(scene_host, pair_inst, pair_meshlet,
+                    rest_inst_world=None) -> RtStatic:
+    """One-time (scene load) construction of the static RT topology over
+    the full pair list — the analogue of Mesh::BuildBLAS.  Morton order is
+    derived from REST-POSE world centroids (computed from the host scene's
+    node TRS unless rest_inst_world is given); triangles are stored in
+    OBJECT space so refit_bvh can re-transform them each frame.
+
+    scene_host: SceneBuffers (numpy); pair_inst/pair_meshlet: host or
+    device i32 arrays (the FULL RT pair list, normally LOD0 no-culling)."""
+    if rest_inst_world is None:
+        from toyrenderer_tpu.scene.scenebuild import _world_matrices_host
+        nw = _world_matrices_host(
+            scene_host.node_parent, scene_host.node_translation,
+            scene_host.node_rotation, scene_host.node_scale)
+        rest_inst_world = nw[np.asarray(scene_host.inst_node)]
+    tris = np.asarray(scene_host.meshlet_tris)[np.asarray(pair_meshlet)]
+    tp, mt, _ = tris.shape                               # (Tp, 96, 3)
+    counts = np.asarray(scene_host.meshlet_tri_count)[
+        np.asarray(pair_meshlet)]
+    valid = (np.arange(mt)[None, :] < counts[:, None]).reshape(-1)
+
+    pos = np.asarray(scene_host.positions)
+    obj = pos[tris.reshape(-1, 3)]                       # (T, 3, 3)
+    inst = np.repeat(np.asarray(pair_inst, np.int32), mt)
+    world = np.asarray(rest_inst_world)[inst]            # (T, 4, 4)
+    obj_h = np.concatenate([obj, np.ones_like(obj[..., :1])], axis=-1)
+    w = np.einsum('tik,tvk->tvi', world, obj_h)[..., :3]
+
+    t = w.shape[0]
+    n_levels = num_levels_for(t)
+    n_groups = ARITY ** (n_levels - 1)
+
+    centroid = w.mean(axis=1)
+    big = 3e37
+    lo = np.where(valid[:, None], centroid, big).min(axis=0)
+    hi = np.where(valid[:, None], centroid, -big).max(axis=0)
+    ext = np.maximum(hi - lo, 1e-6)
+    q = np.clip((centroid - lo) / ext * 1024.0, 0.0, 1023.0).astype(
+        np.uint64)
+
+    def expand(v):
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+    codes = (expand(q[:, 0]) << 2) | (expand(q[:, 1]) << 1) | expand(q[:, 2])
+    codes = np.where(valid, codes, np.uint64(1) << 40)   # invalid: last
+    order = np.argsort(codes, kind='stable').astype(np.int32)
+
+    n_valid = int(valid.sum())
+    n_real = min(-(-max(n_valid, 1) // LEAF_TRIS), n_groups)
+    n_real = min(-(-n_real // 8) * 8, n_groups)          # sublane align
+    cap = n_real * LEAF_TRIS
+    order = order[:cap]
+    obj_s = obj[order]
+    pay = np.where(valid[order], order, -1).astype(np.int32)
+    inst_s = np.where(pay >= 0, inst[order], 0).astype(np.int32)
+    if cap > len(order):                                 # tiny scenes
+        extra = cap - len(order)
+        obj_s = np.pad(obj_s, [(0, extra), (0, 0), (0, 0)])
+        pay = np.pad(pay, (0, extra), constant_values=-1)
+        inst_s = np.pad(inst_s, (0, extra))
+
+    return RtStatic(
+        obj_v0=jnp.asarray(obj_s[:, 0]),
+        obj_e1=jnp.asarray(obj_s[:, 1] - obj_s[:, 0]),
+        obj_e2=jnp.asarray(obj_s[:, 2] - obj_s[:, 0]),
+        tri_inst=jnp.asarray(inst_s),
+        payload=jnp.asarray(pay),
+        num_levels=n_levels,
+        n_real_groups=n_real)
+
+
+def refit_bvh(rts: RtStatic, inst_world) -> Bvh:
+    """Per-frame refit: transform the static object-space leaves by the
+    current instance matrices and rebuild only the AABB levels (the
+    reference's per-frame TLAS update, Scene.cpp:411-466).  Runs inside
+    the frame jit; cost is one instance-matrix fetch + elementwise
+    transforms + log8 min/max reductions — no sort.
+
+    The instance-matrix fetch is a one-hot MXU matmul in hi/lo bf16
+    (f32 dot_general silently rounds to ONE bf16 pass on TPU; the hi/lo
+    split restores ~2^-17 relative accuracy) — gathers at triangle rate
+    are latency-bound, matmuls are not.
+    """
+    n_inst = inst_world.shape[0]
+    cap = rts.tri_inst.shape[0]
+    w_flat = inst_world.reshape(n_inst, 16)
+    onehot = (rts.tri_inst[:, None]
+              == jnp.arange(n_inst, dtype=jnp.int32)[None, :]
+              ).astype(jnp.float32)                      # (cap, I)
+    hi = w_flat.astype(jnp.bfloat16).astype(jnp.float32)
+    lo_p = w_flat - hi
+    w_tri = (jnp.dot(onehot, hi, precision=jax.lax.Precision.DEFAULT)
+             + jnp.dot(onehot, lo_p,
+                       precision=jax.lax.Precision.DEFAULT))
+    w_tri = w_tri.reshape(cap, 4, 4)
+    r = w_tri[:, :3, :3]
+    t = w_tri[:, :3, 3]
+
+    tf = lambda v: jnp.einsum('tij,tj->ti', r, v)
+    v0w = tf(rts.obj_v0) + t
+    e1w = tf(rts.obj_e1)
+    e2w = tf(rts.obj_e2)
+
+    n_levels = rts.num_levels
+    n_groups = ARITY ** (n_levels - 1)
+    full = n_groups * LEAF_TRIS
+    if cap < full:
+        # complete-tree padding beyond the reachable prefix: constants
+        pad = [(0, full - cap), (0, 0)]
+        v0w = jnp.pad(v0w, pad)
+        e1w = jnp.pad(e1w, pad)
+        e2w = jnp.pad(e2w, pad)
+        payload = jnp.pad(rts.payload, (0, full - cap),
+                          constant_values=-1)
+    else:
+        payload = rts.payload
+    return _pack_tree(v0w, e1w, e2w, payload, n_levels,
+                      rts.n_real_groups)
 
 
 def _ray_box(lo, hi, origin, inv_dir, t_max):

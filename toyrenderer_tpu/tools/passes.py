@@ -40,7 +40,8 @@ PASS_OF_MODULE = [
     ('ops/denoise', 'Denoise'),
     ('ops/gtao', 'AmbientOcclusion'),
     ('ops/ddgi', 'GI(DDGI)'),
-    ('ops/bvh', 'RT(BVH)'),
+    ('ops/bvh_pallas', 'RT(traverse)'),
+    ('ops/bvh', 'RT(BVH build)'),
     ('ops/sky', 'Sky'),
     ('ops/bloom', 'Bloom'),
     ('ops/exposure', 'AdaptLuminance'),
@@ -135,6 +136,9 @@ def main(argv=None):
     p.add_argument("--stress", action="store_true",
                    help="bench.py's procedural sponza-class scene + "
                         "2-phase culling (ignores --scene)")
+    p.add_argument("--norefit", action="store_true",
+                   help="A/B: rebuild the BVH per frame instead of "
+                        "refitting the static topology")
     args = p.parse_args(argv)
 
     import jax
@@ -173,19 +177,25 @@ def main(argv=None):
         from toyrenderer_tpu.ops.ddgi import volume_from_aabb
         ddgi_volume = volume_from_aabb(
             scene_host.world_aabb[0], scene_host.world_aabb[1])
+    rt_static = None
+    if args.full and not args.norefit:
+        from toyrenderer_tpu.ops.bvh import build_rt_static
+        rt_static = build_rt_static(scene_host, pi, pm)
     view = View.from_scene(scene_host, w, h)
     carry = init_carry(scene, settings, ddgi_volume)
     render = make_render_fn(settings, ddgi_volume)
 
     fi = default_frame_inputs(scene_host, view.matrices())
-    img, carry, _ = render(scene, pi, pm, fi, carry)   # compile outside
+    img, carry, _ = render(scene, pi, pm, fi, carry,
+                           rt_static=rt_static)   # compile outside
     img.block_until_ready()
 
     with jax.profiler.trace(args.trace_dir):
         for _ in range(args.frames):
             mats = view.matrices()
             fi = default_frame_inputs(scene_host, mats)
-            img, carry, _ = render(scene, pi, pm, fi, carry)
+            img, carry, _ = render(scene, pi, pm, fi, carry,
+                                   rt_static=rt_static)
             img.block_until_ready()
             view.advance(mats)
 

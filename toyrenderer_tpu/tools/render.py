@@ -39,6 +39,8 @@ def main(argv=None):
                    help="2-phase GPU-driven occlusion culling + LOD")
     p.add_argument("--shadows", action="store_true",
                    help="ray-traced denoised sun shadows")
+    p.add_argument("--shadowtechnique", choices=("map", "rt"),
+                   default="map", help="sun shadows: raster map | BVH rt")
     p.add_argument("--ao", action="store_true", help="GTAO")
     p.add_argument("--gi", action="store_true", help="DDGI probe GI")
     p.add_argument("--showprobes", action="store_true",
@@ -137,6 +139,7 @@ def main(argv=None):
         enable_taa=args.taa,
         enable_culling=args.culling,
         enable_shadows=args.shadows,
+        shadow_technique=args.shadowtechnique,
         enable_ao=args.ao,
         enable_gi=args.gi,
         show_gi_probes=args.showprobes,
@@ -155,6 +158,17 @@ def main(argv=None):
         print(f"[gi] probe grid {ddgi_volume.counts}, "
               f"{ddgi_volume.num_probes} probes x "
               f"{ddgi_volume.rays_per_probe} rays")
+    # static RT topology (BLAS-cache analogue): built once, refit per frame
+    rt_static = None
+    if (args.gi or args.restir
+            or (args.shadows and args.shadowtechnique == 'rt')):
+        from toyrenderer_tpu.ops.bvh import build_rt_static
+        t0 = time.time()
+        rt_static = build_rt_static(scene_host, pair_inst, pair_meshlet)
+        print(f"[rt] static topology: "
+              f"{rt_static.payload.shape[0]} tri slots, "
+              f"{rt_static.num_levels} levels "
+              f"({time.time() - t0:.2f}s)")
     view = View.from_scene(scene_host, w, h)
     carry = init_carry(scene, settings, ddgi_volume)
     render = make_render_fn(settings, ddgi_volume)
@@ -217,7 +231,8 @@ def main(argv=None):
                                    carry, trans_pair_inst=tp_i,
                                    trans_pair_meshlet=tp_m,
                                    mask_pair_inst=mk_i,
-                                   mask_pair_meshlet=mk_m)
+                                   mask_pair_meshlet=mk_m,
+                                   rt_static=rt_static)
         image.block_until_ready()
         dt = (time.time() - t0) * 1000
         view.advance(mats)

@@ -1,0 +1,139 @@
+"""Ray-traversal microbenchmark: Mrays/s through the Pallas packet kernel.
+
+Drives the exact ray populations the frame produces (shadowmask.hlsl /
+giprobetrace.hlsl parity):
+  * shadow: 64x64-pixel-tile-ordered any-hit sun rays from surface points
+    (ops/shadows.py packs rays this way)
+  * probe: direction-major closest-hit rays from a DDGI probe grid
+    (ops/ddgi.py trace layout)
+
+Usage:
+  python -m toyrenderer_tpu.tools.rtbench [--rays 1048576] [--scene stress]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/repo/.jax_cache")
+
+
+def ray_sets(n_rays, aabb_lo, aabb_hi, sun_dir):
+    """Shadow-style and probe-style ray sets over the scene bounds."""
+    import numpy as np
+    ext = aabb_hi - aabb_lo
+    side = int(np.sqrt(n_rays))
+
+    # shadow: ground-plane origins in 64x64 tiles (matches
+    # ops/shadows.py to_blocks packing), shared sun direction + tiny
+    # per-ray cone jitter
+    t = 64
+    g = side // t
+    ty, tx = np.divmod(np.arange(g * g), g)
+    yy, xx = np.divmod(np.arange(t * t), t)
+    gy = (ty[:, None] * t + yy[None, :]).reshape(-1)
+    gx = (tx[:, None] * t + xx[None, :]).reshape(-1)
+    ox = aabb_lo[0] + (gx + 0.5) / side * ext[0]
+    oz = aabb_lo[2] + (gy + 0.5) / side * ext[2]
+    oy = np.full_like(ox, aabb_lo[1] + 0.02 * ext[1])
+    sh_o = np.stack([ox, oy, oz], -1).astype(np.float32)
+    rng = np.random.default_rng(0)
+    jit = rng.normal(scale=0.004, size=(len(ox), 3))
+    d = -sun_dir[None] + jit
+    sh_d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(
+        np.float32)
+
+    # probe: direction-major spherical-fibonacci dirs over a probe grid
+    n_dirs = 256
+    k = np.arange(n_dirs)
+    phi = np.pi * (3.0 - np.sqrt(5.0)) * k
+    z = 1.0 - 2.0 * (k + 0.5) / n_dirs
+    r = np.sqrt(np.maximum(1.0 - z * z, 0.0))
+    dirs = np.stack([r * np.cos(phi), r * np.sin(phi), z], -1)
+    n_probes = n_rays // n_dirs
+    side_p = max(int(round(n_probes ** (1.0 / 3.0))), 1)
+    ii = np.arange(n_probes)
+    px = (ii % side_p + 0.5) / side_p
+    py = ((ii // side_p) % side_p + 0.5) / side_p
+    pz = (ii // (side_p * side_p) % side_p + 0.5) / side_p
+    pp = aabb_lo[None] + np.stack([px, py, pz], -1) * ext[None]
+    pr_o = np.repeat(dirs, n_probes, axis=0)[:n_rays] * 0  # placeholder
+    pr_o = np.tile(pp, (n_dirs, 1))[:n_rays].astype(np.float32)
+    pr_d = np.repeat(dirs, n_probes, axis=0)[:n_rays].astype(np.float32)
+    return (sh_o[:n_rays], sh_d[:n_rays]), (pr_o, pr_d)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--rays", type=int, default=1 << 20)
+    p.add_argument("--objects", type=int, default=192)
+    p.add_argument("--platform", default=None)
+    p.add_argument("--packet", type=int, default=0,
+                   help="override rays/packet (0 = kernel default)")
+    p.add_argument("--reps", type=int, default=3)
+    args = p.parse_args(argv)
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    import numpy as np
+    from toyrenderer_tpu.scene.procedural import make_stress_scene
+    from toyrenderer_tpu.ops import bvh as bvh_mod
+    from toyrenderer_tpu.ops import geometry as G
+    from toyrenderer_tpu.ops.bvh_pallas import traverse_pallas, fits_vmem
+    from toyrenderer_tpu.ops.geometry import static_meshlet_pairs
+
+    scene_host = make_stress_scene(n_objects=args.objects, sphere_res=24,
+                                   textured=False)
+    scene = scene_host.to_device()
+    pi, pm = static_meshlet_pairs(scene_host)
+    rts = bvh_mod.build_rt_static(scene_host, pi, pm)
+
+    @jax.jit
+    def refit(scene):
+        world = G.node_world_matrices(
+            scene, scene.node_translation, scene.node_rotation,
+            scene.node_scale)
+        iw, _ = G.instance_transforms(scene, world)
+        return bvh_mod.refit_bvh(rts, iw)
+
+    bvh = refit(scene)
+    jax.block_until_ready(bvh.child_boxes)
+    print(f"[scene] {int(np.sum(rts.payload >= 0))} tris, "
+          f"levels={bvh.num_levels}, "
+          f"cb={bvh.child_boxes.shape} leaf={bvh.leaf_rows.shape}, "
+          f"fits_vmem={fits_vmem(bvh)}")
+
+    lo, hi = scene_host.world_aabb
+    sun = np.asarray(scene_host.sun_direction)
+    (sh_o, sh_d), (pr_o, pr_d) = ray_sets(args.rays, np.asarray(lo),
+                                          np.asarray(hi), sun)
+    kw = {}
+    if args.packet:
+        kw['packet'] = args.packet
+
+    for name, o, d, any_hit in (("shadow(any-hit)", sh_o, sh_d, True),
+                                ("probe(closest)", pr_o, pr_d, False)):
+        fn = jax.jit(lambda b, o, d, ah=any_hit: traverse_pallas(
+            b, o, d, t_max=1e4, any_hit=ah, **kw))
+        res = fn(bvh, jnp.asarray(o), jnp.asarray(d))
+        jax.block_until_ready(res['hit'])
+        t0 = time.time()
+        for _ in range(args.reps):
+            res = fn(bvh, jnp.asarray(o), jnp.asarray(d))
+        jax.block_until_ready(res['hit'])
+        dt = (time.time() - t0) / args.reps
+        mrays = args.rays / dt / 1e6
+        hit_frac = float(np.asarray(res['hit']).mean())
+        steps = float(np.asarray(res['steps']).mean())
+        print(f"{name:18s} {mrays:8.2f} Mrays/s   hit={hit_frac:.3f} "
+              f"visits/packet={steps:.0f}  ({dt*1e3:.2f} ms)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
