@@ -713,12 +713,22 @@ def _gbuffer_two_phase(scene, inst_world, inst_adj, prev_inst_world,
 
 
 @functools.lru_cache(maxsize=32)
-def make_render_fn(settings: RenderSettings, ddgi_volume=None):
+def make_render_fn(settings: RenderSettings, ddgi_volume=None,
+                   donate_carry: bool = True):
     """Jitted frame function specialized on static settings (+ optional
-    static DdgiVolume when GI is enabled)."""
+    static DdgiVolume when GI is enabled).
+
+    The carry argument is DONATED by default: every cross-frame state
+    array (TAA/shadow history, DDGI probe textures, HZB, exposure)
+    aliases its output in place instead of being copied each frame — the
+    analogue of the reference's ping-pong double buffers costing nothing.
+    Callers must rebind `carry` to the returned new_carry (all tools do);
+    pass donate_carry=False to keep a carry alive across calls.
+    """
     return jax.jit(
         functools.partial(render_frame, settings=settings,
-                          ddgi_volume=ddgi_volume))
+                          ddgi_volume=ddgi_volume),
+        donate_argnums=(4,) if donate_carry else ())
 
 
 def default_frame_inputs(scene_host, view_matrices: dict,

@@ -55,6 +55,52 @@ def simplify_lib():
         return None
 
 
+@functools.lru_cache(maxsize=1)
+def meshopt_lib():
+    """ctypes handle to the EXT_meshopt_compression codecs, or None."""
+    src = _DIR / "meshopt_codec.cpp"
+    so = _DIR / "_meshopt_codec.so"
+    if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+        if not _build(src, so):
+            return None
+    try:
+        lib = ctypes.CDLL(str(so))
+        pd = ctypes.c_ssize_t
+        for name, args in (
+            ("mcodec_encode_vertex_buffer",
+             [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+              ctypes.c_size_t, ctypes.c_size_t]),
+            ("mcodec_decode_vertex_buffer",
+             [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
+              ctypes.c_void_p, ctypes.c_size_t]),
+            ("mcodec_encode_index_buffer",
+             [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+              ctypes.c_size_t]),
+            ("mcodec_decode_index_buffer",
+             [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+              ctypes.c_size_t]),
+            ("mcodec_encode_index_sequence",
+             [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+              ctypes.c_size_t]),
+            ("mcodec_decode_index_sequence",
+             [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+              ctypes.c_size_t]),
+        ):
+            fn = getattr(lib, name)
+            fn.restype = pd
+            fn.argtypes = args
+        for name in ("mcodec_decode_filter_oct",
+                     "mcodec_decode_filter_quat",
+                     "mcodec_decode_filter_exp"):
+            fn = getattr(lib, name)
+            fn.restype = None
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
+                           ctypes.c_size_t]
+        return lib
+    except OSError:
+        return None
+
+
 def meshlet_lib():
     """ctypes handle to the meshlet builder, or None."""
     global _LIB, _TRIED

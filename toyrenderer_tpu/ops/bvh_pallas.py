@@ -94,10 +94,11 @@ def _bcast(row, j):
 def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
                      cb_ref,             # (PR, 48) child boxes (VMEM)
                      leaf_ref,           # (NG, 80) leaf rows (VMEM)
-                     out_ref,            # (1, 6*SUB, 128) results
+                     out_ref,            # (1, C*SUB, 128) results
                      stack_scr,          # SMEM (STACK_CAP,) i32
                      *, n_levels: int, any_hit: bool,
-                     max_visits: int, sub: int):
+                     max_visits: int, sub: int, want_uv: bool,
+                     prefilter: bool):
     ray = ray_ref[0]
     ox, oy, oz = ray[0:sub], ray[sub:2 * sub], ray[2 * sub:3 * sub]
     dx, dy, dz = (ray[3 * sub:4 * sub], ray[4 * sub:5 * sub],
@@ -112,12 +113,42 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
     idx_ = 1.0 / sdx
     idy_ = 1.0 / sdy
     idz_ = 1.0 / sdz
+    # slab tests below are FMA-shaped: t = lo * inv - (o * inv)
+    oxi = ox * idx_
+    oyi = oy * idy_
+    ozi = oz * idz_
 
     # dominant direction octant -> near-to-far child visit order
     fx = (jnp.sum(jnp.where(live, dx, 0.0)) < 0.0).astype(jnp.int32)
     fy = (jnp.sum(jnp.where(live, dy, 0.0)) < 0.0).astype(jnp.int32)
     fz = (jnp.sum(jnp.where(live, dz, 0.0)) < 0.0).astype(jnp.int32)
     flip = (fx << 2) | (fy << 1) | fz
+
+    if prefilter:
+        # Scalar packet-interval bounds (Wald-style): when every live
+        # ray agrees on a direction sign per axis (coherent packets —
+        # the design case), a ~30-scalar-op interval slab test can
+        # reject a child before paying the full-vector test.  Sign-fold
+        # each axis so inv dir is a POSITIVE interval: o' = s*o,
+        # i' = |i|, child planes swap lo/hi under s<0.
+        binf = jnp.float32(3e37)
+
+        def _axis(o, i):
+            o_lo = jnp.min(jnp.where(live, o, binf))
+            o_hi = jnp.max(jnp.where(live, o, -binf))
+            i_lo = jnp.min(jnp.where(live, i, binf))
+            i_hi = jnp.max(jnp.where(live, i, -binf))
+            coh = (i_lo > 0.0) | (i_hi < 0.0)
+            s = i_lo > 0.0                   # sign+ (if coherent)
+            of_lo = jnp.where(s, o_lo, -o_hi)
+            of_hi = jnp.where(s, o_hi, -o_lo)
+            if_lo = jnp.where(s, i_lo, -i_hi)
+            if_hi = jnp.where(s, i_hi, -i_lo)
+            return coh, s, of_lo, of_hi, if_lo, if_hi
+        cohx, sx_, oxl, oxh, ixl, ixh = _axis(ox, idx_)
+        cohy, sy_, oyl, oyh, iyl, iyh = _axis(oy, idy_)
+        cohz, sz_, ozl, ozh, izl, izh = _axis(oz, idz_)
+        coherent = cohx & cohy & cohz
 
     leaf_level = n_levels - 1
     # complete 8-ary tree: parent-row offset of level l is (8^l - 1) / 7
@@ -130,7 +161,7 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
     zero = jnp.zeros((sub, 128))
 
     def cond(s):
-        sp, visits, best_t, best_tri, best_u, best_v, hitf = s
+        sp, visits, t_hi, best_t, best_tri, best_u, best_v, hitf = s
         go = (sp > 0) & (visits < max_visits)
         if any_hit:
             go = go & jnp.any(live & (hitf == 0.0))
@@ -139,7 +170,7 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
     def body(s):
         # hit mask carried as f32 0/1: Mosaic rejects (8,128) i1 vectors
         # as while-carries (layout mismatch on scf.yield)
-        sp, visits, best_t, best_tri, best_u, best_v, hitf = s
+        sp, visits, t_hi, best_t, best_tri, best_u, best_v, hitf = s
         hitm = hitf > 0.0
         entry = stack_scr[sp - 1]
         sp = sp - 1
@@ -183,10 +214,17 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
                       & (pay >= 0.0) & active)
                 best_t2 = jnp.where(ok, t, best_t2)
                 best_tri2 = jnp.where(ok, pay, best_tri2)
-                best_u2 = jnp.where(ok, u, best_u2)
-                best_v2 = jnp.where(ok, v, best_v2)
+                if want_uv:
+                    best_u2 = jnp.where(ok, u, best_u2)
+                    best_v2 = jnp.where(ok, v, best_v2)
                 hitm2 = hitm2 | ok
-            return (sp, best_t2, best_tri2, best_u2, best_v2,
+            if any_hit:
+                t_hi2 = t_hi
+            else:
+                # tighten the scalar prefilter ceiling to the farthest
+                # still-open ray
+                t_hi2 = jnp.max(jnp.where(active, best_t2, 0.0))
+            return (sp, t_hi2, best_t2, best_tri2, best_u2, best_v2,
                     hitm2.astype(jnp.float32))
 
         def visit_internal():
@@ -199,21 +237,49 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
             want_bits = jnp.int32(0)
             for k in range(ARITY):
                 kb = k * 6
-                t0x = (_bcast(row, kb) - ox) * idx_
-                t1x = (_bcast(row, kb + 3) - ox) * idx_
-                t0y = (_bcast(row, kb + 1) - oy) * idy_
-                t1y = (_bcast(row, kb + 4) - oy) * idy_
-                t0z = (_bcast(row, kb + 2) - oz) * idz_
-                t1z = (_bcast(row, kb + 5) - oz) * idz_
-                tmin = jnp.maximum(
-                    jnp.maximum(jnp.minimum(t0x, t1x),
-                                jnp.minimum(t0y, t1y)),
-                    jnp.maximum(jnp.minimum(t0z, t1z), 0.0))
-                tmax = jnp.minimum(
-                    jnp.minimum(jnp.maximum(t0x, t1x),
-                                jnp.maximum(t0y, t1y)),
-                    jnp.minimum(jnp.maximum(t0z, t1z), best_t))
-                want = jnp.any((tmax >= tmin) & active)
+
+                def vec_test(kb=kb):
+                    t0x = _bcast(row, kb) * idx_ - oxi
+                    t1x = _bcast(row, kb + 3) * idx_ - oxi
+                    t0y = _bcast(row, kb + 1) * idy_ - oyi
+                    t1y = _bcast(row, kb + 4) * idy_ - oyi
+                    t0z = _bcast(row, kb + 2) * idz_ - ozi
+                    t1z = _bcast(row, kb + 5) * idz_ - ozi
+                    tmin = jnp.maximum(
+                        jnp.maximum(jnp.minimum(t0x, t1x),
+                                    jnp.minimum(t0y, t1y)),
+                        jnp.maximum(jnp.minimum(t0z, t1z), 0.0))
+                    tmax = jnp.minimum(
+                        jnp.minimum(jnp.maximum(t0x, t1x),
+                                    jnp.maximum(t0y, t1y)),
+                        jnp.minimum(jnp.maximum(t0z, t1z), best_t))
+                    return jnp.any((tmax >= tmin) & active)
+
+                if prefilter:
+                    # scalar interval reject (conservative: only prunes)
+                    lox, hix = _bcast(row, kb), _bcast(row, kb + 3)
+                    loy, hiy = _bcast(row, kb + 1), _bcast(row, kb + 4)
+                    loz, hiz = _bcast(row, kb + 2), _bcast(row, kb + 5)
+
+                    def ent_ext(s, lo, hi, ol, oh, il, ih):
+                        lof = jnp.where(s, lo, -hi)
+                        hif = jnp.where(s, hi, -lo)
+                        al = lof - oh
+                        ent = al * jnp.where(al >= 0.0, il, ih)
+                        bh = hif - ol
+                        ext = bh * jnp.where(bh >= 0.0, ih, il)
+                        return ent, ext
+                    ex_, xx_ = ent_ext(sx_, lox, hix, oxl, oxh, ixl, ixh)
+                    ey_, xy_ = ent_ext(sy_, loy, hiy, oyl, oyh, iyl, iyh)
+                    ez_, xz_ = ent_ext(sz_, loz, hiz, ozl, ozh, izl, izh)
+                    ent = jnp.maximum(jnp.maximum(ex_, ey_),
+                                      jnp.maximum(ez_, 0.0))
+                    ext = jnp.minimum(jnp.minimum(xx_, xy_),
+                                      jnp.minimum(xz_, t_hi))
+                    maybe = (~coherent) | (ent <= ext)
+                    want = jax.lax.cond(maybe, vec_test, lambda: False)
+                else:
+                    want = vec_test()
                 want_bits = want_bits | (want.astype(jnp.int32) << k)
             # pass 2 (scalar): push far-to-near by the packet's dominant
             # octant (morton child order makes k ^ flip front-to-back),
@@ -226,36 +292,42 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
                 stack_scr[new_sp] = ((child << _ENC_LEVEL_BITS)
                                      | child_level)
                 new_sp = new_sp + bit
-            return new_sp, best_t, best_tri, best_u, best_v, hitf
+            return new_sp, t_hi, best_t, best_tri, best_u, best_v, hitf
 
         is_leaf = level == leaf_level
-        sp2, bt, btri, bu, bv, bh = jax.lax.cond(
+        sp2, th, bt, btri, bu, bv, bh = jax.lax.cond(
             is_leaf, visit_leaf, visit_internal)
-        return (sp2, visits + 1, bt, btri, bu, bv, bh)
+        return (sp2, visits + 1, th, bt, btri, bu, bv, bh)
 
-    init = (jnp.int32(1), jnp.int32(0), t_cap, neg1, zero, zero,
+    t_hi0 = jnp.max(jnp.where(live, t_cap, 0.0))
+    init = (jnp.int32(1), jnp.int32(0), t_hi0, t_cap, neg1, zero, zero,
             jnp.zeros((sub, 128)))
-    sp, visits, best_t, best_tri, best_u, best_v, hitf = (
+    (sp, visits, t_hi, best_t, best_tri, best_u, best_v, hitf) = (
         jax.lax.while_loop(cond, body, init))
 
     out_ref[0, 0:sub] = best_t
     out_ref[0, sub:2 * sub] = best_tri
-    out_ref[0, 2 * sub:3 * sub] = best_u
-    out_ref[0, 3 * sub:4 * sub] = best_v
-    out_ref[0, 4 * sub:5 * sub] = hitf
-    out_ref[0, 5 * sub:6 * sub] = (jnp.full((sub, 128), 1.0)
+    out_ref[0, 2 * sub:3 * sub] = hitf
+    out_ref[0, 3 * sub:4 * sub] = (jnp.full((sub, 128), 1.0)
                                    * visits.astype(jnp.float32))
+    if want_uv:
+        out_ref[0, 4 * sub:5 * sub] = best_u
+        out_ref[0, 5 * sub:6 * sub] = best_v
 
 
 def traverse_pallas(bvh: Bvh, origins, directions, t_max,
                     any_hit: bool = False, max_visits: int | None = None,
                     packet: int = PACKET, live=None,
-                    interpret: bool = False):
+                    interpret: bool = False, want_uv: bool = False,
+                    prefilter: bool = True):
     """Packet traversal; same contract as bvh.traverse.
 
-    Rays are packed `packet` (default 2048) per packet in order — callers
+    Rays are packed `packet` (default 4096) per packet in order — callers
     get the best performance when consecutive rays are coherent (image
     tiles; probe rays grouped by direction).
+    want_uv=False skips barycentric tracking (no frame consumer reads
+    u/v from RT results; u/v return as zeros).
+    prefilter enables the scalar packet-interval child reject.
     Returns dict(hit (N,) bool, t, tri (i32), u, v, steps).
     """
     n = origins.shape[0]
@@ -287,9 +359,11 @@ def traverse_pallas(bvh: Bvh, origins, directions, t_max,
         # exact bound: every internal node + every leaf group once
         max_visits = int(cb.shape[0]) + int(leaf.shape[0])
 
+    rows = 6 if want_uv else 4
     kernel = functools.partial(
         _traverse_kernel, n_levels=bvh.num_levels, any_hit=any_hit,
-        max_visits=max_visits, sub=sub)
+        max_visits=max_visits, sub=sub, want_uv=want_uv,
+        prefilter=prefilter)
     out = pl.pallas_call(
         kernel,
         grid=(p,),
@@ -299,9 +373,11 @@ def traverse_pallas(bvh: Bvh, origins, directions, t_max,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 6 * sub, _LANE), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, rows * sub, _LANE),
+                               lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((p, 6 * sub, _LANE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((p, rows * sub, _LANE),
+                                       jnp.float32),
         scratch_shapes=[pltpu.SMEM((STACK_CAP,), jnp.int32)],
         interpret=interpret,
     )(packed, cb, leaf)
@@ -311,7 +387,9 @@ def traverse_pallas(bvh: Bvh, origins, directions, t_max,
 
     t = flat(0)
     tri = flat(1).astype(jnp.int32)
-    hit = flat(4) > 0.0
+    hit = flat(2) > 0.0
+    zero = jnp.zeros((n,), jnp.float32)
     return dict(hit=hit, t=jnp.where(hit, t, t_max[:n]), tri=tri,
-                u=flat(2), v=flat(3),
-                steps=flat(5).astype(jnp.int32))
+                u=flat(4) if want_uv else zero,
+                v=flat(5) if want_uv else zero,
+                steps=flat(3).astype(jnp.int32))

@@ -135,6 +135,9 @@ class GltfDocument:
 def _read_buffer(buf: dict, base_dir: Path, glb_bin: bytes | None) -> bytes:
     uri = buf.get("uri")
     if uri is None:
+        if buf.get("extensions", {}).get(
+                "EXT_meshopt_compression", {}).get("fallback"):
+            return b""                   # fallback buffer: data optional
         assert glb_bin is not None, "buffer without uri outside GLB"
         return glb_bin
     if uri.startswith("data:"):
@@ -142,7 +145,33 @@ def _read_buffer(buf: dict, base_dir: Path, glb_bin: bytes | None) -> bytes:
     return (base_dir / uri).read_bytes()
 
 
-def _read_accessor(gltf: dict, buffers: list[bytes], idx: int) -> np.ndarray:
+def _materialize_views(gltf: dict, buffers: list[bytes]) -> list[bytes]:
+    """Per-bufferView bytes, decoding EXT_meshopt_compression views
+    (SceneLoading.cpp:239-301 parity — the reference decompresses every
+    compressed view up front too)."""
+    views: list[bytes] = []
+    for bv in gltf.get("bufferViews", []):
+        ext = bv.get("extensions", {}).get("EXT_meshopt_compression")
+        if ext is not None:
+            from toyrenderer_tpu.scene.meshopt import decode_buffer_view
+            views.append(decode_buffer_view(ext, buffers[ext["buffer"]]))
+            continue
+        data = buffers[bv["buffer"]]
+        off = bv.get("byteOffset", 0)
+        views.append(data[off:off + bv.get("byteLength",
+                                           len(data) - off)])
+    return views
+
+
+def _view_stride(gltf: dict, view_idx: int) -> int:
+    bv = gltf["bufferViews"][view_idx]
+    ext = bv.get("extensions", {}).get("EXT_meshopt_compression")
+    if ext is not None:
+        return ext["byteStride"]
+    return bv.get("byteStride", 0)
+
+
+def _read_accessor(gltf: dict, views: list[bytes], idx: int) -> np.ndarray:
     """Decode accessor `idx` to an (count, comps) numpy array (f32/u32)."""
     acc = gltf["accessors"][idx]
     count = acc["count"]
@@ -152,10 +181,9 @@ def _read_accessor(gltf: dict, buffers: list[bytes], idx: int) -> np.ndarray:
     out = np.zeros((count, comps), dtype=dtype)
 
     if "bufferView" in acc:
-        bv = gltf["bufferViews"][acc["bufferView"]]
-        data = buffers[bv["buffer"]]
-        start = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
-        stride = bv.get("byteStride", 0) or comps * itemsize
+        data = views[acc["bufferView"]]
+        start = acc.get("byteOffset", 0)
+        stride = _view_stride(gltf, acc["bufferView"]) or comps * itemsize
         if stride == comps * itemsize:
             flat = np.frombuffer(
                 data, dtype=dtype, count=count * comps, offset=start)
@@ -174,14 +202,13 @@ def _read_accessor(gltf: dict, buffers: list[bytes], idx: int) -> np.ndarray:
     if sparse:
         sc = sparse["count"]
         iv = sparse["indices"]
-        bv = gltf["bufferViews"][iv["bufferView"]]
         ind_dtype = _COMPONENT_DTYPES[iv["componentType"]]
-        ind = np.frombuffer(buffers[bv["buffer"]], dtype=ind_dtype, count=sc,
-                            offset=bv.get("byteOffset", 0) + iv.get("byteOffset", 0))
+        ind = np.frombuffer(views[iv["bufferView"]], dtype=ind_dtype,
+                            count=sc, offset=iv.get("byteOffset", 0))
         vv = sparse["values"]
-        bv = gltf["bufferViews"][vv["bufferView"]]
-        val = np.frombuffer(buffers[bv["buffer"]], dtype=dtype, count=sc * comps,
-                            offset=bv.get("byteOffset", 0) + vv.get("byteOffset", 0))
+        val = np.frombuffer(views[vv["bufferView"]], dtype=dtype,
+                            count=sc * comps,
+                            offset=vv.get("byteOffset", 0))
         out[ind] = val.reshape(sc, comps)
 
     if acc.get("normalized") and dtype != np.float32:
@@ -190,8 +217,8 @@ def _read_accessor(gltf: dict, buffers: list[bytes], idx: int) -> np.ndarray:
     return out
 
 
-def _accessor_f32(gltf, buffers, idx):
-    a = _read_accessor(gltf, buffers, idx)
+def _accessor_f32(gltf, views, idx):
+    a = _read_accessor(gltf, views, idx)
     return a.astype(np.float32)
 
 
@@ -222,6 +249,7 @@ def load_gltf(path: str | Path) -> GltfDocument:
     base_dir = path.parent
     buffers = [_read_buffer(b, base_dir, glb_bin)
                for b in gltf.get("buffers", [])]
+    views = _materialize_views(gltf, buffers)
 
     # --- materials (always at least one default, like the reference's
     #     fallback material path) -------------------------------------------
@@ -279,10 +307,7 @@ def load_gltf(path: str | Path) -> GltfDocument:
             image_bytes = base64.b64decode(uri.split(",", 1)[1])
             uri = None
         elif uri is None and "bufferView" in img:
-            bv = gltf["bufferViews"][img["bufferView"]]
-            data = buffers[bv["buffer"]]
-            start = bv.get("byteOffset", 0)
-            image_bytes = data[start:start + bv["byteLength"]]
+            image_bytes = views[img["bufferView"]]
         tex = GltfTexture(uri=uri, image_bytes=image_bytes)
         if "sampler" in t and t["sampler"] < len(samplers):
             s = samplers[t["sampler"]]
@@ -298,18 +323,18 @@ def load_gltf(path: str | Path) -> GltfDocument:
             if p.get("mode", 4) != 4:            # triangles only
                 continue
             attrs = p["attributes"]
-            pos = _accessor_f32(gltf, buffers, attrs["POSITION"])[:, :3]
+            pos = _accessor_f32(gltf, views, attrs["POSITION"])[:, :3]
             n_verts = pos.shape[0]
             if "NORMAL" in attrs:
-                nrm = _accessor_f32(gltf, buffers, attrs["NORMAL"])[:, :3]
+                nrm = _accessor_f32(gltf, views, attrs["NORMAL"])[:, :3]
             else:
                 nrm = np.zeros((n_verts, 3), np.float32)
             if "TEXCOORD_0" in attrs:
-                uv = _accessor_f32(gltf, buffers, attrs["TEXCOORD_0"])[:, :2]
+                uv = _accessor_f32(gltf, views, attrs["TEXCOORD_0"])[:, :2]
             else:
                 uv = np.zeros((n_verts, 2), np.float32)
             if "indices" in p:
-                idx = _read_accessor(gltf, buffers, p["indices"])[:, 0]
+                idx = _read_accessor(gltf, views, p["indices"])[:, 0]
                 idx = idx.astype(np.uint32)
             else:
                 idx = np.arange(n_verts, dtype=np.uint32)
@@ -376,8 +401,8 @@ def load_gltf(path: str | Path) -> GltfDocument:
             if target.get("path") not in ("translation", "rotation", "scale"):
                 continue
             s = samplers_a[ch["sampler"]]
-            times = _accessor_f32(gltf, buffers, s["input"])[:, 0]
-            values = _accessor_f32(gltf, buffers, s["output"])
+            times = _accessor_f32(gltf, views, s["input"])[:, 0]
+            values = _accessor_f32(gltf, views, s["output"])
             interp = s.get("interpolation", "LINEAR")
             if interp == "CUBICSPLINE":
                 # keep only the value keys (drop in/out tangents)
