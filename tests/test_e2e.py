@@ -300,3 +300,75 @@ def test_depth_peeled_oit_layers():
     assert (diff > 10).sum() > 20
     # ...but identical where at most one layer exists
     assert (diff == 0).mean() > 0.5
+
+
+def test_stacked_cutout_layers():
+    """TWO stacked alpha-MASKED quads: the back quad must show through
+    the front quad's alpha holes (basepass.hlsl ALPHA_MASK_MODE discard
+    keeps the next-closest fragment; here alpha_layers depth peeling).
+    With alpha_layers=1 the holes show background; with 2 they show the
+    back quad."""
+    import tempfile
+    from toyrenderer_tpu.tools.gen_scene import GlbBuilder, quad_card
+    from toyrenderer_tpu.scene import load_scene
+
+    g = GlbBuilder(compress=False)
+    # front texture: opaque green left half, alpha-0 right half
+    img_f = np.zeros((64, 64, 4), np.uint8)
+    img_f[:, :, 1] = 255
+    img_f[:, :, 3] = 255
+    img_f[:, 32:, 3] = 0
+    tf = g.add_texture(img_f)
+    # back: fully opaque red
+    img_b = np.zeros((64, 64, 4), np.uint8)
+    img_b[:, :, 0] = 255
+    img_b[:, :, 3] = 255
+    tb = g.add_texture(img_b)
+    mf = g.add_material("front", base_tex=tf, alpha_mode="MASK",
+                        cutoff=0.5, double_sided=True)
+    mb = g.add_material("back", base_tex=tb, alpha_mode="MASK",
+                        cutoff=0.5, double_sided=True)
+    qf = g.add_mesh("qf", *quad_card(2.0, 2.0), mf)
+    qb = g.add_mesh("qb", *quad_card(2.0, 2.0), mb)
+    g.add_node("front", mesh=qf, t=(0, -1, 0))
+    g.add_node("back", mesh=qb, t=(0, -1, -1.0))
+    cameras = [{"type": "perspective",
+                "perspective": {"yfov": 1.0, "znear": 0.05}}]
+    g.add_node("cam", camera=0, t=(0, 0, 2.5))
+    lights = [{"type": "directional", "color": [1, 1, 1],
+               "intensity": 3.0}]
+    g.add_node("sun", light=0, r=[-0.3, 0.1, 0.0,
+                                  float(np.sqrt(1 - 0.09 - 0.01))])
+    with tempfile.TemporaryDirectory() as td:
+        path = td + "/stack.glb"
+        g.finish(path, cameras, lights)
+        s = load_scene(path, use_cache=False)
+    d = s.to_device()
+    from toyrenderer_tpu.ops.geometry import static_meshlet_pairs
+    pi, pm = static_meshlet_pairs(s, 'not_mask')
+    mi, mm = static_meshlet_pairs(s, 'mask')
+    assert len(mi) == 2
+    view = View.from_scene(s, 128, 128)
+    view.enable_jitter = False
+    fi = default_frame_inputs(s, view.matrices())
+    imgs = {}
+    for k in (1, 2):
+        st = RenderSettings(width=128, height=128, manual_exposure=0.3,
+                            alpha_layers=k, max_tris_per_tile=64,
+                            max_big_tris=64, tile_batch=4)
+        img, _, aux = make_render_fn(st)(
+            d, jnp.asarray(pi), jnp.asarray(pm), fi, init_carry(d, st),
+            mask_pair_inst=jnp.asarray(mi),
+            mask_pair_meshlet=jnp.asarray(mm))
+        imgs[k] = np.asarray(img).astype(int)
+    # the right half (front holes): 1 layer -> sky background,
+    # 2 layers -> red back quad
+    right = imgs[2][40:80, 70:90]
+    assert right[..., 0].mean() > 60, "back quad not visible in holes"
+    assert right[..., 0].mean() > right[..., 1].mean() + 30
+    # with a single layer the same pixels are NOT the back quad
+    right1 = imgs[1][40:80, 70:90]
+    assert right1[..., 0].mean() < right[..., 0].mean() - 30
+    # left half (front passes) identical between the two
+    left_diff = np.abs(imgs[1][40:80, 30:60] - imgs[2][40:80, 30:60])
+    assert left_diff.max() <= 2

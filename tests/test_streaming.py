@@ -169,3 +169,108 @@ def test_tiles_evict_and_defrag(tile_mgr):
     dev.update(ov)
     truth = _sample_mip0(atlas.to_device())
     np.testing.assert_allclose(_sample_mip0(dev), truth, atol=1e-3)
+
+
+def test_tile_manager_scales_to_4k_pool():
+    """Bookkeeping must stay O(hot tiles) per update: a 4096-tile pool
+    over a large texture set updates fast even with a big tile table
+    (the round-2 per-hot-tile grid scans and per-move free-list sorts
+    were quadratic here)."""
+    import time
+    from toyrenderer_tpu.engine.streaming import TileStreamingManager
+    rng = np.random.default_rng(3)
+    imgs = []
+    for _ in range(24):
+        img = rng.integers(0, 256, (512, 512, 4), dtype=np.uint8)
+        img[..., 3] = 255
+        imgs.append(img)
+    atlas = TX.build_atlas(images=imgs)
+    m = TileStreamingManager(atlas, pool_tiles=4096, tiles_per_frame=64,
+                             defrag_per_frame=16, evict_after=4)
+    assert m.table_size > 2000       # big tile table
+
+    # inverse table agrees with the grid layout everywhere
+    for tid in range(0, m.table_size, 97):
+        t, mm, ty, tx = m.tid_key[tid]
+        tb = m.tile_base[t, mm]
+        ht, wt = m.grid[(int(t), int(mm))]
+        assert tb <= tid < tb + ht * wt
+        assert tid == tb + ty * wt + tx
+
+    # drive updates with a few hot tiles + churn; must stay fast
+    fb = np.full(m.table_size, np.inf, np.float32)
+    hot = rng.choice(m.table_size, 64, replace=False)
+    fb[hot] = 0.0
+    m.update(fb)                      # warm (device upload compile)
+    t0 = time.time()
+    for i in range(12):
+        fb[:] = np.inf
+        hot = rng.choice(m.table_size, 64, replace=False)
+        fb[hot] = 0.0
+        m.update(fb)
+    dt = (time.time() - t0) / 12
+    assert dt < 0.25, f"update too slow: {dt*1e3:.1f} ms"
+    # defrag + eviction churn kept the table consistent: every entry
+    # either points at a resident slot or a pinned fallback
+    resident = m.table_slot >= 0
+    ent = m.table
+    assert (ent[resident] == m.table_slot[resident]).all()
+    fall = ent[~resident]
+    assert ((fall >> 24) > 0).all() or fall.size == 0
+
+
+def test_async_tile_bank_streams_from_disk(tmp_path):
+    """Tile bytes come from DISK through the async bank: the manager
+    never touches atlas.texels (they're replaced by a 1-row stub), reads
+    happen on the pool thread, and streamed-in tiles match the original
+    data bit-exactly (TextureFeedbackManager.cpp:319-331 silent_async
+    parity)."""
+    import time
+    from dataclasses import replace
+    from toyrenderer_tpu.engine.streaming import (
+        TileStreamingManager, TexelTileBank)
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (256, 256, 4), dtype=np.uint8)
+    img[..., 3] = 255
+    atlas = TX.build_atlas(images=[img])
+    bank_path = str(tmp_path / "texels.bank")
+    TexelTileBank.write(atlas, bank_path)
+
+    # metadata-only atlas: texels stubbed out — the backing store is
+    # the bank on disk, proving scenes larger than host RAM can stream
+    stub = replace(atlas, texels=np.zeros((1, atlas.texels.shape[1]),
+                                          np.uint32))
+    src = TexelTileBank(bank_path)
+    m = TileStreamingManager(stub, pool_tiles=32, tiles_per_frame=8,
+                             evict_after=10, source=src)
+
+    # full-res feedback on mip0 tiles: loads arrive ASYNCHRONOUSLY —
+    # first update schedules reads, later updates upload
+    fb = np.full(m.table_size, np.inf, np.float32)
+    tb0 = int(m.tile_base[0, 0])
+    fb[tb0:tb0 + 4] = 0.0
+    loaded_immediately = None
+    ov = None
+    for i in range(20):
+        ov = m.update(fb)
+        if i == 0:
+            loaded_immediately = m.stats['tile_loads']
+        if all((0, 0, ty, tx) in m.slot_of
+               for ty, tx in ((0, 0), (0, 1), (0, 2), (0, 3))):
+            break
+        time.sleep(0.02)
+    assert src.stats['async_reads'] >= 4
+    for k in range(4):
+        assert (0, 0, 0, k) in m.slot_of, "tile never streamed in"
+
+    # streamed content matches the original atlas data bit-exactly
+    pool = np.asarray(ov['tex_texels'])
+    slot = m.slot_of[(0, 0, 0, 0)]
+    from toyrenderer_tpu.engine.streaming import TILE, TILE_ROWS
+    got = pool[slot * TILE_ROWS:(slot + 1) * TILE_ROWS]
+    w = int(atlas.desc_width[0, 0])
+    h = int(atlas.desc_height[0, 0])
+    o = int(atlas.desc_offset[0, 0])
+    want = atlas.texels[o:o + w * h].reshape(h, w, -1)[
+        :TILE, :TILE].reshape(TILE_ROWS, -1)
+    assert np.array_equal(got, want)

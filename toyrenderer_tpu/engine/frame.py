@@ -67,11 +67,19 @@ class RenderSettings:
     gi_update_phases: int = 1             # probes update in P/N blocks
     gi_half_res: bool = True              # sample probe irradiance at
     #   half res + expand (16 gathers/pixel otherwise)
+    gi_sun_technique: str = 'auto'        # probe-hit direct-sun
+    #   visibility: 'map' = one sun-shadow-map tap (no second traversal),
+    #   'rt' = any-hit shadow ray (giprobetrace.hlsl parity),
+    #   'auto' = map when the frame's shadow technique is the map
     show_gi_probes: bool = False          # probe visualization overlay
     enable_transparency: bool = False     # forward blend (reference: stub)
     oit_layers: int = 1                   # depth-peeled OIT layers for
     #   the blend set (1 = nearest-layer only)
     enable_alpha_test: bool = True        # alpha-masked cutout set
+    alpha_layers: int = 2                 # depth-peel layers for the
+    #   masked set: the nearest PASSING cutout fragment wins, so stacked
+    #   foliage shows through front-layer holes (basepass.hlsl
+    #   ALPHA_MASK_MODE discard semantics, done the TPU way)
     enable_restir: bool = False           # ReSTIR DI (off: reference parity)
     restir_candidates: int = 8
     restir_spatial_taps: int = 4          # RTXDI spatial-resampling taps
@@ -294,37 +302,44 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                          aniso=settings.texture_aniso)
 
     # -- Alpha-masked set (second base-pass set, basepass.hlsl
-    #    ALPHA_MASK_MODE parity): rasterized separately, alpha-tested at
-    #    resolve, merged into the GBuffer where it passes and is closer.
-    #    KNOWN LIMIT (single-layer): only the NEAREST masked fragment per
-    #    pixel is alpha-tested; if it fails the cutoff, a farther masked
-    #    fragment that would pass is lost (the reference discards during
-    #    raster and keeps the next-closest).  Visible only on stacked
-    #    cutout layers; fixing it needs in-kernel alpha testing ----------
+    #    ALPHA_MASK_MODE parity): depth-peeled `alpha_layers` times,
+    #    nearest→farther; per pixel the FIRST layer whose alpha passes
+    #    the cutoff wins — so a fragment behind a front cutout's holes
+    #    shows through, matching the reference's in-raster discard
+    #    (next-closest fragment wins).  Layers beyond the budget drop
+    #    (bounded work, like every amplification path here) --------------
     if (settings.enable_alpha_test and mask_pair_inst is not None
             and mask_pair_inst.shape[0] > 0):
         geo_m = geo_mod.meshlet_clip_triangles(
             scene, inst_world, frame_inputs['view_proj'],
             mask_pair_inst, mask_pair_meshlet)
-        _, recs_m, depth_m, tid_m, interp_m, _ = _raster_with_records(
-            scene, geo_m, cfg, use_pallas, inst_world, inst_adj,
-            prev_inst_world, prev_vp, sp_mesh=sp_mesh)
-        rec_m = interp_m if interp_m is not None else recs_m
-        gb_m = resolve_gbuffer(rec_m, depth_m, tid_m,
-                               frame_inputs['jitter'], cfg, atlas=atlas,
-                               num_textures=scene.num_textures,
-                               quad_taps=settings.texture_quad_taps,
-                               aniso=settings.texture_aniso)
-        passes = ((gb_m['alpha'] >= gb_m['alpha_cutoff'])
-                  & (depth_m > depth) & (depth_m > 0.0))
-        for k in ('gbuffer0', 'gbuffer1', 'gbuffer2', 'gbuffer3'):
-            gb[k] = jnp.where(passes, gb_m[k], gb[k])
-        for k in ('motion', 'uv'):
-            gb[k] = jnp.where(passes[..., None], gb_m[k], gb[k])
-        depth = jnp.where(passes, depth_m, depth)
+        chosen = jnp.zeros_like(depth, dtype=bool)
+        peel = None
+        for _layer in range(max(settings.alpha_layers, 1)):
+            _, recs_m, depth_m, tid_m, interp_m, _ = _raster_with_records(
+                scene, geo_m, cfg, use_pallas, inst_world, inst_adj,
+                prev_inst_world, prev_vp, sp_mesh=sp_mesh,
+                peel_depth=peel)
+            rec_m = interp_m if interp_m is not None else recs_m
+            gb_m = resolve_gbuffer(rec_m, depth_m, tid_m,
+                                   frame_inputs['jitter'], cfg,
+                                   atlas=atlas,
+                                   num_textures=scene.num_textures,
+                                   quad_taps=settings.texture_quad_taps,
+                                   aniso=settings.texture_aniso)
+            passes = ((gb_m['alpha'] >= gb_m['alpha_cutoff'])
+                      & (depth_m > depth) & (depth_m > 0.0) & ~chosen)
+            for k in ('gbuffer0', 'gbuffer1', 'gbuffer2', 'gbuffer3'):
+                gb[k] = jnp.where(passes, gb_m[k], gb[k])
+            for k in ('motion', 'uv'):
+                gb[k] = jnp.where(passes[..., None], gb_m[k], gb[k])
+            depth = jnp.where(passes, depth_m, depth)
+            tri_id = jnp.where(passes, tid_m, tri_id)   # ids index the
+            # MASKED setup for those pixels; aux-only (shading reads the
+            # gbuffer)
+            chosen = chosen | passes
+            peel = depth_m
         gb['depth'] = depth
-        tri_id = jnp.where(passes, tid_m, tri_id)   # ids index the MASKED
-        # setup for those pixels; aux-only (shading reads the gbuffer)
 
     # -- Sky radiance closure (Hosek-Wilkie default, SkyRenderer.cpp
     #    parity; Preetham fallback) — shared by deferred lighting, DDGI
@@ -371,6 +386,27 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                                settings.width, settings.height)
           if needs_wp else None)
 
+    # -- Sun shadow map (shared by the ShadowMask pass and the DDGI
+    #    probe-hit direct-sun taps) ------------------------------------------
+    gi_sun_map = settings.enable_gi and (
+        settings.gi_sun_technique == 'map'
+        or (settings.gi_sun_technique == 'auto' and not needs_rays))
+    sm_quads = None
+    sun_vis_fn = None
+    if ((settings.enable_shadows and settings.shadow_technique == 'map')
+            or gi_sun_map):
+        from toyrenderer_tpu.ops import shadowmap as sm_mod
+        sm_cfg = sm_mod.shadow_map_config(
+            settings.shadow_map_resolution)
+        sm_depth = sm_mod.render_shadow_map(
+            scene, inst_world, pair_inst, pair_meshlet,
+            frame_inputs['sun_view_proj'], sm_cfg, use_pallas)
+        sm_quads = sm_mod.quad_expand_map(sm_depth)
+        if gi_sun_map:
+            sun_vis_fn = lambda pts: sm_mod.sample_shadow_map_points(  # noqa: E731
+                sm_quads, settings.shadow_map_resolution,
+                frame_inputs['sun_view_proj'], pts)
+
     # -- ShadowMask (denoised; technique: rasterized sun depth map by
     #    default — the TPU-native path — or BVH ray traced) -----------------
     shadow_mask = None
@@ -378,14 +414,8 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     if settings.enable_shadows:
         if settings.shadow_technique == 'map':
             from toyrenderer_tpu.ops import shadowmap as sm_mod
-            sm_cfg = sm_mod.shadow_map_config(
-                settings.shadow_map_resolution)
-            sm_depth = sm_mod.render_shadow_map(
-                scene, inst_world, pair_inst, pair_meshlet,
-                frame_inputs['sun_view_proj'], sm_cfg, use_pallas)
             raw = sm_mod.sample_shadow_map(
-                sm_mod.quad_expand_map(sm_depth),
-                settings.shadow_map_resolution,
+                sm_quads, settings.shadow_map_resolution,
                 frame_inputs['sun_view_proj'], wp, m_gb['normal'],
                 -frame_inputs['sun_direction'], depth > 0.0,
                 carry['frame_index'])
@@ -420,7 +450,7 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
             sky_fn, settings.gi_update_phases,
             max_steps=settings.gi_max_steps,
             probe_offset=carry['ddgi_offset'],
-            probe_state=carry['ddgi_state'])
+            probe_state=carry['ddgi_state'], sun_vis_fn=sun_vis_fn)
         gi_carry = ddgi_mod.update_probe_block(
             ddgi_volume, carry, radiance, ray_dist, ray_dirs, blk,
             first_frame=(carry['frame_index']

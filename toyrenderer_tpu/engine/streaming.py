@@ -203,9 +203,13 @@ class TileStreamingManager:
 
     def __init__(self, atlas, pool_tiles: int = 64,
                  tiles_per_frame: int = 16, defrag_per_frame: int = 16,
-                 evict_after: int = 60):
+                 evict_after: int = 60, source=None):
+        """source: optional TexelTileBank — tile bytes then come from
+        DISK via async reads (atlas.texels never touched; only its desc
+        metadata is used), the reference's on-demand DDS mip IO."""
         import jax.numpy as jnp
         self.full = atlas
+        self.source = source
         self.tiles_per_frame = tiles_per_frame
         self.defrag_per_frame = defrag_per_frame
         self.evict_after = evict_after
@@ -229,8 +233,12 @@ class TileStreamingManager:
                 w = int(atlas.desc_width[t, m])
                 h = int(atlas.desc_height[t, m])
                 if max(w, h) <= TILE:
-                    src = int(atlas.desc_offset[t, m])
-                    static_chunks.append(atlas.texels[src:src + w * h])
+                    if source is not None:
+                        static_chunks.append(source.read_mip(t, m))
+                    else:
+                        src = int(atlas.desc_offset[t, m])
+                        static_chunks.append(
+                            atlas.texels[src:src + w * h])
                     self.static_offset[t, m] = cursor
                     cursor += w * h
                 else:
@@ -255,16 +263,34 @@ class TileStreamingManager:
             sc = np.concatenate(static_chunks)
             pool[:sc.shape[0]] = sc
 
-        self.free = list(range(self.slot0 + pool_tiles - 1,
-                               self.slot0 - 1, -1))  # LIFO low-first pop
-        self.free.sort(reverse=True)
+        import heapq
+        self.free = list(range(self.slot0, self.slot0 + pool_tiles))
+        heapq.heapify(self.free)  # min-heap: low slots first
         self.slot_of = {}         # (t, m, ty, tx) -> slot
         self.tile_of_slot = {}    # slot -> (t, m, ty, tx)
         self.last_seen = {}       # (t, m, ty, tx) -> update index
-        self.table = np.zeros(self.table_size, np.int32)
         self.update_index = 0
         self.stats = dict(tile_loads=0, tile_evictions=0,
                           defrag_moves=0, resident_tiles=0)
+
+        # O(1)/vectorized bookkeeping (scales to Bistro-size tile counts;
+        # the round-2 design linear-scanned all grids per hot tile and
+        # re-sorted the free list per move):
+        #   tid_key: tile id -> (t, m, ty, tx)   (static inverse table)
+        #   table_slot: tile id -> resident slot or -1  (incremental)
+        #   fallback_entry: tile id -> packed pinned-fallback entry
+        #     (static once pinned tiles exist — defrag never moves pins)
+        self.tid_key = np.zeros((self.table_size, 4), np.int32)
+        for (t, m), (ht, wt) in self.grid.items():
+            tb = int(self.tile_base[t, m])
+            ty, tx = np.divmod(np.arange(ht * wt, dtype=np.int32), wt)
+            self.tid_key[tb:tb + ht * wt, 0] = t
+            self.tid_key[tb:tb + ht * wt, 1] = m
+            self.tid_key[tb:tb + ht * wt, 2] = ty
+            self.tid_key[tb:tb + ht * wt, 3] = tx
+        self.table_slot = np.full(self.table_size, -1, np.int32)
+        self.table = np.zeros(self.table_size, np.int32)
+        self.pinned_slots = set()
 
         self._pending = []        # (slot, rows) uploads this update
         # pin the coarsest tiled mip of every texture (fallback target)
@@ -277,13 +303,35 @@ class TileStreamingManager:
                 for tx in range(wt):
                     ok = self._load_tile(t, ft, ty, tx, pin=True)
                     assert ok, "pool too small for pinned fallback tiles"
-        self._refresh_table()
+                    self.pinned_slots.add(self.slot_of[(t, ft, ty, tx)])
+
+        # static fallback entries: (mip delta << 24) | pinned slot
+        self.fallback_entry = np.zeros(self.table_size, np.int32)
+        for (t, m), (ht, wt) in self.grid.items():
+            tb = int(self.tile_base[t, m])
+            ft = int(self.first_tiled[t])
+            fht, fwt = self.grid[(t, ft)]
+            pin_grid = np.asarray(
+                [[self.slot_of[(t, ft, fy, fx)] for fx in range(fwt)]
+                 for fy in range(fht)], np.int32)
+            d = ft - m
+            ty, tx = np.divmod(np.arange(ht * wt, dtype=np.int32), wt)
+            fy = np.minimum(ty >> d, fht - 1)
+            fx = np.minimum(tx >> d, fwt - 1)
+            self.fallback_entry[tb:tb + ht * wt] = (
+                (d << 24) | pin_grid[fy, fx])
         self.pool = jnp.asarray(pool)
         self._flush_uploads()
 
     # -- tile helpers -----------------------------------------------------
-    def _tile_rows(self, t, m, ty, tx) -> np.ndarray:
-        """(TILE_ROWS, 16) u32 for one tile, padded at mip edges."""
+    def _tile_rows(self, t, m, ty, tx, blocking=True):
+        """(TILE_ROWS, 16) u32 for one tile, padded at mip edges; with
+        an async source and blocking=False, may return None (read
+        scheduled off-thread; the tile uploads on a later update)."""
+        if self.source is not None:
+            if blocking:
+                return self.source.get_tile_blocking(t, m, ty, tx)
+            return self.source.try_get_tile(t, m, ty, tx)
         w = int(self.full.desc_width[t, m])
         h = int(self.full.desc_height[t, m])
         src = int(self.full.desc_offset[t, m])
@@ -296,89 +344,70 @@ class TileStreamingManager:
         out[:hh, :ww] = block
         return out.reshape(TILE_ROWS, -1)
 
-    def _load_tile(self, t, m, ty, tx, pin=False) -> bool:
+    def _tid_of(self, t, m, ty, tx) -> int:
+        wt = self.grid[(t, m)][1]
+        return int(self.tile_base[t, m]) + ty * wt + tx
+
+    def _load_tile(self, t, m, ty, tx, pin=False, blocking=True) -> bool:
+        import heapq
         key = (t, m, ty, tx)
         if key in self.slot_of:
             self.last_seen[key] = (np.inf if pin else self.update_index)
             return True
         if not self.free:
             return False
-        slot = self.free.pop()
+        rows = self._tile_rows(t, m, ty, tx, blocking=blocking)
+        if rows is None:
+            return False          # async read in flight; retry later
+        slot = heapq.heappop(self.free)
         self.slot_of[key] = slot
         self.tile_of_slot[slot] = key
         self.last_seen[key] = np.inf if pin else self.update_index
-        self._pending.append((slot, self._tile_rows(t, m, ty, tx)))
+        self.table_slot[self._tid_of(t, m, ty, tx)] = slot
+        self._pending.append((slot, rows))
         self.stats['tile_loads'] += 1
         self.stats['resident_tiles'] += 1
         return True
 
     def _evict_tile(self, key):
+        import heapq
         slot = self.slot_of.pop(key, None)
         if slot is None:
             return
         del self.tile_of_slot[slot]
         self.last_seen.pop(key, None)
-        self.free.append(slot)
-        self.free.sort(reverse=True)
+        heapq.heappush(self.free, slot)
+        self.table_slot[self._tid_of(*key)] = -1
         self.stats['tile_evictions'] += 1
         self.stats['resident_tiles'] -= 1
-
-    def _refresh_table(self):
-        """Rebuild the packed (delta << 24 | slot) device table."""
-        for t in range(self.n_tex):
-            ft = int(self.first_tiled[t])
-            for m in range(int(self.n_mips[t])):
-                tb = int(self.tile_base[t, m])
-                if tb < 0:
-                    continue
-                ht, wt = self.grid[(t, m)]
-                for ty in range(ht):
-                    for tx in range(wt):
-                        key = (t, m, ty, tx)
-                        if key in self.slot_of:
-                            ent = self.slot_of[key]
-                        else:
-                            # fallback: co-located tile of the pinned
-                            # coarsest tiled mip
-                            d = ft - m
-                            fy = min(ty >> d, self.grid[(t, ft)][0] - 1)
-                            fx = min(tx >> d, self.grid[(t, ft)][1] - 1)
-                            ent = ((d << 24)
-                                   | self.slot_of[(t, ft, fy, fx)])
-                        self.table[tb + ty * wt + tx] = ent
 
     def _flush_uploads(self):
         """Apply pending tile writes in ONE donated device scatter."""
         if not self._pending:
             return
-        import jax
         import jax.numpy as jnp
+        # pad to a power-of-two bucket (repeat the last write — scatter
+        # is idempotent) so the scatter jit compiles once per bucket,
+        # not once per distinct pending count
+        n = len(self._pending)
+        bucket = 1 << (n - 1).bit_length()
+        self._pending += [self._pending[-1]] * (bucket - n)
         slots = np.asarray([s for s, _ in self._pending], np.int32)
         rows = np.stack([r for _, r in self._pending])
-
-        @jax.jit
-        def apply(pool, slots, rows):
-            n_t, rw = rows.shape[1], rows.shape[2]
-            idx = (slots[:, None] * TILE_ROWS
-                   + jnp.arange(n_t, dtype=jnp.int32)[None, :]).reshape(-1)
-            return pool.at[idx].set(rows.reshape(-1, rw))
-
-        self.pool = apply(self.pool, jnp.asarray(slots),
-                          jnp.asarray(rows))
+        self.pool = _apply_tile_scatter(self.pool, jnp.asarray(slots),
+                                        jnp.asarray(rows))
         self._pending = []
 
     def _tile_key_of_id(self, tid: int):
-        """Inverse of the device tile id -> (t, m, ty, tx)."""
-        for t in range(self.n_tex):
-            for m in range(int(self.n_mips[t])):
-                tb = int(self.tile_base[t, m])
-                if tb < 0:
-                    continue
-                ht, wt = self.grid[(t, m)]
-                if tb <= tid < tb + ht * wt:
-                    local = tid - tb
-                    return t, m, local // wt, local % wt
-        return None
+        """Inverse of the device tile id -> (t, m, ty, tx).  O(1) via the
+        static tid_key table (the round-2 linear grid scan was quadratic
+        pain at Bistro-scale tile counts)."""
+        if not (0 <= tid < self.table_size):
+            return None
+        t, m, ty, tx = (int(x) for x in self.tid_key[tid])
+        if self.tile_base[t, m] < 0:
+            return None
+        return t, m, ty, tx
 
     def update(self, tile_feedback: np.ndarray):
         """One streaming step from the device per-tile feedback
@@ -402,7 +431,7 @@ class TileStreamingManager:
             else:
                 # sampled through a fallback: load the tile itself first
                 if loads < self.tiles_per_frame and self._load_tile(
-                        t, m, ty, tx):
+                        t, m, ty, tx, blocking=False):
                     loads += 1
                     continue
             # refinement: feedback wants a finer mip -> load children
@@ -415,7 +444,8 @@ class TileStreamingManager:
                             if loads >= self.tiles_per_frame:
                                 break
                             if (t, m - 1, cy, cx) not in self.slot_of:
-                                if self._load_tile(t, m - 1, cy, cx):
+                                if self._load_tile(t, m - 1, cy, cx,
+                                                   blocking=False):
                                     loads += 1
 
         # eviction with hysteresis
@@ -427,24 +457,31 @@ class TileStreamingManager:
 
         # defrag: budgeted moves of high slots into low free slots —
         # compacts the pool like the reference's 16-moves/frame heap
-        # defrag (TextureFeedbackManager.cpp:351-356)
+        # defrag (TextureFeedbackManager.cpp:351-356).  Pinned fallback
+        # tiles never move (keeps fallback_entry static).
+        import heapq
         moves = 0
-        while moves < self.defrag_per_frame and self.free:
-            low = min(self.free)
-            hi_used = max(self.tile_of_slot) if self.tile_of_slot else -1
+        hi_candidates = sorted(
+            (s for s in self.tile_of_slot if s not in self.pinned_slots),
+            reverse=True)
+        for hi_used in hi_candidates:
+            if moves >= self.defrag_per_frame or not self.free:
+                break
+            low = self.free[0]                 # heap min
             if hi_used <= low:
                 break
+            heapq.heappop(self.free)
             key = self.tile_of_slot.pop(hi_used)
-            self.free.remove(low)
-            self.free.append(hi_used)
-            self.free.sort(reverse=True)
+            heapq.heappush(self.free, hi_used)
             self.slot_of[key] = low
             self.tile_of_slot[low] = key
+            self.table_slot[self._tid_of(*key)] = low
             self._pending.append((low, self._tile_rows(*key)))
             self.stats['defrag_moves'] += 1
             moves += 1
 
-        self._refresh_table()
+        self.table = np.where(self.table_slot >= 0, self.table_slot,
+                              self.fallback_entry).astype(np.int32)
         self._flush_uploads()
         return dict(
             tex_texels=self.pool,
@@ -472,3 +509,158 @@ class TileStreamingManager:
                                    self.full.desc_width[ti, r],
                                    self.full.desc_height[ti, r], -1)
         return desc.reshape(t * MAX_MIPS, 4)
+
+
+def _make_tile_scatter():
+    import functools
+    import jax
+    import jax.numpy as jnp
+
+    # donate the pool: the scatter updates it in place instead of
+    # copying the whole (possibly GB-scale) tile pool every flush;
+    # module-level so the jit cache persists across flushes
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def apply(pool, slots, rows):
+        n_t, rw = rows.shape[1], rows.shape[2]
+        idx = (slots[:, None] * TILE_ROWS
+               + jnp.arange(n_t, dtype=jnp.int32)[None, :]).reshape(-1)
+        return pool.at[idx].set(rows.reshape(-1, rw))
+    return apply
+
+
+class _LazyScatter:
+    _fn = None
+
+    def __call__(self, *args):
+        if _LazyScatter._fn is None:
+            _LazyScatter._fn = _make_tile_scatter()
+        return _LazyScatter._fn(*args)
+
+
+_apply_tile_scatter = _LazyScatter()
+
+
+# ---------------------------------------------------------------------------
+# Async disk-backed tile source (TextureFeedbackManager.cpp:319-331 parity:
+# the reference reads DDS mip data on demand with Taskflow silent_async;
+# here a tiled texel bank file + thread pool, so tile bytes live on DISK,
+# not in a fully-resident host atlas)
+# ---------------------------------------------------------------------------
+
+class TexelTileBank:
+    """Flat bank file of PRE-TILED texel data: each tiled (tex, mip) is
+    stored as consecutive 64x64-tile blocks (one contiguous read per
+    tile); static (small) mips are stored raw.  Written once at scene
+    build; read on demand."""
+
+    MAGIC = 0x54424E4B    # 'TBNK'
+
+    @staticmethod
+    def write(atlas, path: str):
+        """Serialize a host TextureAtlas into a tile bank."""
+        import struct
+        n = atlas.desc_offset.shape[0]
+        row_w = atlas.texels.shape[1]
+        index = {}          # (t, m) -> (file_off, kind) kind: 0 raw 1 tiled
+        with open(path, "wb") as f:
+            f.write(struct.pack("<IIII", TexelTileBank.MAGIC, 1, n, row_w))
+            # index written at the end; reserve cursor bookkeeping here
+            blobs = []
+            cursor = 0
+            for t in range(n):
+                for m in range(int(atlas.num_mips[t])):
+                    w = int(atlas.desc_width[t, m])
+                    h = int(atlas.desc_height[t, m])
+                    src = int(atlas.desc_offset[t, m])
+                    mip = atlas.texels[src:src + w * h].reshape(h, w, -1)
+                    if max(w, h) <= TILE:
+                        blob = np.ascontiguousarray(mip, np.uint32)
+                        index[(t, m)] = (cursor, 0, h, w)
+                    else:
+                        ht, wt = -(-h // TILE), -(-w // TILE)
+                        tiles = np.zeros((ht * wt, TILE, TILE, row_w),
+                                         np.uint32)
+                        for ty in range(ht):
+                            for tx in range(wt):
+                                hh = min(TILE, h - ty * TILE)
+                                ww = min(TILE, w - tx * TILE)
+                                tiles[ty * wt + tx, :hh, :ww] = mip[
+                                    ty * TILE:ty * TILE + hh,
+                                    tx * TILE:tx * TILE + ww]
+                        blob = tiles
+                        index[(t, m)] = (cursor, 1, ht, wt)
+                    blobs.append(blob)
+                    cursor += blob.nbytes
+            data_start = f.tell()
+            for b in blobs:
+                f.write(b.tobytes())
+            import json
+            meta = json.dumps({f"{t},{m}": v
+                               for (t, m), v in index.items()}).encode()
+            f.write(meta)
+            f.write(struct.pack("<QQ", data_start, len(meta)))
+        return path
+
+    def __init__(self, path: str, workers: int = 4):
+        import json
+        import struct
+        from concurrent.futures import ThreadPoolExecutor
+        self.path = path
+        with open(path, "rb") as f:
+            magic, _, self.n_tex, self.row_w = struct.unpack(
+                "<IIII", f.read(16))
+            assert magic == TexelTileBank.MAGIC, "not a tile bank"
+            f.seek(-16, 2)
+            data_start, meta_len = struct.unpack("<QQ", f.read(16))
+            f.seek(-16 - meta_len, 2)
+            raw = json.loads(f.read(meta_len))
+        self.data_start = data_start
+        self.index = {tuple(int(x) for x in k.split(',')): tuple(v)
+                      for k, v in raw.items()}
+        self._pool = ThreadPoolExecutor(max_workers=workers)
+        self._futures = {}
+        self.stats = dict(async_reads=0, bytes_read=0)
+
+    def _read_tile_blocking(self, t, m, ty, tx) -> np.ndarray:
+        off, kind, a, b = self.index[(t, m)]
+        tile_bytes = TILE * TILE * self.row_w * 4
+        with open(self.path, "rb") as f:
+            if kind == 1:
+                wt = b
+                f.seek(self.data_start + off
+                       + (ty * wt + tx) * tile_bytes)
+                buf = f.read(tile_bytes)
+                self.stats['bytes_read'] += len(buf)
+                return np.frombuffer(buf, np.uint32).reshape(
+                    TILE_ROWS, self.row_w).copy()
+            # raw small mip: whole thing
+            h, w = a, b
+            f.seek(self.data_start + off)
+            buf = f.read(h * w * self.row_w * 4)
+            self.stats['bytes_read'] += len(buf)
+            return np.frombuffer(buf, np.uint32).reshape(h * w,
+                                                         self.row_w).copy()
+
+    def read_mip(self, t, m) -> np.ndarray:
+        """Blocking read of a full (small/static) mip -> (h*w, row_w)."""
+        return self._read_tile_blocking(t, m, 0, 0)
+
+    def try_get_tile(self, t, m, ty, tx):
+        """Non-blocking: returns the tile rows if the async read is done,
+        else schedules it (once) and returns None — the reference's
+        silent_async ReadDDSMipData semantics."""
+        key = (t, m, ty, tx)
+        fut = self._futures.get(key)
+        if fut is None:
+            self.stats['async_reads'] += 1
+            self._futures[key] = self._pool.submit(
+                self._read_tile_blocking, t, m, ty, tx)
+            return None
+        if not fut.done():
+            return None
+        data = fut.result()
+        del self._futures[key]
+        return data
+
+    def get_tile_blocking(self, t, m, ty, tx):
+        return self._read_tile_blocking(t, m, ty, tx)

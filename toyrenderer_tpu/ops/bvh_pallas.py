@@ -277,10 +277,15 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
                     ext = jnp.minimum(jnp.minimum(xx_, xy_),
                                       jnp.minimum(xz_, t_hi))
                     maybe = (~coherent) | (ent <= ext)
-                    want = jax.lax.cond(maybe, vec_test, lambda: False)
+                    # yield i32, not i1: Mosaic rejects scalar-bool
+                    # scf.if results
+                    want = jax.lax.cond(
+                        maybe,
+                        lambda: vec_test().astype(jnp.int32),
+                        lambda: jnp.int32(0))
                 else:
-                    want = vec_test()
-                want_bits = want_bits | (want.astype(jnp.int32) << k)
+                    want = vec_test().astype(jnp.int32)
+                want_bits = want_bits | (want << k)
             # pass 2 (scalar): push far-to-near by the packet's dominant
             # octant (morton child order makes k ^ flip front-to-back),
             # so the nearest child pops first

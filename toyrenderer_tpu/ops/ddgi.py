@@ -136,7 +136,7 @@ def _oct_texel_dirs(res: int):
 
 def trace_probes(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
                  sun_dir_to_light, sun_color, sun_intensity, frame_index,
-                 sky_fn, max_steps: int = 64):
+                 sky_fn, max_steps: int = 64, sun_vis_fn=None):
     """Trace rays_per_probe rays per probe; returns (radiance (P,R,3),
     distance (P,R), dirs (R,3) for this frame).
 
@@ -173,13 +173,21 @@ def trace_probes(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
                     -n_w, n_w)
     hit_pos = origins + d_all * t[:, None]
 
-    # direct sun with a shadow ray from the hit point
-    sh = traverse_auto(bvh, hit_pos + n_w * 1e-2,
-                       jnp.broadcast_to(sun_dir_to_light, hit_pos.shape),
-                       t_max=1e4, max_steps=max_steps, any_hit=True)
+    # direct sun visibility at the hit point: sun shadow MAP tap when
+    # the frame has one (one gather instead of a second traversal —
+    # probe-hit origins are scattered, so those any-hit packets were the
+    # divergent half of the probe cost), else a shadow ray
+    if sun_vis_fn is not None:
+        sun_vis = sun_vis_fn(hit_pos + n_w * 1e-2)
+    else:
+        sh = traverse_auto(
+            bvh, hit_pos + n_w * 1e-2,
+            jnp.broadcast_to(sun_dir_to_light, hit_pos.shape),
+            t_max=1e4, max_steps=max_steps, any_hit=True)
+        sun_vis = 1.0 - sh['hit'].astype(jnp.float32)
     ndotl = jnp.maximum(jnp.sum(n_w * sun_dir_to_light, -1), 0.0)
-    direct = (albedo / jnp.pi) * (ndotl * (1.0 - sh['hit'].astype(
-        jnp.float32)))[:, None] * (sun_color * sun_intensity)
+    direct = (albedo / jnp.pi) * (ndotl * sun_vis)[:, None] * (
+        sun_color * sun_intensity)
 
     # recursive bounce: previous-frame irradiance at the hit point
     bounce = sample_irradiance(
@@ -377,7 +385,7 @@ def trace_probe_block(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
                       sun_dir_to_light, sun_color, sun_intensity,
                       frame_index, sky_fn, num_phases: int,
                       max_steps: int = 64, probe_offset=None,
-                      probe_state=None):
+                      probe_state=None, sun_vis_fn=None):
     """Trace ONE contiguous block of probes (frame_index % num_phases).
 
     Budgeted probe updates (the reference classifies/budgets probe work
@@ -433,13 +441,18 @@ def trace_probe_block(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
     backface = hit & (jnp.sum(n_raw * d_all, -1) > 0.0)
     n_w = jnp.where(backface[:, None], -n_raw, n_raw)
     hit_pos = origins + d_all * t[:, None]
-    sh = traverse_auto(bvh, hit_pos + n_w * 1e-2,
-                       jnp.broadcast_to(sun_dir_to_light, hit_pos.shape),
-                       t_max=1e4, max_steps=max_steps, any_hit=True,
-                       live=live * hit.astype(jnp.float32))
+    if sun_vis_fn is not None:
+        sun_vis = sun_vis_fn(hit_pos + n_w * 1e-2)
+    else:
+        sh = traverse_auto(bvh, hit_pos + n_w * 1e-2,
+                           jnp.broadcast_to(sun_dir_to_light,
+                                            hit_pos.shape),
+                           t_max=1e4, max_steps=max_steps, any_hit=True,
+                           live=live * hit.astype(jnp.float32))
+        sun_vis = 1.0 - sh['hit'].astype(jnp.float32)
     ndotl = jnp.maximum(jnp.sum(n_w * sun_dir_to_light, -1), 0.0)
-    direct = (albedo / jnp.pi) * (ndotl * (1.0 - sh['hit'].astype(
-        jnp.float32)))[:, None] * (sun_color * sun_intensity)
+    direct = (albedo / jnp.pi) * (ndotl * sun_vis)[:, None] * (
+        sun_color * sun_intensity)
     bounce = sample_irradiance(
         volume, prev_irradiance, hit_pos, n_w) * albedo / jnp.pi
     radiance = jnp.where(hit[:, None], direct + emissive + bounce,

@@ -104,6 +104,38 @@ def quad_expand_map(depth):
     return jnp.stack([depth, xp, yp, xyp], -1).reshape(-1, 4)
 
 
+def sample_shadow_map_points(map_quads, resolution: int, sun_view_proj,
+                             points, bias: float = 3e-3):
+    """Sun visibility for arbitrary world points (N, 3) -> (N,) in [0,1].
+
+    One bilinear 4-texel depth-compare tap per point (no jitter — used
+    for DDGI probe-hit direct lighting, replacing the second any-hit
+    traversal per probe ray; giprobetrace.hlsl computes this visibility
+    with an RT ray, this framework's default sun technique is the map).
+    Points outside the map count as lit.
+    """
+    ph = jnp.concatenate([points, jnp.ones_like(points[..., :1])], -1)
+    clip = ph @ sun_view_proj.T
+    u = clip[..., 0] * 0.5 + 0.5
+    v = 0.5 - clip[..., 1] * 0.5
+    z = clip[..., 2]
+    s = jnp.float32(resolution)
+    x = u * s - 0.5
+    y = v * s - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    xi = jnp.clip(x0, 0, resolution - 1).astype(jnp.int32)
+    yi = jnp.clip(y0, 0, resolution - 1).astype(jnp.int32)
+    quad = map_quads[yi * resolution + xi]             # (N, 4)
+    lit4 = (quad <= (z + bias)[..., None]).astype(jnp.float32)
+    lit = ((lit4[..., 0] * (1 - fx) + lit4[..., 1] * fx) * (1 - fy)
+           + (lit4[..., 2] * (1 - fx) + lit4[..., 3] * fx) * fy)
+    inside = ((u >= 0) & (u <= 1) & (v >= 0) & (v <= 1))
+    return jnp.where(inside, lit, 1.0)
+
+
 def sample_shadow_map(map_quads, resolution: int, sun_view_proj,
                       world_pos, normal, sun_dir_to_light, hit_mask,
                       frame_index, bias: float = 2e-3,

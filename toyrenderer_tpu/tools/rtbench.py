@@ -74,6 +74,7 @@ def main(argv=None):
     p.add_argument("--packet", type=int, default=0,
                    help="override rays/packet (0 = kernel default)")
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--noprefilter", action="store_true")
     args = p.parse_args(argv)
 
     import jax
@@ -87,21 +88,26 @@ def main(argv=None):
     from toyrenderer_tpu.ops.bvh_pallas import traverse_pallas, fits_vmem
     from toyrenderer_tpu.ops.geometry import static_meshlet_pairs
 
+    print("[stage] scene build...", flush=True)
     scene_host = make_stress_scene(n_objects=args.objects, sphere_res=24,
                                    textured=False)
     scene = scene_host.to_device()
     pi, pm = static_meshlet_pairs(scene_host)
+    print("[stage] rt_static...", flush=True)
     rts = bvh_mod.build_rt_static(scene_host, pi, pm)
+    print("[stage] refit compile...", flush=True)
 
+    # rts must be an ARGUMENT: closure-captured device constants of this
+    # size make the XLA compile pathological (measured: >30 min vs 8 s)
     @jax.jit
-    def refit(scene):
+    def refit(rts, scene):
         world = G.node_world_matrices(
             scene, scene.node_translation, scene.node_rotation,
             scene.node_scale)
         iw, _ = G.instance_transforms(scene, world)
         return bvh_mod.refit_bvh(rts, iw)
 
-    bvh = refit(scene)
+    bvh = refit(rts, scene)
     jax.block_until_ready(bvh.child_boxes)
     print(f"[scene] {int(np.sum(rts.payload >= 0))} tris, "
           f"levels={bvh.num_levels}, "
@@ -112,7 +118,7 @@ def main(argv=None):
     sun = np.asarray(scene_host.sun_direction)
     (sh_o, sh_d), (pr_o, pr_d) = ray_sets(args.rays, np.asarray(lo),
                                           np.asarray(hi), sun)
-    kw = {}
+    kw = {'prefilter': not args.noprefilter}
     if args.packet:
         kw['packet'] = args.packet
 
