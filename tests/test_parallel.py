@@ -152,3 +152,52 @@ def test_sp_frame_renderer_matches_single():
     close = np.abs(img8 - img1) <= 2
     assert close.mean() > 0.995, close.mean()
     assert np.abs(img8 - img1).mean() < 0.1
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_rt_gi_frame_matches_single():
+    """A TRACED frame (rt shadows + DDGI) with ray packets sharded over
+    sp=8 must match the single-device render bitwise: ray traversal has
+    no cross-ray math, so shard_map over the ray stream is exact."""
+    from jax.sharding import Mesh
+    from toyrenderer_tpu.scene import load_scene
+    from toyrenderer_tpu.engine import RenderSettings, init_carry, View
+    from toyrenderer_tpu.engine.frame import (
+        make_render_fn, default_frame_inputs)
+    from toyrenderer_tpu.ops.geometry import static_meshlet_pairs
+    from toyrenderer_tpu.ops.ddgi import volume_from_aabb
+    from toyrenderer_tpu.parallel import (
+        make_sp_frame_renderer, replicate_scene)
+
+    s = load_scene("resources/cornell.gltf", use_cache=False)
+    scene = s.to_device()
+    pi, pm = static_meshlet_pairs(s)
+    pi, pm = jnp.asarray(pi), jnp.asarray(pm)
+    vol = volume_from_aabb(s.world_aabb[0], s.world_aabb[1],
+                           max_probes_axis=4, rays_per_probe=32)
+    settings = RenderSettings(width=128, height=128, manual_exposure=0.02,
+                              enable_shadows=True, shadow_technique='rt',
+                              enable_gi=True, gi_max_steps=64,
+                              shadow_max_steps=64,
+                              gi_sun_technique='rt',
+                              max_tris_per_tile=64, max_big_tris=32,
+                              raster_chunk=16, tile_batch=4)
+    v = View.from_scene(s, 128, 128)
+    v.enable_jitter = False
+    fi = default_frame_inputs(s, v.matrices())
+
+    mesh8 = Mesh(np.asarray(jax.devices()[:8]), ("sp",))
+    img8, carry8, _ = make_sp_frame_renderer(
+        mesh8, settings, ddgi_volume=vol)(
+        replicate_scene(scene, mesh8), pi, pm, fi,
+        init_carry(scene, settings, vol))
+    img1, carry1, _ = make_render_fn(settings, vol, donate_carry=False)(
+        scene, pi, pm, fi, init_carry(scene, settings, vol))
+    img8 = np.asarray(img8).astype(int)
+    img1 = np.asarray(img1).astype(int)
+    close = np.abs(img8 - img1) <= 2
+    assert close.mean() > 0.995, close.mean()
+    # probe state agrees too (the DDGI trace itself was sharded)
+    i8 = np.asarray(carry8['ddgi_irradiance'])
+    i1 = np.asarray(carry1['ddgi_irradiance'])
+    np.testing.assert_allclose(i8, i1, rtol=1e-4, atol=1e-5)

@@ -423,7 +423,7 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
             raw = shadows_mod.trace_shadow_mask(
                 bvh, wp, m_gb['normal'], depth > 0.0,
                 -frame_inputs['sun_direction'], carry['frame_index'],
-                max_steps=settings.shadow_max_steps)
+                max_steps=settings.shadow_max_steps, sp_mesh=sp_mesh)
         shadow_mask, shadow_hist = denoise_mod.denoise_shadow(
             raw, gb['motion'], carry['shadow_history'],
             carry['shadow_valid'], depth, carry['prev_depth'])
@@ -450,7 +450,8 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
             sky_fn, settings.gi_update_phases,
             max_steps=settings.gi_max_steps,
             probe_offset=carry['ddgi_offset'],
-            probe_state=carry['ddgi_state'], sun_vis_fn=sun_vis_fn)
+            probe_state=carry['ddgi_state'], sun_vis_fn=sun_vis_fn,
+            sp_mesh=sp_mesh)
         gi_carry = ddgi_mod.update_probe_block(
             ddgi_volume, carry, radiance, ray_dist, ray_dirs, blk,
             first_frame=(carry['frame_index']

@@ -64,11 +64,22 @@ def fits_vmem(bvh: Bvh, budget_bytes: int = 10 * 2**20) -> bool:
 
 def traverse_auto(bvh: Bvh, origins, directions, t_max,
                   any_hit: bool = False, max_steps: int = 128,
-                  live=None, interpret: bool = False):
+                  live=None, interpret: bool = False, sp_mesh=None):
     """Dispatch: packet kernel on TPU when the tree fits VMEM, else the
     XLA lockstep traversal (also the CPU/test path).  Same contract as
-    bvh.traverse; `live` optionally masks rays off (they report miss)."""
+    bvh.traverse; `live` optionally masks rays off (they report miss).
+
+    sp_mesh=(Mesh, axis): rays are embarrassingly parallel — shard the
+    packet stream over the mesh axis with a REPLICATED tree (the
+    multi-chip RT path; the reference is single-GPU so this is new
+    TPU-native capability).
+    """
     import jax
+    if sp_mesh is not None and sp_mesh[0].shape[sp_mesh[1]] > 1:
+        return _traverse_sharded(bvh, origins, directions, t_max,
+                                 any_hit=any_hit, max_steps=max_steps,
+                                 live=live, interpret=interpret,
+                                 sp_mesh=sp_mesh)
     from toyrenderer_tpu.ops.bvh import traverse as traverse_xla
     on_tpu = jax.default_backend() in ('tpu', 'axon')
     if fits_vmem(bvh) and (on_tpu or interpret):
@@ -81,6 +92,43 @@ def traverse_auto(bvh: Bvh, origins, directions, t_max,
                                            (origins.shape[0],)), 0.0)
     return traverse_xla(bvh, origins, directions, t_max,
                         max_steps=max_steps, any_hit=any_hit)
+
+
+def _traverse_sharded(bvh: Bvh, origins, directions, t_max,
+                      any_hit: bool, max_steps: int, live, interpret,
+                      sp_mesh):
+    """shard_map over ray blocks: each device traverses its slice of the
+    ray stream against the replicated BVH; results concatenate back.
+    Bitwise-identical to the single-device path (no cross-ray math)."""
+    import jax
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh, axis = sp_mesh
+    nsp = mesh.shape[axis]
+    n = origins.shape[0]
+    n_pad = -(-n // nsp) * nsp
+
+    def pad(x):
+        return jnp.pad(x, [(0, n_pad - n)] + [(0, 0)] * (x.ndim - 1))
+
+    origins_p = pad(origins)
+    dirs_p = pad(directions)
+    t_max_p = pad(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)))
+    live_p = pad(jnp.ones((n,), jnp.float32) if live is None
+                 else jnp.asarray(live, jnp.float32))
+
+    def local(bvh, o, d, tm, lv):
+        return traverse_auto(bvh, o, d, tm, any_hit=any_hit,
+                             max_steps=max_steps, live=lv,
+                             interpret=interpret)
+
+    res = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis), check_rep=False)(
+        bvh, origins_p, dirs_p, t_max_p, live_p)
+    return {k: v[:n] for k, v in res.items()}
 
 
 def _bcast(row, j):

@@ -136,7 +136,8 @@ def _oct_texel_dirs(res: int):
 
 def trace_probes(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
                  sun_dir_to_light, sun_color, sun_intensity, frame_index,
-                 sky_fn, max_steps: int = 64, sun_vis_fn=None):
+                 sky_fn, max_steps: int = 64, sun_vis_fn=None,
+                 sp_mesh=None):
     """Trace rays_per_probe rays per probe; returns (radiance (P,R,3),
     distance (P,R), dirs (R,3) for this frame).
 
@@ -159,7 +160,7 @@ def trace_probes(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
 
     from toyrenderer_tpu.ops.bvh_pallas import traverse_auto
     res = traverse_auto(bvh, origins, d_all, t_max=1e4,
-                        max_steps=max_steps)
+                        max_steps=max_steps, sp_mesh=sp_mesh)
     hit = res['hit']
     tri = jnp.maximum(res['tri'], 0)
     t = res['t']
@@ -183,7 +184,8 @@ def trace_probes(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
         sh = traverse_auto(
             bvh, hit_pos + n_w * 1e-2,
             jnp.broadcast_to(sun_dir_to_light, hit_pos.shape),
-            t_max=1e4, max_steps=max_steps, any_hit=True)
+            t_max=1e4, max_steps=max_steps, any_hit=True,
+            sp_mesh=sp_mesh)
         sun_vis = 1.0 - sh['hit'].astype(jnp.float32)
     ndotl = jnp.maximum(jnp.sum(n_w * sun_dir_to_light, -1), 0.0)
     direct = (albedo / jnp.pi) * (ndotl * sun_vis)[:, None] * (
@@ -385,7 +387,8 @@ def trace_probe_block(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
                       sun_dir_to_light, sun_color, sun_intensity,
                       frame_index, sky_fn, num_phases: int,
                       max_steps: int = 64, probe_offset=None,
-                      probe_state=None, sun_vis_fn=None):
+                      probe_state=None, sun_vis_fn=None,
+                      sp_mesh=None):
     """Trace ONE contiguous block of probes (frame_index % num_phases).
 
     Budgeted probe updates (the reference classifies/budgets probe work
@@ -430,7 +433,7 @@ def trace_probe_block(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
 
     from toyrenderer_tpu.ops.bvh_pallas import traverse_auto
     res = traverse_auto(bvh, origins, d_all, t_max=1e4,
-                        max_steps=max_steps, live=live)
+                        max_steps=max_steps, live=live, sp_mesh=sp_mesh)
     hit = res['hit']
     tri = jnp.maximum(res['tri'], 0)
     t = res['t']
@@ -448,7 +451,8 @@ def trace_probe_block(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
                            jnp.broadcast_to(sun_dir_to_light,
                                             hit_pos.shape),
                            t_max=1e4, max_steps=max_steps, any_hit=True,
-                           live=live * hit.astype(jnp.float32))
+                           live=live * hit.astype(jnp.float32),
+                           sp_mesh=sp_mesh)
         sun_vis = 1.0 - sh['hit'].astype(jnp.float32)
     ndotl = jnp.maximum(jnp.sum(n_w * sun_dir_to_light, -1), 0.0)
     direct = (albedo / jnp.pi) * (ndotl * sun_vis)[:, None] * (

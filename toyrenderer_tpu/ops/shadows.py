@@ -60,7 +60,7 @@ def cone_sample(direction, r1, r2, half_angle: float):
 def trace_shadow_mask(bvh, world_pos, normal, hit_mask, sun_dir_to_light,
                       frame_index, half_angle: float = SUN_ANGULAR_RADIUS,
                       normal_bias: float = 2e-2, t_max: float = 1e4,
-                      max_steps: int = 96):
+                      max_steps: int = 96, sp_mesh=None):
     """1 spp cone-sampled sun visibility per pixel.
 
     Args:
@@ -94,7 +94,8 @@ def trace_shadow_mask(bvh, world_pos, normal, hit_mask, sun_dir_to_light,
 
     from toyrenderer_tpu.ops.bvh_pallas import traverse_auto
     res = traverse_auto(bvh, to_blocks(origins), to_blocks(dirs),
-                        t_max=t_max, max_steps=max_steps, any_hit=True)
+                        t_max=t_max, max_steps=max_steps, any_hit=True,
+                        sp_mesh=sp_mesh)
     lit = 1.0 - from_blocks(res['hit'].astype(jnp.float32))
     # facing away from the sun is its own shadow; sky stays lit
     ndotl = jnp.sum(normal * sun_dir_to_light, -1)

@@ -54,15 +54,15 @@ def make_sp_frame_renderer(mesh: Mesh, settings, ddgi_volume=None,
 
     shard_config(settings.raster_config(), mesh.shape[axis])  # validate
 
-    replicated = NamedSharding(mesh, P())
-
-    def step(scene, pair_inst, pair_meshlet, fi, carry):
+    def step(scene, pair_inst, pair_meshlet, fi, carry, rt_static=None):
         img, new_carry, aux = render_frame(
             scene, pair_inst, pair_meshlet, fi, carry,
             settings=settings, ddgi_volume=ddgi_volume,
-            sp_mesh=(mesh, axis))
+            sp_mesh=(mesh, axis), rt_static=rt_static)
         img = jax.lax.with_sharding_constraint(
             img, NamedSharding(mesh, P(axis, None, None)))
         return img, new_carry, aux
 
-    return jax.jit(step, in_shardings=(replicated,) * 5)
+    # inputs are replicated by the callers (replicate_scene / device_put);
+    # rt_static rides as an optional replicated pytree argument
+    return jax.jit(step)
