@@ -49,6 +49,7 @@ _PAGE = """<!doctype html>
 <div id=hud><h1>toyrenderer_tpu</h1>
  <table id=stats></table>
  <div id=toggles></div>
+ <div id=props></div>
  <div id=help>WASD move &middot; QE up/down &middot; drag or arrows look
  &middot; 0&ndash;9 debug view &middot; toggles retrace (first frame after
  a toggle recompiles)</div>
@@ -79,7 +80,8 @@ window.addEventListener('mousemove', e => {
   send({look:[(e.clientX-drag[0])*0.004, (e.clientY-drag[1])*0.004]});
   drag = [e.clientX, e.clientY];
 });
-const TOGGLES = ['shadows','ao','taa','bloom','culling','autoexposure'];
+const TOGGLES = ['shadows','ao','gi','taa','bloom','culling','autoexposure'];
+let propsInit = false;
 async function hud() {
   try {
     const s = await (await fetch('/stats.json')).json();
@@ -89,6 +91,37 @@ async function hud() {
     document.getElementById('toggles').innerHTML = TOGGLES.map(t =>
       `<button class="${s.toggles[t]?'on':''}"
         onclick='send({toggle:"${t}"})'>${t}</button>`).join('');
+    if (!propsInit) {      // property grid (Scene.cpp:528-660 parity)
+      propsInit = true;
+      const P = s.props;
+      document.getElementById('props').innerHTML = `
+       <table>
+        <tr><td class=k>sun azim</td><td><input type=range min=-3.14
+         max=3.14 step=0.02 value=${P.sun_az} id=p_sun_az></td></tr>
+        <tr><td class=k>sun elev</td><td><input type=range min=0.05
+         max=1.5 step=0.02 value=${P.sun_el} id=p_sun_el></td></tr>
+        <tr><td class=k>sun inten</td><td><input type=range min=0 max=20
+         step=0.25 value=${P.sun_intensity} id=p_sun_intensity></td></tr>
+        <tr><td class=k>exposure</td><td><input type=range min=-10 max=2
+         step=0.1 value=${Math.log2(P.exposure)} id=p_exposure></td></tr>
+        <tr><td class=k>forced lod</td><td><select id=p_forced_lod>
+         ${[-1,0,1,2,3].map(v=>`<option ${v==P.forced_lod?'selected':''}
+          value=${v}>${v<0?'auto':v}</option>`).join('')}
+        </select></td></tr>
+        <tr><td class=k>shadow tech</td><td><select id=p_shadowtech>
+         ${['map','rt'].map(v=>`<option ${v==P.shadowtech?'selected':''}
+          value=${v}>${v}</option>`).join('')}
+        </select></td></tr>
+       </table>`;
+      for (const id of ['sun_az','sun_el','sun_intensity','exposure',
+                        'forced_lod','shadowtech']) {
+        document.getElementById('p_'+id).addEventListener('change', e => {
+          let v = e.target.value;
+          if (id == 'exposure') v = Math.pow(2, +v);
+          send({set:{[id]: id=='shadowtech' ? v : +v}});
+        });
+      }
+    }
   } catch (e) {}
   setTimeout(hud, 500);
 }
@@ -102,6 +135,7 @@ class _State:
         self.jpeg = b""
         self.stats = {}
         self.toggles = {}
+        self.props = {}
         self.inputs = []          # pending input events
 
 
@@ -129,7 +163,8 @@ def _make_handler(state: _State):
             elif self.path.startswith("/stats.json"):
                 with state.lock:
                     body = json.dumps(dict(stats=state.stats,
-                                           toggles=state.toggles))
+                                           toggles=state.toggles,
+                                           props=state.props))
                 self._send(200, "application/json", body.encode())
             else:
                 self._send(200, "text/html", _PAGE.encode())
@@ -182,31 +217,92 @@ def main(argv=None):
     speed = args.speed if args.speed else max(ext * 0.25, 1e-3)
 
     view = View.from_scene(scene_host, w, h)
-    toggles = dict(shadows=False, ao=False, taa=False, bloom=False,
-                   culling=False, autoexposure=False)
+    toggles = dict(shadows=False, ao=False, gi=False, taa=False,
+                   bloom=False, culling=False, autoexposure=False)
     debug = [0]
+    # runtime-editable scene properties (the reference's imgui property
+    # grid, Scene.cpp:528-660): sun direction/intensity and exposure are
+    # DYNAMIC frame inputs (no retrace); forced LOD and the shadow
+    # technique are static settings (cached retrace)
+    sd = np.asarray(scene_host.sun_direction, dtype=float)
+    props = dict(
+        sun_az=float(np.arctan2(sd[0], sd[2])),
+        sun_el=float(np.arcsin(np.clip(-sd[1], -1, 1))),
+        sun_intensity=float(scene_host.sun_intensity),
+        exposure=float(args.exposure),
+        forced_lod=-1, shadowtech='map')
 
-    def make_settings():
+    def sun_dir():
+        ce = np.cos(props['sun_el'])
+        return np.asarray([np.sin(props['sun_az']) * ce,
+                           -np.sin(props['sun_el']),
+                           np.cos(props['sun_az']) * ce], np.float32)
+
+    def make_settings(t=None):
+        t = t if t is not None else toggles
+        vol_on = t['gi']
         return RenderSettings(
-            width=w, height=h, manual_exposure=args.exposure,
+            width=w, height=h, manual_exposure=props['exposure'],
             debug_mode=debug[0],
-            enable_shadows=toggles['shadows'],
-            enable_ao=toggles['ao'], enable_taa=toggles['taa'],
-            enable_bloom=toggles['bloom'],
-            enable_culling=toggles['culling'],
-            enable_auto_exposure=toggles['autoexposure'])
+            enable_shadows=t['shadows'],
+            shadow_technique=props['shadowtech'],
+            enable_ao=t['ao'], enable_gi=vol_on,
+            enable_taa=t['taa'],
+            enable_bloom=t['bloom'],
+            enable_culling=t['culling'],
+            enable_auto_exposure=t['autoexposure'],
+            forced_lod=props['forced_lod'])
 
     state = _State()
     state.toggles = dict(toggles)
+    state.props = dict(props)
     server = ThreadingHTTPServer(("0.0.0.0", args.port),
                                  _make_handler(state))
     threading.Thread(target=server.serve_forever, daemon=True).start()
     print(f"[shell] serving http://localhost:{args.port}/  "
           f"({w}x{h}, scene extent {ext:.1f})")
 
+    from toyrenderer_tpu.ops.ddgi import volume_from_aabb
+    ddgi_volume = volume_from_aabb(scene_host.world_aabb[0],
+                                   scene_host.world_aabb[1])
+    rt_static_box = [None]
+
+    def get_rt_static(settings):
+        if not (settings.enable_gi or (settings.enable_shadows and
+                                       settings.shadow_technique == 'rt')):
+            return None
+        if rt_static_box[0] is None:
+            from toyrenderer_tpu.ops.bvh import build_rt_static
+            rt_static_box[0] = build_rt_static(scene_host, np.asarray(pi),
+                                               np.asarray(pm))
+        return rt_static_box[0]
+
+    def vol_for(settings):
+        return ddgi_volume if settings.enable_gi else None
+
     settings = make_settings()
     carry = init_carry(scene, settings)
     render = make_render_fn(settings)
+
+    # -- background prewarm: AOT-compile the one-toggle-flip neighbours
+    # of the current settings so a HUD toggle pays only a persistent-
+    # cache deserialize (seconds) instead of a full remote compile -------
+    def prewarm():
+        view_p = View.from_scene(scene_host, w, h)
+        fi_p = default_frame_inputs(scene_host, view_p.matrices())
+        for name in list(toggles):
+            t2 = dict(toggles)
+            t2[name] = not t2[name]
+            try:
+                s2 = make_settings(t2)
+                c2 = init_carry(scene, s2, vol_for(s2))
+                fn2 = make_render_fn(s2, vol_for(s2))
+                fn2.lower(scene, pi, pm, fi_p, c2,
+                          rt_static=get_rt_static(s2)).compile()
+            except Exception as e:     # pragma: no cover - best effort
+                print(f"[prewarm] {name}: {type(e).__name__}: {e}")
+
+    threading.Thread(target=prewarm, daemon=True).start()
     ema_ms = None
     frames = 0
     last_t = time.time()
@@ -238,19 +334,46 @@ def main(argv=None):
             if 'toggle' in ev and ev['toggle'] in toggles:
                 toggles[ev['toggle']] = not toggles[ev['toggle']]
                 retrace = True
+            if 'set' in ev:
+                for k, v in ev['set'].items():
+                    if k not in props:
+                        continue
+                    props[k] = (v if isinstance(props[k], str)
+                                else float(v) if k != 'forced_lod'
+                                else int(v))
+                    if k in ('forced_lod', 'shadowtech'):
+                        retrace = True       # static settings
+                    elif k == 'exposure':
+                        carry['exposure'] = jnp.asarray(
+                            props['exposure'], jnp.float32)
         if retrace:
             settings = make_settings()
-            carry = init_carry(scene, settings)   # shapes may change
-            render = make_render_fn(settings)
+            carry = init_carry(scene, settings,
+                               vol_for(settings))  # shapes may change
+            render = make_render_fn(settings, vol_for(settings))
             with state.lock:
                 state.toggles = dict(toggles)
+                state.props = dict(props)
                 state.stats = dict(state.stats, status='compiling...')
 
         # -- render one frame --------------------------------------------
         mats = view.matrices()
         fi = default_frame_inputs(scene_host, mats)
+        # live sun properties (dynamic inputs: no retrace needed)
+        sdir = sun_dir()
+        if (abs(props['sun_az']) > 1e-6 or props['sun_el'] != 0.0):
+            from toyrenderer_tpu.ops.shadowmap import sun_ortho_matrix
+            from toyrenderer_tpu.ops.sky import hosek_sky_params
+            fi['sun_direction'] = jnp.asarray(sdir)
+            fi['sun_intensity'] = jnp.asarray(props['sun_intensity'],
+                                              jnp.float32)
+            fi['sun_view_proj'] = jnp.asarray(sun_ortho_matrix(
+                scene_host.world_aabb, sdir))
+            fi['sky_params'] = jnp.asarray(hosek_sky_params(
+                2.5, -sdir))
         t0 = time.time()
-        image, carry, aux = render(scene, pi, pm, fi, carry)
+        image, carry, aux = render(scene, pi, pm, fi, carry,
+                                   rt_static=get_rt_static(settings))
         image = np.asarray(image)                 # device sync
         ms = (time.time() - t0) * 1000.0
         view.advance(mats)
