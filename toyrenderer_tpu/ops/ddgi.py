@@ -111,6 +111,37 @@ def _fibonacci_sphere(n: int):
                      np.cos(phi)], -1).astype(np.float32)
 
 
+CONE_DIRS = 16                  # dirs per traversal cone
+CONE_BRICK = 256                # probes per traversal brick
+#   together one 4096-ray packet = 16 similar directions x 256 probes:
+#   both origin AND direction coherence for the Pallas packet kernel
+#   (direction-major packets span the whole probe grid along ONE
+#   direction and traverse a scene-wide slab; measured ~2.6x slower)
+
+
+def _cone_order(r: int) -> np.ndarray:
+    """Static permutation clustering the r fibonacci dirs into cones of
+    CONE_DIRS similar directions (octant, then polar angle)."""
+    d = _fibonacci_sphere(r)
+    oct_id = ((d[:, 0] >= 0).astype(int) * 4
+              + (d[:, 1] >= 0).astype(int) * 2 + (d[:, 2] >= 0))
+    return np.lexsort((d[:, 2], oct_id)).astype(np.int32)
+
+
+def _cone_block(x, r, pbp):
+    """Dir-major flat rays (r*pbp, ...) -> cone-blocked traversal order
+    ((cone, brick, dir-in-cone, probe-in-brick)); pure reshape/transpose."""
+    s = x.shape[1:]
+    return x.reshape(r // CONE_DIRS, CONE_DIRS, pbp // CONE_BRICK,
+                     CONE_BRICK, *s).swapaxes(1, 2).reshape(-1, *s)
+
+
+def _cone_unblock(x, r, pbp):
+    s = x.shape[1:]
+    return x.reshape(r // CONE_DIRS, pbp // CONE_BRICK, CONE_DIRS,
+                     CONE_BRICK, *s).swapaxes(1, 2).reshape(-1, *s)
+
+
 def _frame_rotation(frame_index):
     """Per-frame random rotation matrix (golden-angle axis spin)."""
     f = frame_index.astype(jnp.float32)
@@ -409,7 +440,14 @@ def trace_probe_block(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
     start = jnp.minimum(phase * pb, p - pb)
 
     r = volume.rays_per_probe
-    base_dirs = jnp.asarray(_fibonacci_sphere(r))
+    base = _fibonacci_sphere(r)
+    cone_ok = (r % CONE_DIRS) == 0
+    if cone_ok:
+        # cone-ordered base dirs: packets then cover (CONE_DIRS similar
+        # directions x CONE_BRICK probes) instead of one direction
+        # across the whole grid
+        base = base[_cone_order(r)]
+    base_dirs = jnp.asarray(base)
     rot = _frame_rotation(frame_index)
     dirs = base_dirs @ rot.T
 
@@ -422,18 +460,32 @@ def trace_probe_block(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
         state = jax.lax.dynamic_slice(probe_state, (start,), (pb,))
     else:
         state = jnp.ones((pb,), jnp.float32)
-    # direction-major order for coherent traversal packets (see
-    # trace_probes)
-    origins = jnp.tile(pos, (r, 1))                  # (R*Pb, 3)
-    d_all = jnp.repeat(dirs, pb, axis=0)
+    # probe-padded dir-major layout (the reassembly below stays simple);
+    # the TRAVERSAL stream is cone-blocked via pure reshapes
+    pbp = -(-pb // CONE_BRICK) * CONE_BRICK if cone_ok else pb
+    pos_p = jnp.pad(pos, ((0, pbp - pb), (0, 0)))
+    state_p = jnp.pad(state, (0, pbp - pb))
+    origins = jnp.tile(pos_p, (r, 1))                # (R*Pbp, 3)
+    d_all = jnp.repeat(dirs, pbp, axis=0)
     ray_is_fixed = (jnp.repeat(
-        jnp.arange(r, dtype=jnp.int32), pb) < FIXED_RAYS)
-    live = jnp.maximum(jnp.tile(state, (r,)),
-                       ray_is_fixed.astype(jnp.float32))
+        jnp.arange(r, dtype=jnp.int32), pbp) < FIXED_RAYS)
+    pad_live = jnp.tile((jnp.arange(pbp) < pb).astype(jnp.float32), (r,))
+    live = jnp.maximum(jnp.tile(state_p, (r,)),
+                       ray_is_fixed.astype(jnp.float32)) * pad_live
 
     from toyrenderer_tpu.ops.bvh_pallas import traverse_auto
-    res = traverse_auto(bvh, origins, d_all, t_max=1e4,
-                        max_steps=max_steps, live=live, sp_mesh=sp_mesh)
+
+    def trace(o, d, lv, **kw):
+        if not cone_ok:
+            return traverse_auto(bvh, o, d, live=lv, sp_mesh=sp_mesh,
+                                 **kw)
+        res = traverse_auto(bvh, _cone_block(o, r, pbp),
+                            _cone_block(d, r, pbp),
+                            live=_cone_block(lv, r, pbp),
+                            sp_mesh=sp_mesh, **kw)
+        return {k: _cone_unblock(v, r, pbp) for k, v in res.items()}
+
+    res = trace(origins, d_all, live, t_max=1e4, max_steps=max_steps)
     hit = res['hit']
     tri = jnp.maximum(res['tri'], 0)
     t = res['t']
@@ -447,12 +499,10 @@ def trace_probe_block(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
     if sun_vis_fn is not None:
         sun_vis = sun_vis_fn(hit_pos + n_w * 1e-2)
     else:
-        sh = traverse_auto(bvh, hit_pos + n_w * 1e-2,
-                           jnp.broadcast_to(sun_dir_to_light,
-                                            hit_pos.shape),
-                           t_max=1e4, max_steps=max_steps, any_hit=True,
-                           live=live * hit.astype(jnp.float32),
-                           sp_mesh=sp_mesh)
+        sh = trace(hit_pos + n_w * 1e-2,
+                   jnp.broadcast_to(sun_dir_to_light, hit_pos.shape),
+                   live * hit.astype(jnp.float32),
+                   t_max=1e4, max_steps=max_steps, any_hit=True)
         sun_vis = 1.0 - sh['hit'].astype(jnp.float32)
     ndotl = jnp.maximum(jnp.sum(n_w * sun_dir_to_light, -1), 0.0)
     direct = (albedo / jnp.pi) * (ndotl * sun_vis)[:, None] * (
@@ -464,9 +514,9 @@ def trace_probe_block(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
     dist = jnp.where(hit, t, 1e4)
 
     # --- lifecycle inputs (per probe of the block) -------------------------
-    hit_rp = hit.reshape(r, pb)
-    back_rp = backface.reshape(r, pb)
-    t_rp = dist.reshape(r, pb)
+    hit_rp = hit.reshape(r, pbp)[:, :pb]
+    back_rp = backface.reshape(r, pbp)[:, :pb]
+    t_rp = dist.reshape(r, pbp)[:, :pb]
     frac_back = back_rp.astype(jnp.float32).mean(0)            # (Pb,)
     t_back = jnp.where(back_rp, t_rp, 1e4)
     k_back = jnp.argmin(t_back, axis=0)                        # (Pb,)
@@ -479,8 +529,8 @@ def trace_probe_block(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
                      closest_back_dir=closest_back_dir,
                      closest_front_t=closest_front_t)
 
-    radiance = radiance.reshape(r, pb, 3).transpose(1, 0, 2)
-    dist = dist.reshape(r, pb).T
+    radiance = radiance.reshape(r, pbp, 3)[:, :pb].transpose(1, 0, 2)
+    dist = dist.reshape(r, pbp)[:, :pb].T
     return (radiance, dist, dirs, start, lifecycle)
 
 

@@ -126,13 +126,19 @@ def main(argv=None):
                                 ("probe(closest)", pr_o, pr_d, False)):
         fn = jax.jit(lambda b, o, d, ah=any_hit: traverse_pallas(
             b, o, d, t_max=1e4, any_hit=ah, **kw))
-        res = fn(bvh, jnp.asarray(o), jnp.asarray(d))
-        jax.block_until_ready(res['hit'])
-        t0 = time.time()
-        for _ in range(args.reps):
-            res = fn(bvh, jnp.asarray(o), jnp.asarray(d))
-        jax.block_until_ready(res['hit'])
-        dt = (time.time() - t0) / args.reps
+        oj, dj = jnp.asarray(o), jnp.asarray(d)
+        res = fn(bvh, oj, dj)
+        float(np.asarray(res['hit']).sum())       # warm + force
+        ts = []
+        for i in range(args.reps):
+            # perturbed inputs + host readback inside the timed region:
+            # block_until_ready through the axon tunnel is NOT a
+            # reliable completion fence (see ROADMAP gotchas)
+            t0 = time.time()
+            res = fn(bvh, oj + 1e-5 * (i + 1), dj)
+            float(np.asarray(res['hit']).sum())
+            ts.append(time.time() - t0)
+        dt = min(ts)
         mrays = args.rays / dt / 1e6
         hit_frac = float(np.asarray(res['hit']).mean())
         steps = float(np.asarray(res['steps']).mean())
