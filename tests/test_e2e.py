@@ -328,8 +328,13 @@ def test_stacked_cutout_layers():
                         cutoff=0.5, double_sided=True)
     mb = g.add_material("back", base_tex=tb, alpha_mode="MASK",
                         cutoff=0.5, double_sided=True)
+    # opaque dark backdrop: the base set must be non-empty (an
+    # all-masked scene degenerates — see static_meshlet_pairs)
+    mg = g.add_material("bg", base_color=(0.02, 0.02, 0.02, 1.0))
+    qg = g.add_mesh("qg", *quad_card(20.0, 20.0), mg)
     qf = g.add_mesh("qf", *quad_card(2.0, 2.0), mf)
     qb = g.add_mesh("qb", *quad_card(2.0, 2.0), mb)
+    g.add_node("bg", mesh=qg, t=(0, -10, -5.0))
     g.add_node("front", mesh=qf, t=(0, -1, 0))
     g.add_node("back", mesh=qb, t=(0, -1, -1.0))
     cameras = [{"type": "perspective",

@@ -62,6 +62,15 @@ def fits_vmem(bvh: Bvh, budget_bytes: int = 10 * 2**20) -> bool:
     return cb + lf <= budget_bytes
 
 
+def boxes_fit_vmem(bvh: Bvh, budget_bytes: int = 10 * 2**20) -> bool:
+    """True if at least the internal child boxes fit VMEM — the big-scene
+    mode: boxes staged in VMEM, leaf rows stay HBM-resident and stream in
+    per leaf visit with an async DMA (one 320B row per visit).  Internal
+    nodes are ~6% of the tree bytes, so this covers Sponza/Bistro-scale
+    scenes the all-VMEM kernel cannot stage."""
+    return bvh.child_boxes.shape[0] * 48 * 4 <= budget_bytes
+
+
 def traverse_auto(bvh: Bvh, origins, directions, t_max,
                   any_hit: bool = False, max_steps: int = 128,
                   live=None, interpret: bool = False, sp_mesh=None):
@@ -86,6 +95,11 @@ def traverse_auto(bvh: Bvh, origins, directions, t_max,
         return traverse_pallas(bvh, origins, directions, t_max,
                                any_hit=any_hit, live=live,
                                interpret=interpret)
+    if boxes_fit_vmem(bvh) and on_tpu:
+        # Sponza-scale: leaf rows stream from HBM per visit
+        return traverse_pallas(bvh, origins, directions, t_max,
+                               any_hit=any_hit, live=live,
+                               leaf_hbm=True)
     if live is not None:
         t_max = jnp.where(jnp.asarray(live, bool),
                           jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
@@ -144,9 +158,11 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
                      leaf_ref,           # (NG, 80) leaf rows (VMEM)
                      out_ref,            # (1, C*SUB, 128) results
                      stack_scr,          # SMEM (STACK_CAP,) i32
+                     leaf_scr,           # VMEM (1, 80) leaf-row landing
+                     leaf_sem,           # DMA semaphore
                      *, n_levels: int, any_hit: bool,
                      max_visits: int, sub: int, want_uv: bool,
-                     prefilter: bool):
+                     prefilter: bool, leaf_hbm: bool):
     ray = ray_ref[0]
     ox, oy, oz = ray[0:sub], ray[sub:2 * sub], ray[2 * sub:3 * sub]
     dx, dy, dz = (ray[3 * sub:4 * sub], ray[4 * sub:5 * sub],
@@ -232,7 +248,16 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
         def visit_leaf():
             best_t2, best_tri2 = best_t, best_tri
             best_u2, best_v2, hitm2 = best_u, best_v, hitm
-            row = leaf_ref[pl.ds(node, 1), :]              # (1, 80)
+            if leaf_hbm:
+                # big-scene mode: leaf rows live in HBM; stream ONE
+                # 320B row per visit (internal boxes stay VMEM)
+                dma = pltpu.make_async_copy(
+                    leaf_ref.at[pl.ds(node, 1), :], leaf_scr, leaf_sem)
+                dma.start()
+                dma.wait()
+                row = leaf_scr[:, :]
+            else:
+                row = leaf_ref[pl.ds(node, 1), :]          # (1, 80)
             for j in range(LEAF_TRIS):
                 b = j * 10
                 v0x, v0y, v0z = (_bcast(row, b), _bcast(row, b + 1),
@@ -372,7 +397,7 @@ def traverse_pallas(bvh: Bvh, origins, directions, t_max,
                     any_hit: bool = False, max_visits: int | None = None,
                     packet: int = PACKET, live=None,
                     interpret: bool = False, want_uv: bool = False,
-                    prefilter: bool = True):
+                    prefilter: bool = True, leaf_hbm: bool = False):
     """Packet traversal; same contract as bvh.traverse.
 
     Rays are packed `packet` (default 4096) per packet in order — callers
@@ -407,6 +432,9 @@ def traverse_pallas(bvh: Bvh, origins, directions, t_max,
     ], axis=1)                                            # (P, 64, 128)
 
     leaf = bvh.leaf_rows
+    if leaf_hbm:
+        # Mosaic DMA slices must be lane-aligned (128); pad row width
+        leaf = jnp.pad(leaf, ((0, 0), (0, 128 - leaf.shape[1])))
     cb = bvh.child_boxes
     if max_visits is None:
         # exact bound: every internal node + every leaf group once
@@ -416,7 +444,7 @@ def traverse_pallas(bvh: Bvh, origins, directions, t_max,
     kernel = functools.partial(
         _traverse_kernel, n_levels=bvh.num_levels, any_hit=any_hit,
         max_visits=max_visits, sub=sub, want_uv=want_uv,
-        prefilter=prefilter)
+        prefilter=prefilter, leaf_hbm=leaf_hbm)
     out = pl.pallas_call(
         kernel,
         grid=(p,),
@@ -424,14 +452,17 @@ def traverse_pallas(bvh: Bvh, origins, directions, t_max,
             pl.BlockSpec((1, 8 * sub, _LANE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY if leaf_hbm
+                         else pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, rows * sub, _LANE),
                                lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p, rows * sub, _LANE),
                                        jnp.float32),
-        scratch_shapes=[pltpu.SMEM((STACK_CAP,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((STACK_CAP,), jnp.int32),
+                        pltpu.VMEM((1, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(packed, cb, leaf)
 

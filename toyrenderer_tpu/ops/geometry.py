@@ -126,5 +126,9 @@ def static_meshlet_pairs(scene_host, alpha_filter: str = 'all'):
     if not pi:
         if alpha_filter in ('blend', 'mask'):
             return (np.zeros(0, np.int32), np.zeros(0, np.int32))
+        # the base (opaque) set cannot be empty — the frame needs >= 1
+        # raster pair.  A scene with ZERO opaque instances degenerates:
+        # instance 0 pads the set and renders opaque (document over
+        # support; the reference's base pass also assumes an opaque set)
         pi, pm = [0], [0]
     return (np.asarray(pi, np.int32), np.asarray(pm, np.int32))
