@@ -139,6 +139,9 @@ def main(argv=None):
     p.add_argument("--norefit", action="store_true",
                    help="A/B: rebuild the BVH per frame instead of "
                         "refitting the static topology")
+    p.add_argument("--culling", action="store_true",
+                   help="2-phase culling + bench.py's 0.6 pair-capacity "
+                        "(the courtyard bench config)")
     args = p.parse_args(argv)
 
     import jax
@@ -159,14 +162,19 @@ def main(argv=None):
     else:
         scene_host = load_scene(args.scene)
     scene = scene_host.to_device()
-    pi, pm = static_meshlet_pairs(scene_host)
-    if args.stress:
+    mk_i, mk_m = static_meshlet_pairs(scene_host, 'mask')
+    has_mask = len(mk_i) > 0
+    pi, pm = static_meshlet_pairs(scene_host,
+                                  'not_mask' if has_mask else 'all')
+    if args.stress or args.culling:
         cap = max(int(len(pi) * 0.6), 256)
         pi, pm = pi[:cap], pm[:cap]
     pi, pm = jnp.asarray(pi), jnp.asarray(pm)
+    mk_i = jnp.asarray(mk_i) if has_mask else None
+    mk_m = jnp.asarray(mk_m) if has_mask else None
     settings = RenderSettings(width=w, height=h,
                               manual_exposure=0.1 if args.stress else 0.01,
-                              enable_culling=args.stress,
+                              enable_culling=args.stress or args.culling,
                               enable_shadows=args.shadows or args.full,
                               enable_ao=args.full, enable_gi=args.full,
                               enable_taa=args.full,
@@ -186,7 +194,8 @@ def main(argv=None):
     render = make_render_fn(settings, ddgi_volume)
 
     fi = default_frame_inputs(scene_host, view.matrices())
-    img, carry, _ = render(scene, pi, pm, fi, carry,
+    img, carry, _ = render(scene, pi, pm, fi, carry, mask_pair_inst=mk_i,
+                           mask_pair_meshlet=mk_m,
                            rt_static=rt_static)   # compile outside
     img.block_until_ready()
 
@@ -195,6 +204,8 @@ def main(argv=None):
             mats = view.matrices()
             fi = default_frame_inputs(scene_host, mats)
             img, carry, _ = render(scene, pi, pm, fi, carry,
+                                   mask_pair_inst=mk_i,
+                                   mask_pair_meshlet=mk_m,
                                    rt_static=rt_static)
             img.block_until_ready()
             view.advance(mats)
