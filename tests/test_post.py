@@ -1,6 +1,7 @@
 """HDR post-pipeline tests: exposure histogram/adaptation, bloom, TAA,
 tonemap."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -54,9 +55,9 @@ def test_exposure_adapts_toward_target():
 # --- bloom -------------------------------------------------------------------
 
 def test_downsample_preserves_flat_field():
-    img = jnp.full((32, 64, 3), 3.0)
+    img = jnp.full((3, 32, 64), 3.0)    # planar (C, H, W)
     d = B.downsample_13tap(img)
-    assert d.shape == (16, 32, 3)
+    assert d.shape == (3, 16, 32)
     np.testing.assert_allclose(np.asarray(d), 3.0, rtol=1e-6)
     dk = B.downsample_13tap(img, karis=True)
     np.testing.assert_allclose(np.asarray(dk), 3.0, rtol=1e-5)
@@ -75,9 +76,9 @@ def test_bloom_spreads_bright_spot():
 
 
 def test_upsample_tent_shape():
-    img = jnp.ones((9, 17, 3))
+    img = jnp.ones((3, 9, 17))          # planar (C, H, W)
     up = B.upsample_tent(img, 18, 34)
-    assert up.shape == (18, 34, 3)
+    assert up.shape == (3, 18, 34)
     np.testing.assert_allclose(np.asarray(up), 1.0, rtol=1e-5)
 
 
@@ -132,6 +133,65 @@ def test_taa_flat_neighborhood_rejects_history():
     out, _ = T.taa_resolve(color, jnp.zeros((8, 8, 2)), jnp.asarray(hist),
                            history_valid=jnp.asarray(1.0))
     assert float(np.abs(np.asarray(out)).max()) < 1e-6
+
+
+def test_adapt_exposure_matches_histogram_mean():
+    """The direct masked-mean path must equal the histogram-weighted
+    mean it replaced (same avg_log -> same target exposure)."""
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0.0, 4.0, size=(32, 32, 3)).astype(np.float32)
+    img[:4] = 0.0                          # some true-black rows
+    hdr = jnp.asarray(img)
+    hist = E.luminance_histogram(hdr)
+    want_log = float(E.average_log_luminance(hist))
+    _, aux = E.adapt_exposure(hdr, jnp.asarray(1.0))
+    got_log = float(jnp.log2(aux['avg_luminance']))
+    assert abs(got_log - want_log) < 1e-4
+
+
+def test_warp_pallas_halfres_mapping_matches_gather():
+    """The denoiser's half-res warp mapping (pooled motion * 0.5 against
+    an integer half-res grid) must equal the XLA half-res gather it
+    replaces (interpret mode)."""
+    from toyrenderer_tpu.ops.warp_pallas import warp_bilinear
+    rng = np.random.default_rng(11)
+    h, w = 64, 768                       # full-res dims, even
+    hist = rng.uniform(size=(h // 2, w // 2, 2)).astype(np.float32)
+    mot = rng.uniform(-9.0, 9.0, size=(h, w, 2)).astype(np.float32)
+
+    def avgpool(a):
+        return jax.lax.reduce_window(jnp.asarray(a), 0.0, jax.lax.add,
+                                     (2, 2), (2, 2), 'VALID') * 0.25
+    py = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5
+    px = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
+    prev_y = py - mot[..., 1] - 0.5
+    prev_x = px - mot[..., 0] - 0.5
+    ref = T._sample_bilinear(jnp.asarray(hist),
+                             (avgpool(prev_y) - 0.5) * 0.5,
+                             (avgpool(prev_x) - 0.5) * 0.5)
+    mot_h = jnp.stack([avgpool(mot[..., 0]) * 0.5,
+                       avgpool(mot[..., 1]) * 0.5], -1)
+    out = warp_bilinear(jnp.asarray(hist), mot_h, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4)
+
+
+def test_warp_pallas_matches_bilinear():
+    """Pallas bounded-displacement warp == XLA gather bilinear for
+    in-range motion (interpret mode, runs on CPU)."""
+    from toyrenderer_tpu.ops.warp_pallas import warp_bilinear, MAX_DISP
+    rng = np.random.default_rng(3)
+    h, w = 48, 640
+    img = jnp.asarray(rng.uniform(size=(h, w, 3)).astype(np.float32))
+    mot = rng.uniform(-(MAX_DISP - 1.5), MAX_DISP - 1.5,
+                      size=(h, w, 2)).astype(np.float32)
+    out = warp_bilinear(img, jnp.asarray(mot), interpret=True)
+    py = np.arange(h, dtype=np.float32)[:, None] + np.zeros((1, w), np.float32)
+    px = np.arange(w, dtype=np.float32)[None, :] + np.zeros((h, 1), np.float32)
+    ref = T._sample_bilinear(img, jnp.asarray(py - mot[..., 1]),
+                             jnp.asarray(px - mot[..., 0]))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5)
 
 
 # --- tonemap -------------------------------------------------------------------

@@ -46,15 +46,30 @@ def temporal_accumulate(signal, motion, history, history_valid,
                                      (2, 2), (2, 2), 'VALID') * 0.25
 
     pack_h = jnp.stack([avgpool(history), avgpool(prev_depth)], -1)
-    both_h = _sample_bilinear(pack_h,
-                              (avgpool(prev_y) - 0.5) * 0.5,
-                              (avgpool(prev_x) - 0.5) * 0.5)
+    on_tpu = jax.default_backend() in ('tpu', 'axon')
+    fast = jnp.zeros((h, w), bool)
+    if on_tpu and min(h, w) >= 128:
+        # Pallas bounded-displacement warp (see ops/warp_pallas.py):
+        # replaces the latency-bound half-res history gather with dense
+        # VPU tile math; history beyond the clamp reach is rejected the
+        # same way TAA rejects fast motion.
+        from toyrenderer_tpu.ops.warp_pallas import MAX_DISP, warp_bilinear
+        mot_h = jnp.stack([avgpool(motion[..., 0]) * 0.5,
+                           avgpool(motion[..., 1]) * 0.5], -1)
+        both_h = warp_bilinear(pack_h, mot_h)
+        lim = 2.0 * (MAX_DISP - 1.0)     # full-res pixels of reach
+        fast = (jnp.abs(motion[..., 0]) > lim) | \
+               (jnp.abs(motion[..., 1]) > lim)
+    else:
+        both_h = _sample_bilinear(pack_h,
+                                  (avgpool(prev_y) - 0.5) * 0.5,
+                                  (avgpool(prev_x) - 0.5) * 0.5)
     both = jnp.repeat(jnp.repeat(both_h, 2, 0), 2, 1)
     hist = both[..., 0]
     pdepth = both[..., 1]
 
     off = ((prev_y < 0) | (prev_y > h - 1) | (prev_x < 0)
-           | (prev_x > w - 1))
+           | (prev_x > w - 1) | fast)
     # compare linear view distances (dist = znear/depth up to a constant)
     safe = jnp.maximum(depth, 1e-8)
     psafe = jnp.maximum(pdepth, 1e-8)

@@ -77,7 +77,20 @@ def taa_resolve(color, motion, history, history_valid,
     px = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
     prev_y = py - motion[..., 1] - 0.5
     prev_x = px - motion[..., 0] - 0.5
-    hist = _sample_bilinear(history, prev_y, prev_x)
+
+    on_tpu = jax.default_backend() in ('tpu', 'axon')
+    if on_tpu and min(h, w) >= 64:
+        # Pallas warp kernel: the megapixel history gather is latency-
+        # bound on TPU (63 ms/frame at 1080p); the bounded-displacement
+        # warp runs it as dense VPU tile math.  History beyond the
+        # +-MAX_DISP reach is rejected below (fast-motion rejection).
+        from toyrenderer_tpu.ops.warp_pallas import MAX_DISP, warp_bilinear
+        hist = warp_bilinear(history, motion)
+        fast = (jnp.abs(motion[..., 0]) > MAX_DISP - 1.0) | \
+               (jnp.abs(motion[..., 1]) > MAX_DISP - 1.0)
+    else:
+        hist = _sample_bilinear(history, prev_y, prev_x)
+        fast = jnp.zeros((h, w), bool)
 
     mean, sigma = _neighborhood_moments(color)
     lo = mean - sigma * clip_gamma
@@ -85,7 +98,7 @@ def taa_resolve(color, motion, history, history_valid,
     hist = jnp.clip(hist, lo, hi)
 
     off = ((prev_y < 0) | (prev_y > h - 1)
-           | (prev_x < 0) | (prev_x > w - 1))
+           | (prev_x < 0) | (prev_x > w - 1) | fast)
     alpha = jnp.where(off[..., None], 0.0,
                       blend * history_valid)
     out = color * (1.0 - alpha) + hist * alpha
