@@ -221,7 +221,7 @@ def test_refit_aabbs_contain_triangles():
     # walk the parent chain: group g at leaf level, parent g//8 etc.
     boxes = np.asarray(bvh.child_boxes)
     offs = list(bvh.level_offset)
-    g = np.arange(leaf.shape[0] // 8).repeat(8)
+    g = np.arange(leaf.shape[0] // B.LEAF_TRIS).repeat(B.LEAF_TRIS)
     for lvl in range(bvh.num_levels - 2, -1, -1):
         parent = g // 8
         child = g % 8

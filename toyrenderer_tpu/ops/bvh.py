@@ -7,10 +7,12 @@ Design (TPU-first, no pointers, no stacks in memory):
 * One WORLD-SPACE BVH over all triangles, rebuilt (morton sort + level
   reductions) per frame inside jit — the analogue of the reference's
   GPU-updated TLAS-over-BLAS (it also rebuilds the TLAS every frame).
-* COMPLETE 8-ary tree over morton-sorted leaf groups of 8 triangles:
-  level l holds 8^l nodes; child links are implicit (node i -> 8i+k), so
-  the whole tree is a handful of dense (8^l, 6) AABB arrays flattened
-  into one atlas for level-free gathering.
+* COMPLETE 8-ary tree over morton-sorted leaf groups of LEAF_TRIS
+  triangles: level l holds 8^l nodes; child links are implicit
+  (node i -> 8i+k).  STORAGE is prefix-truncated: valid groups sort
+  first, so each level's reachable nodes are a prefix and only
+  ceil(n_real / 8^depth) rows are kept per level (level_offset maps
+  level -> row offset).
 * Traversal is lockstep masked DFS over all rays simultaneously: per-ray
   state is (level, index-path, one 8-bit visit mask per level) — bounded
   iteration, no divergence beyond masking, the classic SIMT->SIMD
@@ -26,7 +28,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-LEAF_TRIS = 8
+LEAF_TRIS = 12   # 12 tris/leaf row = 120 of the 128 VMEM lanes a row
+#                  physically occupies (Mosaic pads the minor dim to 128
+#                  lanes, so 8-tri/80-float rows wasted 37% of leaf VMEM
+#                  and an extra tree level)
 ARITY = 8
 
 
@@ -76,6 +81,18 @@ def _register():
 
 
 _register()
+
+
+def _level_sizes(n_levels: int, n_real_groups: int) -> list:
+    """Stored parent-row count per level 0..n_levels-2: the reachable
+    prefix ceil(n_real / 8^depth), 8-row aligned, capped at the complete
+    level size."""
+    sizes = []
+    for l in range(n_levels - 1):
+        depth = (n_levels - 1) - l
+        n = -(-max(n_real_groups, 1) // ARITY ** depth)
+        sizes.append(min(-(-n // 8) * 8, ARITY ** l))
+    return sizes
 
 
 def num_levels_for(n_tris: int) -> int:
@@ -157,18 +174,23 @@ def _pack_tree(v0s, e1s, e2s, payload, n_levels: int, n_real_groups: int
         level_hi.insert(0, level_hi[0].reshape(-1, ARITY, 3).max(1))
 
     # pack CHILD boxes per parent row: level l parents hold level l+1
-    # children: (8^l, 8 children x [lo.xyz hi.xyz]) = (8^l, 48)
+    # children: (8^l, 8 children x [lo.xyz hi.xyz]) = (8^l, 48).
+    # PREFIX TRUNCATION: valid leaf groups are a morton-sorted PREFIX, so
+    # the reachable nodes of every level are a prefix too — store only
+    # ceil(n_real / 8^depth) rows per level (sublane-aligned) instead of
+    # the dense complete level.  A Sponza-scale tree shrinks ~8x (the
+    # deepest level of a complete tree is mostly empty padding).
+    sizes = _level_sizes(n_levels, n_real_groups)
     rows = []
     for l in range(n_levels - 1):
         clo, chi = _seal(level_lo[l + 1], level_hi[l + 1])
         clo = clo.reshape(-1, ARITY, 3)
         chi = chi.reshape(-1, ARITY, 3)
-        rows.append(jnp.concatenate([clo, chi], axis=-1).reshape(-1, 48))
+        rows.append(jnp.concatenate([clo, chi],
+                                    axis=-1).reshape(-1, 48)[:sizes[l]])
     child_boxes = (jnp.concatenate(rows, axis=0) if rows
                    else jnp.zeros((1, 48), jnp.float32))
-    offsets = tuple(int(x) for x in
-                    np.cumsum([0] + [ARITY ** l
-                                     for l in range(n_levels - 1)])[:-1])
+    offsets = tuple(int(x) for x in np.cumsum([0] + sizes)[:-1])
 
     # pack leaf rows: (Ng, 8 tris x [v0 e1 e2 payload]) = (Ng, 80).
     # The morton sort puts valid triangles first, so groups past

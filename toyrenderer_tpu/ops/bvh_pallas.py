@@ -15,8 +15,9 @@ reshapes the problem for the TPU the classic way: RAY PACKETS.
   (~20 VPU ops per child); children any ray intersects are pushed
   near-to-far by the packet's dominant direction octant (morton child
   order makes k XOR flipmask a front-to-back order).
-* Leaves: 8 Moller-Trumbore tests for all 1024 rays, closest-hit update
-  against per-ray best_t (which also tightens subsequent slab tests).
+* Leaves: LEAF_TRIS Moller-Trumbore tests for the whole packet,
+  closest-hit update against per-ray best_t (which also tightens
+  subsequent slab tests).
 * `any_hit` packets terminate once every live ray has a hit.
 
 Packets win when rays are coherent: shadow rays (shared sun direction,
@@ -25,11 +26,13 @@ DIRECTION-major (grid-adjacent probe origins, shared direction; see
 ddgi.trace_probe_block) both are.  Incoherent sets degrade toward the
 union of per-ray traversals, never worse than visiting every node once.
 
-Capacity contract: child boxes and leaf rows are staged whole in VMEM
-(bench-scale scenes: ~2.4 MB + ~7 MB).  `fits_vmem(bvh)` reports whether
-the scene fits; callers fall back to bvh.traverse otherwise (the
-HBM-resident DMA variant is the planned follow-up for Bistro-scale
-scenes).
+Capacity contract: child boxes and leaf rows are staged whole in VMEM.
+With prefix-truncated box levels + 12-tri/120-lane leaf rows, a
+Sponza-class 260k-tri scene is ~13 MB real (lane-padded) and fits the
+~16 MB/core VMEM; `fits_vmem(bvh)` checks the REAL padded bytes.
+Larger scenes keep boxes in VMEM and stream leaf rows from HBM per
+visit (`boxes_fit_vmem`); the XLA lockstep traversal remains the final
+fallback.
 
 Reference parity: DXR RayQuery consumers source/shaders/shadowmask.hlsl:
 65-145 and giprobetrace.hlsl:23-148.
@@ -55,20 +58,27 @@ STACK_CAP = 160               # DFS stack bound: (levels-1)*7+1, levels<=12
 _ENC_LEVEL_BITS = 4           # stack entry = (index << 4) | level
 
 
-def fits_vmem(bvh: Bvh, budget_bytes: int = 10 * 2**20) -> bool:
-    """True if this BVH's node data fits the kernel's VMEM staging budget."""
-    cb = bvh.child_boxes.shape[0] * 48 * 4
-    lf = bvh.leaf_rows.shape[0] * 80 * 4
-    return cb + lf <= budget_bytes
+def _row_bytes(n_rows: int) -> int:
+    # Mosaic pads VMEM arrays to (8, 128) f32 tiles: any row narrower
+    # than 128 lanes still occupies 128 lanes physically
+    return -(-n_rows // 8) * 8 * 128 * 4
 
 
-def boxes_fit_vmem(bvh: Bvh, budget_bytes: int = 10 * 2**20) -> bool:
+def fits_vmem(bvh: Bvh, budget_bytes: int = 13 * 2**20) -> bool:
+    """True if this BVH's node data fits the kernel's VMEM staging budget
+    (REAL lane-padded bytes, ~16 MB/core minus packet/scratch room)."""
+    return (_row_bytes(bvh.child_boxes.shape[0])
+            + _row_bytes(bvh.leaf_rows.shape[0])) <= budget_bytes
+
+
+def boxes_fit_vmem(bvh: Bvh, budget_bytes: int = 12 * 2**20) -> bool:
     """True if at least the internal child boxes fit VMEM — the big-scene
     mode: boxes staged in VMEM, leaf rows stay HBM-resident and stream in
-    per leaf visit with an async DMA (one 320B row per visit).  Internal
-    nodes are ~6% of the tree bytes, so this covers Sponza/Bistro-scale
-    scenes the all-VMEM kernel cannot stage."""
-    return bvh.child_boxes.shape[0] * 48 * 4 <= budget_bytes
+    per leaf visit with an async DMA (one 512B padded row per visit).
+    Internal boxes are a small fraction of the tree bytes (prefix-
+    truncated levels), so this covers Bistro-scale scenes the all-VMEM
+    kernel cannot stage."""
+    return _row_bytes(bvh.child_boxes.shape[0]) <= budget_bytes
 
 
 def traverse_auto(bvh: Bvh, origins, directions, t_max,
@@ -160,9 +170,9 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
                      stack_scr,          # SMEM (STACK_CAP,) i32
                      leaf_scr,           # VMEM (1, 80) leaf-row landing
                      leaf_sem,           # DMA semaphore
-                     *, n_levels: int, any_hit: bool,
-                     max_visits: int, sub: int, want_uv: bool,
-                     prefilter: bool, leaf_hbm: bool):
+                     *, n_levels: int, level_offsets: tuple,
+                     any_hit: bool, max_visits: int, sub: int,
+                     want_uv: bool, prefilter: bool, leaf_hbm: bool):
     ray = ray_ref[0]
     ox, oy, oz = ray[0:sub], ray[sub:2 * sub], ray[2 * sub:3 * sub]
     dx, dy, dz = (ray[3 * sub:4 * sub], ray[4 * sub:5 * sub],
@@ -215,8 +225,6 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
         coherent = cohx & cohy & cohz
 
     leaf_level = n_levels - 1
-    # complete 8-ary tree: parent-row offset of level l is (8^l - 1) / 7
-    # (== bvh.level_offset[l]; closed form avoids a traced table lookup)
 
     # seed: the root node (level 0 index 0)
     stack_scr[0] = jnp.int32(0 << _ENC_LEVEL_BITS | 0)
@@ -224,18 +232,35 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
     neg1 = jnp.full((sub, 128), -1.0)
     zero = jnp.zeros((sub, 128))
 
+    # Register-pressure note: the vector while-carry is kept MINIMAL —
+    # (best_t, best_tri) only.  The hit mask is best_tri >= 0 (misses
+    # carry the -1 sentinel payload; leaf tests require pay >= 0), and
+    # barycentrics join the carry only when a consumer wants them.  At
+    # packet=4096 every (sub, 128) carry is 4 vregs live across the
+    # whole loop body; the previous 5-vector carry measurably spilled.
+
+    def _unpack(s):
+        if want_uv:
+            sp, visits, t_hi, best_t, best_tri, best_u, best_v = s
+        else:
+            sp, visits, t_hi, best_t, best_tri = s
+            best_u = best_v = zero
+        return sp, visits, t_hi, best_t, best_tri, best_u, best_v
+
+    def _pack(sp, visits, t_hi, best_t, best_tri, best_u, best_v):
+        if want_uv:
+            return (sp, visits, t_hi, best_t, best_tri, best_u, best_v)
+        return (sp, visits, t_hi, best_t, best_tri)
+
     def cond(s):
-        sp, visits, t_hi, best_t, best_tri, best_u, best_v, hitf = s
+        sp, visits, t_hi, best_t, best_tri = s[:5]
         go = (sp > 0) & (visits < max_visits)
         if any_hit:
-            go = go & jnp.any(live & (hitf == 0.0))
+            go = go & jnp.any(live & (best_tri < 0.0))
         return go
 
     def body(s):
-        # hit mask carried as f32 0/1: Mosaic rejects (8,128) i1 vectors
-        # as while-carries (layout mismatch on scf.yield)
-        sp, visits, t_hi, best_t, best_tri, best_u, best_v, hitf = s
-        hitm = hitf > 0.0
+        sp, visits, t_hi, best_t, best_tri, best_u, best_v = _unpack(s)
         entry = stack_scr[sp - 1]
         sp = sp - 1
         level = entry & ((1 << _ENC_LEVEL_BITS) - 1)
@@ -243,11 +268,11 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
 
         active = live & (best_t > 0.0)
         if any_hit:
-            active = active & ~hitm
+            active = active & (best_tri < 0.0)
 
         def visit_leaf():
             best_t2, best_tri2 = best_t, best_tri
-            best_u2, best_v2, hitm2 = best_u, best_v, hitm
+            best_u2, best_v2 = best_u, best_v
             if leaf_hbm:
                 # big-scene mode: leaf rows live in HBM; stream ONE
                 # 320B row per visit (internal boxes stay VMEM)
@@ -290,18 +315,22 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
                 if want_uv:
                     best_u2 = jnp.where(ok, u, best_u2)
                     best_v2 = jnp.where(ok, v, best_v2)
-                hitm2 = hitm2 | ok
             if any_hit:
                 t_hi2 = t_hi
             else:
                 # tighten the scalar prefilter ceiling to the farthest
                 # still-open ray
                 t_hi2 = jnp.max(jnp.where(active, best_t2, 0.0))
-            return (sp, t_hi2, best_t2, best_tri2, best_u2, best_v2,
-                    hitm2.astype(jnp.float32))
+            return _pack(sp, visits + 1, t_hi2, best_t2, best_tri2,
+                         best_u2, best_v2)
 
         def visit_internal():
-            lrow = ((jnp.int32(1) << (3 * level)) - 1) // 7
+            # per-level row offset of the PREFIX-TRUNCATED box storage
+            # (static table -> scalar select chain; level is dynamic)
+            lrow = jnp.int32(level_offsets[0] if level_offsets else 0)
+            for j in range(1, n_levels - 1):
+                lrow = jnp.where(level == j,
+                                 jnp.int32(level_offsets[j]), lrow)
             row = cb_ref[pl.ds(lrow + node, 1), :]         # (1, 48)
             child_level = level + 1
             # pass 1 (static unroll): slab-test all 8 children, collect a
@@ -370,22 +399,21 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
                 stack_scr[new_sp] = ((child << _ENC_LEVEL_BITS)
                                      | child_level)
                 new_sp = new_sp + bit
-            return new_sp, t_hi, best_t, best_tri, best_u, best_v, hitf
+            return _pack(new_sp, visits + 1, t_hi, best_t, best_tri,
+                         best_u, best_v)
 
         is_leaf = level == leaf_level
-        sp2, th, bt, btri, bu, bv, bh = jax.lax.cond(
-            is_leaf, visit_leaf, visit_internal)
-        return (sp2, visits + 1, th, bt, btri, bu, bv, bh)
+        return jax.lax.cond(is_leaf, visit_leaf, visit_internal)
 
     t_hi0 = jnp.max(jnp.where(live, t_cap, 0.0))
-    init = (jnp.int32(1), jnp.int32(0), t_hi0, t_cap, neg1, zero, zero,
-            jnp.zeros((sub, 128)))
-    (sp, visits, t_hi, best_t, best_tri, best_u, best_v, hitf) = (
-        jax.lax.while_loop(cond, body, init))
+    init = _pack(jnp.int32(1), jnp.int32(0), t_hi0, t_cap, neg1,
+                 zero, zero)
+    fin = jax.lax.while_loop(cond, body, init)
+    (sp, visits, t_hi, best_t, best_tri, best_u, best_v) = _unpack(fin)
 
     out_ref[0, 0:sub] = best_t
     out_ref[0, sub:2 * sub] = best_tri
-    out_ref[0, 2 * sub:3 * sub] = hitf
+    out_ref[0, 2 * sub:3 * sub] = (best_tri >= 0.0).astype(jnp.float32)
     out_ref[0, 3 * sub:4 * sub] = (jnp.full((sub, 128), 1.0)
                                    * visits.astype(jnp.float32))
     if want_uv:
@@ -442,7 +470,8 @@ def traverse_pallas(bvh: Bvh, origins, directions, t_max,
 
     rows = 6 if want_uv else 4
     kernel = functools.partial(
-        _traverse_kernel, n_levels=bvh.num_levels, any_hit=any_hit,
+        _traverse_kernel, n_levels=bvh.num_levels,
+        level_offsets=tuple(bvh.level_offset), any_hit=any_hit,
         max_visits=max_visits, sub=sub, want_uv=want_uv,
         prefilter=prefilter, leaf_hbm=leaf_hbm)
     out = pl.pallas_call(

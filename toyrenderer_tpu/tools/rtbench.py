@@ -46,29 +46,39 @@ def ray_sets(n_rays, aabb_lo, aabb_hi, sun_dir):
     sh_d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(
         np.float32)
 
-    # probe: direction-major spherical-fibonacci dirs over a probe grid
+    # probe: the EXACT traversal stream ops/ddgi.py produces — fibonacci
+    # dirs cone-ordered, probes morton-ish grid order, rays cone-blocked
+    # (CONE_DIRS similar dirs x CONE_BRICK adjacent probes per packet)
+    from toyrenderer_tpu.ops.ddgi import (
+        CONE_BRICK, _cone_block, _cone_order)
     n_dirs = 256
     k = np.arange(n_dirs)
     phi = np.pi * (3.0 - np.sqrt(5.0)) * k
     z = 1.0 - 2.0 * (k + 0.5) / n_dirs
     r = np.sqrt(np.maximum(1.0 - z * z, 0.0))
-    dirs = np.stack([r * np.cos(phi), r * np.sin(phi), z], -1)
+    dirs = np.stack([r * np.cos(phi), r * np.sin(phi), z],
+                    -1)[_cone_order(n_dirs)]
     n_probes = n_rays // n_dirs
-    side_p = max(int(round(n_probes ** (1.0 / 3.0))), 1)
-    ii = np.arange(n_probes)
+    pbp = -(-n_probes // CONE_BRICK) * CONE_BRICK
+    side_p = max(int(round(pbp ** (1.0 / 3.0))), 1)
+    ii = np.arange(pbp)
     px = (ii % side_p + 0.5) / side_p
     py = ((ii // side_p) % side_p + 0.5) / side_p
     pz = (ii // (side_p * side_p) % side_p + 0.5) / side_p
     pp = aabb_lo[None] + np.stack([px, py, pz], -1) * ext[None]
-    pr_o = np.repeat(dirs, n_probes, axis=0)[:n_rays] * 0  # placeholder
-    pr_o = np.tile(pp, (n_dirs, 1))[:n_rays].astype(np.float32)
-    pr_d = np.repeat(dirs, n_probes, axis=0)[:n_rays].astype(np.float32)
+    pr_o = np.tile(pp, (n_dirs, 1)).astype(np.float32)     # dir-major
+    pr_d = np.repeat(dirs, pbp, axis=0).astype(np.float32)
+    import jax.numpy as jnp
+    pr_o = np.asarray(_cone_block(jnp.asarray(pr_o), n_dirs, pbp))
+    pr_d = np.asarray(_cone_block(jnp.asarray(pr_d), n_dirs, pbp))
     return (sh_o[:n_rays], sh_d[:n_rays]), (pr_o, pr_d)
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--rays", type=int, default=1 << 20)
+    p.add_argument("--scene", default="stress",
+                   choices=("stress", "courtyard"))
     p.add_argument("--objects", type=int, default=192)
     p.add_argument("--platform", default=None)
     p.add_argument("--packet", type=int, default=0,
@@ -89,10 +99,23 @@ def main(argv=None):
     from toyrenderer_tpu.ops.geometry import static_meshlet_pairs
 
     print("[stage] scene build...", flush=True)
-    scene_host = make_stress_scene(n_objects=args.objects, sphere_res=24,
-                                   textured=False)
+    if args.scene == "courtyard":
+        from toyrenderer_tpu.scene import load_scene
+        path = "/root/repo/resources/courtyard.glb"
+        if not os.path.exists(path):
+            from toyrenderer_tpu.tools.gen_scene import build
+            build(path, compress=True)
+        scene_host = load_scene(path)
+        mk_i, _ = static_meshlet_pairs(scene_host, 'mask')
+        pi, pm = static_meshlet_pairs(
+            scene_host, 'not_mask' if len(mk_i) else 'all')
+        cap = max(int(len(pi) * 0.6), 256)       # bench.py parity
+        pi, pm = pi[:cap], pm[:cap]
+    else:
+        scene_host = make_stress_scene(n_objects=args.objects,
+                                       sphere_res=24, textured=False)
+        pi, pm = static_meshlet_pairs(scene_host)
     scene = scene_host.to_device()
-    pi, pm = static_meshlet_pairs(scene_host)
     print("[stage] rt_static...", flush=True)
     rts = bvh_mod.build_rt_static(scene_host, pi, pm)
     print("[stage] refit compile...", flush=True)
@@ -139,7 +162,7 @@ def main(argv=None):
             float(np.asarray(res['hit']).sum())
             ts.append(time.time() - t0)
         dt = min(ts)
-        mrays = args.rays / dt / 1e6
+        mrays = len(o) / dt / 1e6
         hit_frac = float(np.asarray(res['hit']).mean())
         steps = float(np.asarray(res['steps']).mean())
         print(f"{name:18s} {mrays:8.2f} Mrays/s   hit={hit_frac:.3f} "
