@@ -209,7 +209,9 @@ def test_refit_aabbs_contain_triangles():
     iw, _ = G.instance_transforms(d, world)
     bvh = B.refit_bvh(rts, iw)
 
-    leaf = np.asarray(bvh.leaf_rows).reshape(-1, 10)
+    # component-major rows: (rows, 10, LEAF_TRIS) -> per-tri (N, 10)
+    leaf = np.asarray(bvh.leaf_rows).reshape(
+        -1, 10, B.LEAF_TRIS).transpose(0, 2, 1).reshape(-1, 10)
     pay = leaf[:, 9]
     v0 = leaf[:, 0:3]
     v1 = v0 + leaf[:, 3:6]
@@ -226,8 +228,8 @@ def test_refit_aabbs_contain_triangles():
         parent = g // 8
         child = g % 8
         row = boxes[offs[lvl] + parent]
-        lo = row.reshape(-1, 8, 6)[np.arange(len(g)), child, 0:3]
-        hi = row.reshape(-1, 8, 6)[np.arange(len(g)), child, 3:6]
+        lo = row.reshape(-1, 6, 8)[np.arange(len(g)), 0:3, child]
+        hi = row.reshape(-1, 6, 8)[np.arange(len(g)), 3:6, child]
         assert np.all(lo[ok] <= tri_lo[ok] + 1e-3)
         assert np.all(hi[ok] >= tri_hi[ok] - 1e-3)
         g = parent

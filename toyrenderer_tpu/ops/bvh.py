@@ -180,14 +180,18 @@ def _pack_tree(v0s, e1s, e2s, payload, n_levels: int, n_real_groups: int
     # ceil(n_real / 8^depth) rows per level (sublane-aligned) instead of
     # the dense complete level.  A Sponza-scale tree shrinks ~8x (the
     # deepest level of a complete tree is mostly empty padding).
+    # COMPONENT-MAJOR rows ([lox x8 | loy x8 | loz x8 | hix | hiy | hiz]):
+    # the Pallas kernel transposes a row to (48, 1) and takes contiguous
+    # (8, 1) sublane slices per component — the only layout Mosaic can
+    # turn into vector columns without gathers or strided slices.
     sizes = _level_sizes(n_levels, n_real_groups)
     rows = []
     for l in range(n_levels - 1):
         clo, chi = _seal(level_lo[l + 1], level_hi[l + 1])
         clo = clo.reshape(-1, ARITY, 3)
         chi = chi.reshape(-1, ARITY, 3)
-        rows.append(jnp.concatenate([clo, chi],
-                                    axis=-1).reshape(-1, 48)[:sizes[l]])
+        both = jnp.concatenate([clo, chi], axis=-1)     # (n, 8, 6)
+        rows.append(both.transpose(0, 2, 1).reshape(-1, 48)[:sizes[l]])
     child_boxes = (jnp.concatenate(rows, axis=0) if rows
                    else jnp.zeros((1, 48), jnp.float32))
     offsets = tuple(int(x) for x in np.cumsum([0] + sizes)[:-1])
@@ -200,8 +204,11 @@ def _pack_tree(v0s, e1s, e2s, payload, n_levels: int, n_real_groups: int
     leaf = jnp.concatenate([
         v0s, e1s, e2s,
         payload.astype(jnp.float32)[:, None],
-    ], axis=1)                                          # (Ng*8, 10)
-    leaf_rows = leaf.reshape(n_groups, LEAF_TRIS * 10)
+    ], axis=1)                                          # (Ng*12, 10)
+    # component-major rows (see child_boxes note): [v0x x12 | v0y x12 |
+    # ... | pay x12]
+    leaf_rows = leaf.reshape(n_groups, LEAF_TRIS, 10).transpose(
+        0, 2, 1).reshape(n_groups, LEAF_TRIS * 10)
     n_real = -(-n_real_groups // 8) * 8                 # sublane align
     n_real = min(n_real, n_groups)
     leaf_rows = leaf_rows[:n_real]
@@ -462,11 +469,11 @@ def traverse(bvh: Bvh, origins, directions, t_max, max_steps: int = 128,
 
         # --- leaf: ONE row gather -> 8 triangles --------------------------
         g = jnp.clip(node, 0, bvh.leaf_rows.shape[0] - 1)
-        leaf = bvh.leaf_rows[g].reshape(n, LEAF_TRIS, 10)
-        tv0 = leaf[..., 0:3]
-        te1 = leaf[..., 3:6]
-        te2 = leaf[..., 6:9]
-        pay = leaf[..., 9].astype(jnp.int32)
+        leaf = bvh.leaf_rows[g].reshape(n, 10, LEAF_TRIS)  # comp-major
+        tv0 = leaf[:, 0:3].transpose(0, 2, 1)
+        te1 = leaf[:, 3:6].transpose(0, 2, 1)
+        te2 = leaf[:, 6:9].transpose(0, 2, 1)
+        pay = leaf[:, 9].astype(jnp.int32)
         h, t, u, v = _ray_tri(tv0, te1, te2, o1, d1, s['best_t'][:, None])
         h = h & (pay >= 0) & has_work[:, None] & is_leaf_level[:, None]
         t_m = jnp.where(h, t, jnp.inf)
@@ -488,9 +495,9 @@ def traverse(bvh: Bvh, origins, directions, t_max, max_steps: int = 128,
         parent_row = (offsets[jnp.minimum(level, l_max - 2)] + node)
         parent_row = jnp.clip(parent_row, 0,
                               bvh.child_boxes.shape[0] - 1)
-        boxes = bvh.child_boxes[parent_row].reshape(n, ARITY, 6)
-        blo = boxes[..., 0:3]
-        bhi = boxes[..., 3:6]
+        boxes = bvh.child_boxes[parent_row].reshape(n, 6, ARITY)
+        blo = boxes[:, 0:3].transpose(0, 2, 1)
+        bhi = boxes[:, 3:6].transpose(0, 2, 1)
         cmask_hit = _ray_box(blo, bhi, o1, id1, best_t[:, None])
         cmask = jnp.where(
             has_work & ~is_leaf_level,

@@ -1,30 +1,35 @@
 """Pallas TPU packet traversal for the 8-ary BVH (ops/bvh.py).
 
 The XLA lockstep traversal (bvh.traverse) pays two row gathers per ray per
-step — every ray fetches an 80-float leaf row AND a 48-float child-box row
-each iteration whether it needs them or not, and the while-loop runs until
-the SLOWEST ray finishes (measured 0.17 Mrays/s at round 1).  This kernel
-reshapes the problem for the TPU the classic way: RAY PACKETS.
+step — every ray fetches a leaf row AND a child-box row each iteration
+whether it needs them or not, and the while-loop runs until the SLOWEST
+ray finishes (measured 0.17 Mrays/s at round 1).  This kernel reshapes the
+problem for the TPU the classic way: RAY PACKETS.
 
-* A packet is 1024 rays laid out as (8, 128) vregs — one full VPU tile per
-  vector op.  The whole packet walks the tree together with ONE shared
-  scalar DFS stack (SMEM), so there are NO per-ray gathers at all: node
-  data is read once per visit and broadcast to all lanes via (1, 1)
-  vector-register splats.
-* Internal nodes: the 8 child slab tests are evaluated for all 1024 rays
-  (~20 VPU ops per child); children any ray intersects are pushed
-  near-to-far by the packet's dominant direction octant (morton child
-  order makes k XOR flipmask a front-to-back order).
-* Leaves: LEAF_TRIS Moller-Trumbore tests for the whole packet,
-  closest-hit update against per-ray best_t (which also tightens
-  subsequent slab tests).
+* A packet is `packet` rays laid out as (sub, 128) vregs — full VPU tiles
+  per vector op.  The whole packet walks the tree together with ONE shared
+  scalar DFS stack (SMEM), so there are NO per-ray gathers at all.
+* Node data is consumed VECTORIZED: a visited node's row is transposed to
+  a column ((W, 1) — Mosaic supports 2D transposes), component columns
+  are contiguous (K, 1) sublane slices of it (rows are stored
+  COMPONENT-major for exactly this reason), and a (K, 1, 1) x
+  (1, sub, 128) broadcast evaluates all K children/triangles against the
+  whole packet in one batched 3D op chain.  An earlier variant extracted
+  every node scalar with a (1, 1) vector read (~120 extracts per leaf
+  visit) and was measured ~10x slower per visit — scalar extracts and
+  per-child `lax.cond`s are the dominant per-visit cost, not VPU flops.
+* Internal nodes: slab-test all 8 children batched; children any ray
+  intersects are pushed near-to-far by the packet's dominant direction
+  octant (morton child order makes k XOR flipmask a front-to-back order).
+* Leaves: LEAF_TRIS Moller-Trumbore tests batched over the packet,
+  closest-hit folded with a static-index where-chain.
 * `any_hit` packets terminate once every live ray has a hit.
 
 Packets win when rays are coherent: shadow rays (shared sun direction,
 tile-local origins — shadowmask.hlsl parity) and DDGI probe rays grouped
-DIRECTION-major (grid-adjacent probe origins, shared direction; see
-ddgi.trace_probe_block) both are.  Incoherent sets degrade toward the
-union of per-ray traversals, never worse than visiting every node once.
+into cones (ddgi.trace_probe_block) both are.  Incoherent sets degrade
+toward the union of per-ray traversals, never worse than visiting every
+node once.
 
 Capacity contract: child boxes and leaf rows are staged whole in VMEM.
 With prefix-truncated box levels + 12-tri/120-lane leaf rows, a
@@ -50,9 +55,6 @@ from jax.experimental.pallas import tpu as pltpu
 from toyrenderer_tpu.ops.bvh import ARITY, LEAF_TRIS, Bvh
 
 PACKET = 4096                 # default rays per packet: (SUB, 128) vregs
-#                               (measured best on v5e: 10.3 Mrays/s vs
-#                               9.2 @2048 / 10.0 @8192, sun rays over the
-#                               bench scene)
 _LANE = 128
 STACK_CAP = 160               # DFS stack bound: (levels-1)*7+1, levels<=12
 _ENC_LEVEL_BITS = 4           # stack entry = (index << 4) | level
@@ -155,24 +157,16 @@ def _traverse_sharded(bvh: Bvh, origins, directions, t_max,
     return {k: v[:n] for k, v in res.items()}
 
 
-def _bcast(row, j):
-    """Extract element j of a (1, W) node-row value as a 0-d scalar; the
-    scalar-x-vector arithmetic that follows broadcasts natively.  j must
-    be a static int (Mosaic has no dynamic value slicing, and composed
-    two-axis vector broadcasts fail to lower)."""
-    return row[0, j]
-
-
 def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
                      cb_ref,             # (PR, 48) child boxes (VMEM)
-                     leaf_ref,           # (NG, 80) leaf rows (VMEM)
+                     leaf_ref,           # (NG, 120) leaf rows (VMEM/HBM)
                      out_ref,            # (1, C*SUB, 128) results
                      stack_scr,          # SMEM (STACK_CAP,) i32
-                     leaf_scr,           # VMEM (1, 80) leaf-row landing
+                     leaf_scr,           # VMEM (1, 128) leaf-row landing
                      leaf_sem,           # DMA semaphore
                      *, n_levels: int, level_offsets: tuple,
                      any_hit: bool, max_visits: int, sub: int,
-                     want_uv: bool, prefilter: bool, leaf_hbm: bool):
+                     want_uv: bool, leaf_hbm: bool):
     ray = ray_ref[0]
     ox, oy, oz = ray[0:sub], ray[sub:2 * sub], ray[2 * sub:3 * sub]
     dx, dy, dz = (ray[3 * sub:4 * sub], ray[4 * sub:5 * sub],
@@ -192,37 +186,23 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
     oyi = oy * idy_
     ozi = oz * idz_
 
+    # Batched-3D views: node columns arrive as (K, 1, 1) and broadcast
+    # against (1, 8, 128) ray chunks — all K children/tris x one vreg
+    # tile of rays per op chain.  The middle (sublane) dim MUST be one
+    # vreg tile (8): Mosaic's (K,1,1) broadcast lowering CHECK-fails
+    # when it spans multiple tiles, so a packet's sub rows are processed
+    # in sub//8 static chunks.
+    CH = 8
+    nch = sub // CH
+
+    def ch3(x, c):                      # chunk c as (1, 8, 128)
+        return x[c * CH:(c + 1) * CH][None]
+
     # dominant direction octant -> near-to-far child visit order
     fx = (jnp.sum(jnp.where(live, dx, 0.0)) < 0.0).astype(jnp.int32)
     fy = (jnp.sum(jnp.where(live, dy, 0.0)) < 0.0).astype(jnp.int32)
     fz = (jnp.sum(jnp.where(live, dz, 0.0)) < 0.0).astype(jnp.int32)
     flip = (fx << 2) | (fy << 1) | fz
-
-    if prefilter:
-        # Scalar packet-interval bounds (Wald-style): when every live
-        # ray agrees on a direction sign per axis (coherent packets —
-        # the design case), a ~30-scalar-op interval slab test can
-        # reject a child before paying the full-vector test.  Sign-fold
-        # each axis so inv dir is a POSITIVE interval: o' = s*o,
-        # i' = |i|, child planes swap lo/hi under s<0.
-        binf = jnp.float32(3e37)
-
-        def _axis(o, i):
-            o_lo = jnp.min(jnp.where(live, o, binf))
-            o_hi = jnp.max(jnp.where(live, o, -binf))
-            i_lo = jnp.min(jnp.where(live, i, binf))
-            i_hi = jnp.max(jnp.where(live, i, -binf))
-            coh = (i_lo > 0.0) | (i_hi < 0.0)
-            s = i_lo > 0.0                   # sign+ (if coherent)
-            of_lo = jnp.where(s, o_lo, -o_hi)
-            of_hi = jnp.where(s, o_hi, -o_lo)
-            if_lo = jnp.where(s, i_lo, -i_hi)
-            if_hi = jnp.where(s, i_hi, -i_lo)
-            return coh, s, of_lo, of_hi, if_lo, if_hi
-        cohx, sx_, oxl, oxh, ixl, ixh = _axis(ox, idx_)
-        cohy, sy_, oyl, oyh, iyl, iyh = _axis(oy, idy_)
-        cohz, sz_, ozl, ozh, izl, izh = _axis(oz, idz_)
-        coherent = cohx & cohy & cohz
 
     leaf_level = n_levels - 1
 
@@ -235,32 +215,30 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
     # Register-pressure note: the vector while-carry is kept MINIMAL —
     # (best_t, best_tri) only.  The hit mask is best_tri >= 0 (misses
     # carry the -1 sentinel payload; leaf tests require pay >= 0), and
-    # barycentrics join the carry only when a consumer wants them.  At
-    # packet=4096 every (sub, 128) carry is 4 vregs live across the
-    # whole loop body; the previous 5-vector carry measurably spilled.
+    # barycentrics join the carry only when a consumer wants them.
 
     def _unpack(s):
         if want_uv:
-            sp, visits, t_hi, best_t, best_tri, best_u, best_v = s
+            sp, visits, best_t, best_tri, best_u, best_v = s
         else:
-            sp, visits, t_hi, best_t, best_tri = s
+            sp, visits, best_t, best_tri = s
             best_u = best_v = zero
-        return sp, visits, t_hi, best_t, best_tri, best_u, best_v
+        return sp, visits, best_t, best_tri, best_u, best_v
 
-    def _pack(sp, visits, t_hi, best_t, best_tri, best_u, best_v):
+    def _pack(sp, visits, best_t, best_tri, best_u, best_v):
         if want_uv:
-            return (sp, visits, t_hi, best_t, best_tri, best_u, best_v)
-        return (sp, visits, t_hi, best_t, best_tri)
+            return (sp, visits, best_t, best_tri, best_u, best_v)
+        return (sp, visits, best_t, best_tri)
 
     def cond(s):
-        sp, visits, t_hi, best_t, best_tri = s[:5]
+        sp, visits, best_t, best_tri = s[:4]
         go = (sp > 0) & (visits < max_visits)
         if any_hit:
             go = go & jnp.any(live & (best_tri < 0.0))
         return go
 
     def body(s):
-        sp, visits, t_hi, best_t, best_tri, best_u, best_v = _unpack(s)
+        sp, visits, best_t, best_tri, best_u, best_v = _unpack(s)
         entry = stack_scr[sp - 1]
         sp = sp - 1
         level = entry & ((1 << _ENC_LEVEL_BITS) - 1)
@@ -271,58 +249,65 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
             active = active & (best_tri < 0.0)
 
         def visit_leaf():
-            best_t2, best_tri2 = best_t, best_tri
-            best_u2, best_v2 = best_u, best_v
             if leaf_hbm:
                 # big-scene mode: leaf rows live in HBM; stream ONE
-                # 320B row per visit (internal boxes stay VMEM)
+                # 512B padded row per visit (internal boxes stay VMEM)
                 dma = pltpu.make_async_copy(
                     leaf_ref.at[pl.ds(node, 1), :], leaf_scr, leaf_sem)
                 dma.start()
                 dma.wait()
                 row = leaf_scr[:, :]
             else:
-                row = leaf_ref[pl.ds(node, 1), :]          # (1, 80)
-            for j in range(LEAF_TRIS):
-                b = j * 10
-                v0x, v0y, v0z = (_bcast(row, b), _bcast(row, b + 1),
-                                 _bcast(row, b + 2))
-                e1x, e1y, e1z = (_bcast(row, b + 3), _bcast(row, b + 4),
-                                 _bcast(row, b + 5))
-                e2x, e2y, e2z = (_bcast(row, b + 6), _bcast(row, b + 7),
-                                 _bcast(row, b + 8))
-                pay = _bcast(row, b + 9)
-                # Moller-Trumbore vs the whole packet
-                px = dy * e2z - dz * e2y
-                py = dz * e2x - dx * e2z
-                pz = dx * e2y - dy * e2x
+                row = leaf_ref[pl.ds(node, 1), :]          # (1, 120)
+            tcol = row.T                                   # (W, 1)
+
+            def col(c):                                    # (12, 1, 1)
+                return tcol[c * LEAF_TRIS:(c + 1) * LEAF_TRIS][:, :, None]
+            v0x, v0y, v0z = col(0), col(1), col(2)
+            e1x, e1y, e1z = col(3), col(4), col(5)
+            e2x, e2y, e2z = col(6), col(7), col(8)
+            pay3 = col(9) * jnp.ones((1, CH, 128))    # (12, 8, 128)
+            # Moller-Trumbore: all LEAF_TRIS tris x one ray chunk per
+            # batched op chain
+            ts, tris, us, vs = [], [], [], []
+            for c in range(nch):
+                sl = slice(c * CH, (c + 1) * CH)
+                dxc, dyc, dzc = ch3(dx, c), ch3(dy, c), ch3(dz, c)
+                px = dyc * e2z - dzc * e2y
+                py = dzc * e2x - dxc * e2z
+                pz = dxc * e2y - dyc * e2x
                 det = e1x * px + e1y * py + e1z * pz
                 inv_det = jnp.where(jnp.abs(det) < 1e-7, 0.0, 1.0 / det)
-                tx = ox - v0x
-                ty = oy - v0y
-                tz = oz - v0z
+                tx = ch3(ox, c) - v0x
+                ty = ch3(oy, c) - v0y
+                tz = ch3(oz, c) - v0z
                 u = (tx * px + ty * py + tz * pz) * inv_det
                 qx = ty * e1z - tz * e1y
                 qy = tz * e1x - tx * e1z
                 qz = tx * e1y - ty * e1x
-                v = (dx * qx + dy * qy + dz * qz) * inv_det
-                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                v = (dxc * qx + dyc * qy + dzc * qz) * inv_det
+                tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
                 ok = ((inv_det != 0.0) & (u >= 0.0) & (v >= 0.0)
-                      & (u + v <= 1.0) & (t > 1e-7) & (t < best_t2)
-                      & (pay >= 0.0) & active)
-                best_t2 = jnp.where(ok, t, best_t2)
-                best_tri2 = jnp.where(ok, pay, best_tri2)
-                if want_uv:
-                    best_u2 = jnp.where(ok, u, best_u2)
-                    best_v2 = jnp.where(ok, v, best_v2)
-            if any_hit:
-                t_hi2 = t_hi
-            else:
-                # tighten the scalar prefilter ceiling to the farthest
-                # still-open ray
-                t_hi2 = jnp.max(jnp.where(active, best_t2, 0.0))
-            return _pack(sp, visits + 1, t_hi2, best_t2, best_tri2,
-                         best_u2, best_v2)
+                      & (u + v <= 1.0) & (tt > 1e-7) & (pay3 >= 0.0))
+                # closest-hit fold, static batch indices
+                bt2, btri2 = best_t[sl], best_tri[sl]
+                bu2, bv2 = best_u[sl], best_v[sl]
+                act = active[sl]
+                for j in range(LEAF_TRIS):
+                    upd = ok[j] & (tt[j] < bt2) & act
+                    bt2 = jnp.where(upd, tt[j], bt2)
+                    btri2 = jnp.where(upd, pay3[j], btri2)
+                    if want_uv:
+                        bu2 = jnp.where(upd, u[j], bu2)
+                        bv2 = jnp.where(upd, v[j], bv2)
+                ts.append(bt2)
+                tris.append(btri2)
+                us.append(bu2)
+                vs.append(bv2)
+            cat = (lambda xs: xs[0] if nch == 1
+                   else jnp.concatenate(xs, axis=0))
+            return _pack(sp, visits + 1, cat(ts), cat(tris),
+                         cat(us), cat(vs))
 
         def visit_internal():
             # per-level row offset of the PREFIX-TRUNCATED box storage
@@ -332,65 +317,43 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
                 lrow = jnp.where(level == j,
                                  jnp.int32(level_offsets[j]), lrow)
             row = cb_ref[pl.ds(lrow + node, 1), :]         # (1, 48)
+            tcol = row.T                                   # (48, 1)
+
+            def col(c):                                    # (8, 1, 1)
+                return tcol[c * ARITY:(c + 1) * ARITY][:, :, None]
+            lox, loy, loz = col(0), col(1), col(2)
+            hix, hiy, hiz = col(3), col(4), col(5)
             child_level = level + 1
-            # pass 1 (static unroll): slab-test all 8 children, collect a
-            # scalar hit bitmask (static lane slices only — Mosaic has no
-            # dynamic value slicing)
+            # slab-test all 8 children x one ray chunk per batched chain
+            acc = None
+            for c in range(nch):
+                sl = slice(c * CH, (c + 1) * CH)
+                ixc, iyc, izc = ch3(idx_, c), ch3(idy_, c), ch3(idz_, c)
+                oxc, oyc, ozc = ch3(oxi, c), ch3(oyi, c), ch3(ozi, c)
+                t0x = lox * ixc - oxc
+                t1x = hix * ixc - oxc
+                t0y = loy * iyc - oyc
+                t1y = hiy * iyc - oyc
+                t0z = loz * izc - ozc
+                t1z = hiz * izc - ozc
+                tmin = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x),
+                                jnp.minimum(t0y, t1y)),
+                    jnp.maximum(jnp.minimum(t0z, t1z), 0.0))
+                tmax = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x),
+                                jnp.maximum(t0y, t1y)),
+                    jnp.minimum(jnp.maximum(t0z, t1z),
+                                best_t[sl][None]))
+                okc = (tmax >= tmin) & active[sl][None]
+                acc = okc if acc is None else (acc | okc)
             want_bits = jnp.int32(0)
             for k in range(ARITY):
-                kb = k * 6
-
-                def vec_test(kb=kb):
-                    t0x = _bcast(row, kb) * idx_ - oxi
-                    t1x = _bcast(row, kb + 3) * idx_ - oxi
-                    t0y = _bcast(row, kb + 1) * idy_ - oyi
-                    t1y = _bcast(row, kb + 4) * idy_ - oyi
-                    t0z = _bcast(row, kb + 2) * idz_ - ozi
-                    t1z = _bcast(row, kb + 5) * idz_ - ozi
-                    tmin = jnp.maximum(
-                        jnp.maximum(jnp.minimum(t0x, t1x),
-                                    jnp.minimum(t0y, t1y)),
-                        jnp.maximum(jnp.minimum(t0z, t1z), 0.0))
-                    tmax = jnp.minimum(
-                        jnp.minimum(jnp.maximum(t0x, t1x),
-                                    jnp.maximum(t0y, t1y)),
-                        jnp.minimum(jnp.maximum(t0z, t1z), best_t))
-                    return jnp.any((tmax >= tmin) & active)
-
-                if prefilter:
-                    # scalar interval reject (conservative: only prunes)
-                    lox, hix = _bcast(row, kb), _bcast(row, kb + 3)
-                    loy, hiy = _bcast(row, kb + 1), _bcast(row, kb + 4)
-                    loz, hiz = _bcast(row, kb + 2), _bcast(row, kb + 5)
-
-                    def ent_ext(s, lo, hi, ol, oh, il, ih):
-                        lof = jnp.where(s, lo, -hi)
-                        hif = jnp.where(s, hi, -lo)
-                        al = lof - oh
-                        ent = al * jnp.where(al >= 0.0, il, ih)
-                        bh = hif - ol
-                        ext = bh * jnp.where(bh >= 0.0, ih, il)
-                        return ent, ext
-                    ex_, xx_ = ent_ext(sx_, lox, hix, oxl, oxh, ixl, ixh)
-                    ey_, xy_ = ent_ext(sy_, loy, hiy, oyl, oyh, iyl, iyh)
-                    ez_, xz_ = ent_ext(sz_, loz, hiz, ozl, ozh, izl, izh)
-                    ent = jnp.maximum(jnp.maximum(ex_, ey_),
-                                      jnp.maximum(ez_, 0.0))
-                    ext = jnp.minimum(jnp.minimum(xx_, xy_),
-                                      jnp.minimum(xz_, t_hi))
-                    maybe = (~coherent) | (ent <= ext)
-                    # yield i32, not i1: Mosaic rejects scalar-bool
-                    # scf.if results
-                    want = jax.lax.cond(
-                        maybe,
-                        lambda: vec_test().astype(jnp.int32),
-                        lambda: jnp.int32(0))
-                else:
-                    want = vec_test().astype(jnp.int32)
-                want_bits = want_bits | (want << k)
-            # pass 2 (scalar): push far-to-near by the packet's dominant
-            # octant (morton child order makes k ^ flip front-to-back),
-            # so the nearest child pops first
+                want_bits = want_bits | (
+                    jnp.any(acc[k]).astype(jnp.int32) << k)
+            # push far-to-near by the packet's dominant octant (morton
+            # child order makes k ^ flip front-to-back), so the nearest
+            # child pops first
             new_sp = sp
             for jj in range(ARITY - 1, -1, -1):
                 k = jnp.int32(jj) ^ flip
@@ -399,17 +362,15 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
                 stack_scr[new_sp] = ((child << _ENC_LEVEL_BITS)
                                      | child_level)
                 new_sp = new_sp + bit
-            return _pack(new_sp, visits + 1, t_hi, best_t, best_tri,
+            return _pack(new_sp, visits + 1, best_t, best_tri,
                          best_u, best_v)
 
         is_leaf = level == leaf_level
         return jax.lax.cond(is_leaf, visit_leaf, visit_internal)
 
-    t_hi0 = jnp.max(jnp.where(live, t_cap, 0.0))
-    init = _pack(jnp.int32(1), jnp.int32(0), t_hi0, t_cap, neg1,
-                 zero, zero)
+    init = _pack(jnp.int32(1), jnp.int32(0), t_cap, neg1, zero, zero)
     fin = jax.lax.while_loop(cond, body, init)
-    (sp, visits, t_hi, best_t, best_tri, best_u, best_v) = _unpack(fin)
+    (sp, visits, best_t, best_tri, best_u, best_v) = _unpack(fin)
 
     out_ref[0, 0:sub] = best_t
     out_ref[0, sub:2 * sub] = best_tri
@@ -430,10 +391,12 @@ def traverse_pallas(bvh: Bvh, origins, directions, t_max,
 
     Rays are packed `packet` (default 4096) per packet in order — callers
     get the best performance when consecutive rays are coherent (image
-    tiles; probe rays grouped by direction).
+    tiles; probe rays grouped into cones).
     want_uv=False skips barycentric tracking (no frame consumer reads
     u/v from RT results; u/v return as zeros).
-    prefilter enables the scalar packet-interval child reject.
+    prefilter is accepted for CLI compatibility but ignored: the batched
+    3D child test made the scalar packet-interval prefilter (and its 8
+    per-child lax.conds) a net loss.
     Returns dict(hit (N,) bool, t, tri (i32), u, v, steps).
     """
     n = origins.shape[0]
@@ -473,7 +436,7 @@ def traverse_pallas(bvh: Bvh, origins, directions, t_max,
         _traverse_kernel, n_levels=bvh.num_levels,
         level_offsets=tuple(bvh.level_offset), any_hit=any_hit,
         max_visits=max_visits, sub=sub, want_uv=want_uv,
-        prefilter=prefilter, leaf_hbm=leaf_hbm)
+        leaf_hbm=leaf_hbm)
     out = pl.pallas_call(
         kernel,
         grid=(p,),
@@ -481,7 +444,7 @@ def traverse_pallas(bvh: Bvh, origins, directions, t_max,
             pl.BlockSpec((1, 8 * sub, _LANE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY if leaf_hbm
+            pl.BlockSpec(memory_space=pl.ANY if leaf_hbm
                          else pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, rows * sub, _LANE),
