@@ -104,7 +104,11 @@ class RenderSettings:
     debug_mode: int = 0                   # lighting.DEBUG_*
     # raster tuning
     max_tris_per_tile: int = 512
-    raster_chunk: int = 32
+    raster_chunk: int = 256    # pair records per fill grid step: the
+    #                            batched-3D chunk raster made per-step
+    #                            FIXED cost (DMA bookkeeping ~1.5us)
+    #                            dominant; 256 measured 2.1x faster than
+    #                            32 on the courtyard at 1080p
     max_big_tris: int = 256
     tile_batch: int = 32
     tile_h: int = 16                      # fill-tile height (8 = native

@@ -331,9 +331,10 @@ def fill_visibility(setup: dict, tile_table, big_list, cfg: RasterConfig,
                 jnp.where(upd, cid, best_id))
 
     k = cfg.max_tris_per_tile
-    c = cfg.chunk
+    c = min(cfg.chunk, k)
     n_chunks = -(-k // c)
-    n_big_chunks = -(-cfg.max_big_tris // c)
+    c_big = min(cfg.chunk, cfg.max_big_tris)
+    n_big_chunks = -(-cfg.max_big_tris // c_big)
 
     def do_batch(batch_idx):
         tile_ids = batch_idx * tb + jnp.arange(tb, dtype=jnp.int32)
@@ -359,7 +360,8 @@ def fill_visibility(setup: dict, tile_table, big_list, cfg: RasterConfig,
         best = jax.lax.fori_loop(0, n_chunks, body, best)
 
         def body_big(i, best):
-            ids = jax.lax.dynamic_slice(big_b, (0, i * c), (tb, c))
+            ids = jax.lax.dynamic_slice(big_b, (0, i * c_big),
+                                        (tb, c_big))
             return raster_chunk(ids, pxn, pyn, peel, best)
         best = jax.lax.fori_loop(0, n_big_chunks, body_big, best)
         return best

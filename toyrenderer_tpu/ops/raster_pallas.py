@@ -81,30 +81,55 @@ def _fill_kernel(counts_ref,            # scalar prefetch: (tiles,) i32
     c = chunk
 
     def make_body(rec_src):
+        # batched (G,1,1) x (1,8,128) edge evaluation — see raster_rows
+        g = 8
+        nh = th // 8
+
+        colf8 = jax.lax.broadcasted_iota(
+            jnp.int32, (8, tw), 1).astype(jnp.float32) + 0.5
+        rowf8 = jax.lax.broadcasted_iota(
+            jnp.int32, (8, tw), 0).astype(jnp.float32) + 0.5
+        px8 = (tx.astype(jnp.float32) * tw + colf8) * (1.0 / cfg.width)
+
         def body(ci, _):
             base = pl.multiple_of(ci * c, c)
             rec = rec_src(base)                       # (C, 16)
-            best_z = z_out[...]
-            best_id = id_out[...]
-            for j in range(c):
-                e = rec[j]
-                l0 = e[0] * pxn + e[1] * pyn + e[2]
-                l1 = e[3] * pxn + e[4] * pyn + e[5]
-                l2 = e[6] * pxn + e[7] * pyn + e[8]
-                num = l0 * e[9] + l1 * e[10] + l2 * e[11]
-                den = l0 * e[12] + l1 * e[13] + l2 * e[14]
-                inside = ((l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)
-                          & (den > 0.0))
-                depth = jnp.where(
-                    inside, num / jnp.where(den == 0.0, 1.0, den), -1.0)
-                tri_id = e[15]                        # f32 id, -1 = empty
-                # chunk overshoot reads -1-id slots — mask them out
-                upd = (depth > best_z) & (tri_id >= 0.0)
-                best_z = jnp.where(upd, depth, best_z)
-                best_id = jnp.where(
-                    upd, tri_id.astype(jnp.int32) + emit_base, best_id)
-            z_out[...] = best_z
-            id_out[...] = best_id
+            halves = []
+            for h in range(nh):
+                sl = slice(h * 8, (h + 1) * 8)
+                pxh = px8[None]
+                pyh = ((ty.astype(jnp.float32) * th + h * 8 + rowf8)
+                       * (1.0 / cfg.height))[None]
+                bz = z_out[sl, :]
+                bi = id_out[sl, :]
+                for r0 in range(0, c, g):
+                    rg = rec[r0:r0 + g]
+
+                    def colm(f, rg=rg):
+                        return rg[:, f:f + 1][:, :, None]
+                    idp = colm(15) * jnp.ones((1, 8, 128))
+                    l0 = colm(0) * pxh + colm(1) * pyh + colm(2)
+                    l1 = colm(3) * pxh + colm(4) * pyh + colm(5)
+                    l2 = colm(6) * pxh + colm(7) * pyh + colm(8)
+                    num = l0 * colm(9) + l1 * colm(10) + l2 * colm(11)
+                    den = l0 * colm(12) + l1 * colm(13) + l2 * colm(14)
+                    inside = ((l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)
+                              & (den > 0.0))
+                    depth = jnp.where(
+                        inside, num / jnp.where(den == 0.0, 1.0, den),
+                        -1.0)
+                    for r in range(g):
+                        # chunk overshoot reads -1-id slots — mask out
+                        upd = (depth[r] > bz) & (idp[r] >= 0.0)
+                        bz = jnp.where(upd, depth[r], bz)
+                        bi = jnp.where(
+                            upd, idp[r].astype(jnp.int32) + emit_base,
+                            bi)
+                halves.append((bz, bi))
+            for h in range(nh):
+                sl = slice(h * 8, (h + 1) * 8)
+                z_out[sl, :] = halves[h][0]
+                id_out[sl, :] = halves[h][1]
             return 0
         return body
 
@@ -258,7 +283,7 @@ def _fill_resolve_stream_kernel(
         slot_scr,            # VMEM (TH, TW) i32
         rec_scr,             # VMEM (K, R) f32
         fet_scr,             # VMEM (TH, R, TW) f32 fetched-record planes
-        *, cfg: RasterConfig, emit_base: int, rec_width: int,
+        *, cfg: RasterConfig, chunk: int, emit_base: int, rec_width: int,
         peel_ref=None):      # optional (TH, TW) exclusive near bound
     j = pl.program_id(0)
     n_ch = pl.num_programs(0)
@@ -267,7 +292,7 @@ def _fill_resolve_stream_kernel(
         j == 0, chunk_tile_ref[jnp.maximum(j - 1, 0)] != tile)
     last = jnp.logical_or(
         j == n_ch - 1, chunk_tile_ref[jnp.minimum(j + 1, n_ch - 1)] != tile)
-    c = cfg.chunk
+    c = chunk
     slot_base = (j - chunk_base_ref[tile]) * c
     count = count_ref[tile]
     big_count = bigcount_ref[0]
@@ -293,38 +318,81 @@ def _fill_resolve_stream_kernel(
         # stale inf/NaN rows would poison the sum
         rec_scr[...] = jnp.zeros((k_cap, rec_width), jnp.float32)
 
-    def raster_rows(rec, base, limit, slot_origin, best):
-        best_z, best_id, best_slot = best
-        for r in range(c):
-            e = rec[r]
-            l0 = e[0] * pxn + e[1] * pyn + e[2]
-            l1 = e[3] * pxn + e[4] * pyn + e[5]
-            l2 = e[6] * pxn + e[7] * pyn + e[8]
-            num = l0 * e[9] + l1 * e[10] + l2 * e[11]
-            den = l0 * e[12] + l1 * e[13] + l2 * e[14]
-            inside = ((l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)
-                      & (den > 0.0))
-            depth = jnp.where(
-                inside, num / jnp.where(den == 0.0, 1.0, den), -1.0)
-            upd = (depth > best_z) & (base + r < limit)
-            if peel_ref is not None:
-                # depth peeling: only fragments strictly FARTHER than
-                # the previous layer may win (next-layer extraction)
-                upd = upd & (depth < peel_ref[...])
-            best_z = jnp.where(upd, depth, best_z)
-            best_id = jnp.where(
-                upd, e[15].astype(jnp.int32) + emit_base, best_id)
-            best_slot = jnp.where(upd, slot_origin + base + r, best_slot)
-        return best_z, best_id, best_slot
+    # Batched edge evaluation: triangle fields are (G,1) static column
+    # slices of the record block, broadcast (G,1,1) x (1,8,128) against
+    # 8-row pixel slabs — one op chain tests G triangles x 1024 pixels.
+    # The per-triangle scalar-extract formulation (16 extracts/tri)
+    # measured ~10x slower — scalar extracts dominate, not VPU flops
+    # (see ops/bvh_pallas.py).  G=8 keeps the batch one vreg tile per
+    # element and the sublane dim a single tile (Mosaic (K,1,1)-
+    # broadcast constraint); z/id/slot state moves in 8-row HALVES read
+    # and written straight from the refs (sublane-slicing a multi-tile
+    # VALUE around these 3D ops crashes the Mosaic layout pass).
+    g = 8
+    nh = th // 8
+
+    def _sl(h):
+        return slice(h * 8, (h + 1) * 8)
+
+    def read_halves():
+        return [(z_out[_sl(h), :], id_out[_sl(h), :],
+                 slot_scr[_sl(h), :]) for h in range(nh)]
+
+    def write_halves(halves):
+        for h in range(nh):
+            z_out[_sl(h), :] = halves[h][0]
+            id_out[_sl(h), :] = halves[h][1]
+            slot_scr[_sl(h), :] = halves[h][2]
+
+    colf8 = jax.lax.broadcasted_iota(
+        jnp.int32, (8, tw), 1).astype(jnp.float32) + 0.5
+    rowf8 = jax.lax.broadcasted_iota(
+        jnp.int32, (8, tw), 0).astype(jnp.float32) + 0.5
+    px8 = (tx.astype(jnp.float32) * tw + colf8) * (1.0 / cfg.width)
+
+    def raster_rows(rec, base, limit, slot_origin, halves):
+        out = []
+        for h in range(nh):
+            sl = _sl(h)
+            pxh = px8[None]
+            pyh = ((ty.astype(jnp.float32) * th + h * 8 + rowf8)
+                   * (1.0 / cfg.height))[None]
+            bz, bi, bs = halves[h]
+            for r0 in range(0, c, g):
+                rg = rec[r0:r0 + g]
+
+                def colm(f, rg=rg):
+                    return rg[:, f:f + 1][:, :, None]  # (g, 1, 1)
+                l0 = colm(0) * pxh + colm(1) * pyh + colm(2)
+                l1 = colm(3) * pxh + colm(4) * pyh + colm(5)
+                l2 = colm(6) * pxh + colm(7) * pyh + colm(8)
+                num = l0 * colm(9) + l1 * colm(10) + l2 * colm(11)
+                den = l0 * colm(12) + l1 * colm(13) + l2 * colm(14)
+                inside = ((l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)
+                          & (den > 0.0))
+                depth = jnp.where(
+                    inside, num / jnp.where(den == 0.0, 1.0, den), -1.0)
+                idp = colm(15) * jnp.ones((1, 8, 128))
+                for r in range(g):
+                    upd = (depth[r] > bz) & (base + r0 + r < limit)
+                    if peel_ref is not None:
+                        # depth peeling: only fragments strictly FARTHER
+                        # than the previous layer may win
+                        upd = upd & (depth[r] < peel_ref[sl, :])
+                    bz = jnp.where(upd, depth[r], bz)
+                    bi = jnp.where(
+                        upd, idp[r].astype(jnp.int32) + emit_base, bi)
+                    bs = jnp.where(upd, slot_origin + base + r0 + r, bs)
+            out.append((bz, bi, bs))
+        return out
 
     # padding chunks (mandatory chunk of an empty tile / budget replay)
     # skip the raster entirely — at 1080p ~half the grid steps are
     # empty-tile mandatory chunks, pure VPU waste without this guard
     @pl.when(slot_base < count)
     def _():
-        best = (z_out[...], id_out[...], slot_scr[...])
-        best = raster_rows(comb_ref[0, :, :16], slot_base, count, 0, best)
-        z_out[...], id_out[...], slot_scr[...] = best
+        write_halves(raster_rows(comb_ref[0, :, :16], slot_base, count,
+                                 0, read_halves()))
 
     # stash this chunk's resolve records for the epilogue's one-hot fetch
     # (padding chunks past K are masked by `count` and must not clobber)
@@ -335,14 +403,12 @@ def _fill_resolve_stream_kernel(
     @pl.when(last)
     def _():
         # big triangles: every tile tests the resident list
-        def big_body(ci, best):
+        def big_body(ci, halves):
             base = pl.multiple_of(ci * c, c)
             return raster_rows(bigcomb_ref[pl.ds(base, c), :16], base,
-                               big_count, k_cap, best)
-        best2 = (z_out[...], id_out[...], slot_scr[...])
-        best2 = jax.lax.fori_loop(0, (big_count + c - 1) // c, big_body,
-                                  best2)
-        z_out[...], id_out[...], slot_scr[...] = best2
+                               big_count, k_cap, halves)
+        write_halves(jax.lax.fori_loop(
+            0, (big_count + c - 1) // c, big_body, read_halves()))
 
         # one-hot MXU record fetch, count-blocked and bit-faithful:
         #   - MXU matmuls run in bf16 regardless of f32 inputs, which
@@ -490,7 +556,9 @@ def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
     r = resolve_records.shape[1]
     comb = jnp.concatenate([pack_tri_records(setup), resolve_records], 1)
     t = comb.shape[0]
-    c = cfg.chunk
+    # clamp the stream chunk to the capacities (small test configs run
+    # with tiny K/B; the big default chunk amortizes per-grid-step cost)
+    c = min(cfg.chunk, cfg.max_tris_per_tile, cfg.max_big_tris)
     n_tiles = cfg.num_tiles
     k_cap = cfg.max_tris_per_tile
     assert k_cap % c == 0, "max_tris_per_tile must be a CHUNK_S multiple"
@@ -608,7 +676,7 @@ def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
         kernel = _fill_resolve_stream_kernel_peel
         inputs.append(peel_depth)
     z, tid, rec = pl.pallas_call(
-        functools.partial(kernel, cfg=cfg,
+        functools.partial(kernel, cfg=cfg, chunk=c,
                           emit_base=emit_base, rec_width=r),
         out_shape=(
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
