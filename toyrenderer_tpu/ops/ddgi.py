@@ -41,6 +41,10 @@ class DdgiVolume:
     spacing: tuple         # probe spacing (3,)
     counts: tuple          # probes per axis (3,)
     rays_per_probe: int = 64
+    max_ray_distance: float = 1e4   # probe radiance-ray TMax — the
+    #                                 reference uses the scene bounding-
+    #                                 sphere radius (GIRenderer.cpp:79);
+    #                                 also tightens traversal slab tests
 
     @property
     def num_probes(self) -> int:
@@ -76,7 +80,8 @@ def volume_from_aabb(bmin, bmax, max_probes_axis: int = 12,
     return DdgiVolume(origin=tuple(float(x) for x in bmin),
                       spacing=tuple(float(x) for x in spacing),
                       counts=tuple(int(x) for x in counts),
-                      rays_per_probe=rays_per_probe)
+                      rays_per_probe=rays_per_probe,
+                      max_ray_distance=float(np.linalg.norm(ext) * 0.5))
 
 
 def init_probes(volume: DdgiVolume):
@@ -190,7 +195,8 @@ def trace_probes(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
     d_all = jnp.repeat(dirs, p, axis=0)
 
     from toyrenderer_tpu.ops.bvh_pallas import traverse_auto
-    res = traverse_auto(bvh, origins, d_all, t_max=1e4,
+    res = traverse_auto(bvh, origins, d_all,
+                        t_max=volume.max_ray_distance,
                         max_steps=max_steps, sp_mesh=sp_mesh)
     hit = res['hit']
     tri = jnp.maximum(res['tri'], 0)
@@ -485,7 +491,8 @@ def trace_probe_block(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
                             sp_mesh=sp_mesh, **kw)
         return {k: _cone_unblock(v, r, pbp) for k, v in res.items()}
 
-    res = trace(origins, d_all, live, t_max=1e4, max_steps=max_steps)
+    res = trace(origins, d_all, live, t_max=volume.max_ray_distance,
+                max_steps=max_steps)
     hit = res['hit']
     tri = jnp.maximum(res['tri'], 0)
     t = res['t']

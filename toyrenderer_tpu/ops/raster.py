@@ -54,17 +54,31 @@ class RasterConfig:
     tile_w: int = 128
     max_tris_per_tile: int = 512     # K: per-tile list capacity
     chunk: int = 32                  # C: triangles processed per inner step
-    bin_slots_y: int = 8             # static per-triangle tile-slot grid
+    bin_slots_y: int = 4             # static per-triangle tile-slot grid
+    #                                  (4x2 = 64x256 px covers 99.5% of a
+    #                                  Sponza-class view's triangles; the
+    #                                  rest go to the big list)
     bin_slots_x: int = 2
-    max_big_tris: int = 256          # B: full-screen-tested triangle budget
+    max_big_tris: int = 512          # B: full-screen-tested triangle budget
     tile_batch: int = 32             # TB: tiles processed per map step
     pair_capacity: int | None = None  # global (tile, tri) pair budget for
     #                                   the streaming fill; None = T (the
     #                                   triangle count), clamped to tiles*K
+    compact_frac: float = 0.5        # small-triangle compaction capacity
+    #                                  as a fraction of T: LOD/culling
+    #                                  leave most slots invalid, so valid
+    #                                  tris compact to this prefix before
+    #                                  slot expansion (sort shrinks ~3x);
+    #                                  overflow drops, like every bounded
+    #                                  amplification path here
 
     def resolve_pair_capacity(self, t: int) -> int:
         cap = self.pair_capacity if self.pair_capacity else t
         return max(min(cap, self.num_tiles * self.max_tris_per_tile), 256)
+
+    def compact_cap(self, t: int) -> int:
+        # sublane-aligned static capacity of the compacted small set
+        return min(max(-(-int(t * self.compact_frac) // 8) * 8, 256), t)
 
     @property
     def tiles_x(self) -> int:
@@ -207,19 +221,31 @@ def _sort_pairs(setup: dict, cfg: RasterConfig):
                                | (spans_y > cfg.bin_slots_y))
     small = setup['valid'] & ~is_big
 
+    # --- compact the small set first: culling/LOD leave most of the
+    # static slot budget INVALID (a Sponza-class culled view keeps ~30%),
+    # so sorting T x S slot keys wastes ~3x.  One T-element sort brings
+    # valid tris to a static prefix (capacity overflow drops — bounded
+    # amplification), then only that prefix slot-expands -----------------
+    cc = cfg.compact_cap(t)
+    ckey = jnp.where(small, jnp.arange(t, dtype=jnp.int32), jnp.int32(t))
+    order = jax.lax.sort(ckey)[:cc]                    # valid-first ids
+    ok_c = order < t
+    oc = jnp.where(ok_c, order, 0)
+    tx0c, tx1c = tx0[oc], tx1[oc]
+    ty0c, ty1c = ty0[oc], ty1[oc]
+
     # --- small triangles: static slot expansion + sort by tile ------------
     sy_ = jnp.arange(cfg.bin_slots_y, dtype=jnp.int32)
     sx_ = jnp.arange(cfg.bin_slots_x, dtype=jnp.int32)
-    ty = ty0[:, None, None] + sy_[None, :, None]       # (T, Sy, 1)
-    tx = tx0[:, None, None] + sx_[None, None, :]       # (T, 1, Sx)
-    in_range = ((ty <= ty1[:, None, None]) & (tx <= tx1[:, None, None])
-                & small[:, None, None])
-    tile_id = ty * cfg.tiles_x + tx                    # (T, Sy, Sx)
+    ty = ty0c[:, None, None] + sy_[None, :, None]      # (CC, Sy, 1)
+    tx = tx0c[:, None, None] + sx_[None, None, :]      # (CC, 1, Sx)
+    in_range = ((ty <= ty1c[:, None, None]) & (tx <= tx1c[:, None, None])
+                & ok_c[:, None, None])
+    tile_id = ty * cfg.tiles_x + tx                    # (CC, Sy, Sx)
     sentinel = jnp.int32(cfg.num_tiles)
     keys = jnp.where(in_range, tile_id, sentinel).reshape(-1)
     tri_ids = jnp.broadcast_to(
-        jnp.arange(t, dtype=jnp.int32)[:, None, None],
-        tile_id.shape).reshape(-1)
+        oc[:, None, None], tile_id.shape).reshape(-1)
     tri_bits = max(t - 1, 1).bit_length()
     if tri_bits + (cfg.num_tiles + 1).bit_length() <= 31:
         # single-key sort: (tile << tri_bits) | tri — ~2x faster than a
