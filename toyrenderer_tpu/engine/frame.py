@@ -65,6 +65,8 @@ class RenderSettings:
     enable_gi: bool = False               # DDGI probe GI
     gi_max_steps: int = 64                # probe-ray traversal budget
     gi_update_phases: int = 1             # probes update in P/N blocks
+    gi_sample_scale: int = 2              # probe-sampling downscale when
+    #                                       gi_half_res (2 = half res)
     gi_half_res: bool = True              # sample probe irradiance at
     #   half res + expand (16 gathers/pixel otherwise)
     gi_sun_technique: str = 'auto'        # probe-hit direct-sun
@@ -461,24 +463,27 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
             first_frame=(carry['frame_index']
                          < settings.gi_update_phases),
             lifecycle=lifecycle)
-        # per-pixel probe sampling is 16 latency-bound gathers/pixel
-        # (8 probes x irradiance+visibility); irradiance is
-        # low-frequency, so sample at HALF res and quad-expand (~4x
-        # cheaper — the reference's probe-texture taps are hardware
-        # filtered, this is our equivalent trade)
-        if (settings.gi_half_res and settings.height % 2 == 0
-                and settings.width % 2 == 0):
+        # per-pixel probe sampling is ~24 latency-bound gathers/pixel
+        # (8 probes x irradiance+visibility+offset); irradiance is
+        # low-frequency (probe spacing >> pixels), so sample at
+        # 1/gi_sample_scale res and expand (~scale^2 cheaper — the
+        # reference's probe-texture taps are hardware filtered, this is
+        # our equivalent trade)
+        sc = max(settings.gi_sample_scale, 1) if settings.gi_half_res \
+            else 1
+        if (sc > 1 and settings.height % sc == 0
+                and settings.width % sc == 0):
             def _pool(x):
                 return jax.lax.reduce_window(
-                    x, 0.0, jax.lax.add, (2, 2, 1), (2, 2, 1),
-                    'VALID') * 0.25
+                    x, 0.0, jax.lax.add, (sc, sc, 1), (sc, sc, 1),
+                    'VALID') * (1.0 / (sc * sc))
             from toyrenderer_tpu.mathlib.transforms import normalize
             gi_h = ddgi_mod.sample_irradiance_visibility(
                 ddgi_volume, gi_carry['ddgi_irradiance'],
                 gi_carry['ddgi_distance'], _pool(wp),
                 normalize(_pool(m_gb['normal'])),
                 probe_offset=gi_carry['ddgi_offset'])
-            gi_irradiance = jnp.repeat(jnp.repeat(gi_h, 2, 0), 2, 1)
+            gi_irradiance = jnp.repeat(jnp.repeat(gi_h, sc, 0), sc, 1)
         else:
             gi_irradiance = ddgi_mod.sample_irradiance_visibility(
                 ddgi_volume, gi_carry['ddgi_irradiance'],

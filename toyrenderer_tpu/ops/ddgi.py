@@ -329,8 +329,8 @@ def _sample(volume, irradiance, distance, world_pos, normal,
                     dt = jnp.clip((duv * DIST_RES).astype(jnp.int32), 0,
                                   DIST_RES - 1)
                     dtex = dt[:, 1] * DIST_RES + dt[:, 0]
-                    md = distance[pid, dtex, 0]
-                    md2 = distance[pid, dtex, 1]
+                    d2 = distance[pid, dtex]       # ONE (2,) row gather
+                    md, md2 = d2[:, 0], d2[:, 1]
                     var = jnp.maximum(md2 - md * md, 1e-6)
                     cheb = var / (var + jnp.maximum(
                         dist_p - md, 0.0) ** 2)
