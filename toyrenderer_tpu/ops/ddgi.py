@@ -285,6 +285,17 @@ def sample_irradiance_visibility(volume: DdgiVolume, irradiance, distance,
 
 def _sample(volume, irradiance, distance, world_pos, normal,
             probe_offset=None):
+    """Gather-count design (the TPU cost is latency per random (row,
+    column) access, not bytes): the 8 trilinear corner pids differ from
+    the base pid by STATIC strides and share ONE octahedral texel, so a
+    per-frame CORNER-PACKED table (P*64, 8) of RGB9E5-quantized
+    irradiance turns 8x3 f32 fetches into ONE 8-u32-column row gather;
+    relocation offsets pack the same way ((P, 16) u32 of f16 pairs).
+    Distance stays per-corner (its oct texel is the direction TO each
+    corner) but fetches ONE u32 of f16 moments.  Per sampled pixel:
+    24 f32 + extra columns -> 8 + 16/8 + 8 u32 columns (~3x fewer).
+    Quantization (9e5 irradiance, f16 moments/offsets) is at or above
+    the reference's probe-texture precision."""
     shape = world_pos.shape[:-1]
     wp = world_pos.reshape(-1, 3)
     n = normal.reshape(-1, 3)
@@ -292,53 +303,83 @@ def _sample(volume, irradiance, distance, world_pos, normal,
     spacing = jnp.asarray(volume.spacing)
     counts = np.asarray(volume.counts)
     cz = int(counts[2]); cy = int(counts[1]); cx = int(counts[0])
+    p_n = cx * cy * cz
 
     g = (wp - origin) / spacing
     g0 = jnp.clip(jnp.floor(g), 0, jnp.asarray(counts, jnp.float32) - 2)
     frac = jnp.clip(g - g0, 0.0, 1.0)
     g0 = g0.astype(jnp.int32)
+    base_pid = (g0[:, 0] * cy + g0[:, 1]) * cz + g0[:, 2]
 
     # octahedral texel of the surface normal
     uv = P.oct_encode(n)
     tx = jnp.clip((uv * IRR_RES).astype(jnp.int32), 0, IRR_RES - 1)
     texel = tx[:, 1] * IRR_RES + tx[:, 0]
 
+    corners = [(dx, dy, dz) for dx in (0, 1) for dy in (0, 1)
+               for dz in (0, 1)]
+    strides = [(dx * cy + dy) * cz + dz for dx, dy, dz in corners]
+    pid_all = jnp.arange(p_n, dtype=jnp.int32)
+
+    # per-frame packed tables (P is tiny; these 8 gathers run at P rate)
+    irr_pack = jnp.stack(
+        [P.pack_rgb9e5_u32(
+            jnp.maximum(irradiance[jnp.clip(pid_all + s, 0, p_n - 1)],
+                        0.0))
+         for s in strides], axis=-1)                   # (P, 64, 8)
+    irr_pack = irr_pack.reshape(p_n * IRR_RES * IRR_RES, 8)
+    if probe_offset is not None:
+        offs = [probe_offset[jnp.clip(pid_all + s, 0, p_n - 1)]
+                for s in strides]                      # 8 x (P, 3)
+        off_pack = jnp.stack(
+            [u for o in offs
+             for u in (P.pack_half2_u32(o[:, 0:2]),
+                       P.pack_half2_u32(
+                           jnp.stack([o[:, 2],
+                                      jnp.zeros_like(o[:, 2])], -1)))],
+            axis=-1)                                   # (P, 16)
+        off_rows = off_pack[base_pid]                  # (N, 16) u32
+    if distance is not None:
+        dist_pack = P.pack_half2_u32(distance).reshape(-1)  # (P*256,)
+
+    irr_rows = irr_pack[base_pid * (IRR_RES * IRR_RES) + texel]  # (N, 8)
+
     acc = jnp.zeros((wp.shape[0], 3))
     wacc = jnp.zeros((wp.shape[0], 1))
-    for dx in (0, 1):
-        for dy in (0, 1):
-            for dz in (0, 1):
-                gi = g0 + jnp.asarray([dx, dy, dz])
-                pid = (gi[:, 0] * cy + gi[:, 1]) * cz + gi[:, 2]
-                pid = jnp.clip(pid, 0, cx * cy * cz - 1)
-                w = ((frac[:, 0] if dx else 1 - frac[:, 0])
-                     * (frac[:, 1] if dy else 1 - frac[:, 1])
-                     * (frac[:, 2] if dz else 1 - frac[:, 2]))
-                probe_pos = origin + gi.astype(jnp.float32) * spacing
-                if probe_offset is not None:
-                    probe_pos = probe_pos + probe_offset[pid]
-                to_probe = probe_pos - wp
-                dist_p = jnp.maximum(jnp.linalg.norm(to_probe, axis=-1), 1e-4)
-                dir_p = to_probe / dist_p[:, None]
-                # soft backface: probes behind the surface contribute less
-                wn = jnp.maximum(jnp.sum(dir_p * n, -1) * 0.5 + 0.5,
-                                 0.0) ** 2 + 0.05
-                w = w * wn
-                if distance is not None:
-                    duv = P.oct_encode(-dir_p)
-                    dt = jnp.clip((duv * DIST_RES).astype(jnp.int32), 0,
-                                  DIST_RES - 1)
-                    dtex = dt[:, 1] * DIST_RES + dt[:, 0]
-                    d2 = distance[pid, dtex]       # ONE (2,) row gather
-                    md, md2 = d2[:, 0], d2[:, 1]
-                    var = jnp.maximum(md2 - md * md, 1e-6)
-                    cheb = var / (var + jnp.maximum(
-                        dist_p - md, 0.0) ** 2)
-                    cheb = jnp.clip(cheb ** 3, 0.05, 1.0)
-                    w = w * jnp.where(dist_p > md, cheb, 1.0)
-                e = irradiance[pid, texel]
-                acc = acc + e * w[:, None]
-                wacc = wacc + w[:, None]
+    for k, (dx, dy, dz) in enumerate(corners):
+        gi_f = g0.astype(jnp.float32) + jnp.asarray(
+            [dx, dy, dz], jnp.float32)
+        w = ((frac[:, 0] if dx else 1 - frac[:, 0])
+             * (frac[:, 1] if dy else 1 - frac[:, 1])
+             * (frac[:, 2] if dz else 1 - frac[:, 2]))
+        probe_pos = origin + gi_f * spacing
+        if probe_offset is not None:
+            oxy = P.unpack_half2_u32(off_rows[:, 2 * k])
+            oz = P.unpack_half2_u32(off_rows[:, 2 * k + 1])[:, 0:1]
+            probe_pos = probe_pos + jnp.concatenate([oxy, oz], -1)
+        to_probe = probe_pos - wp
+        dist_p = jnp.maximum(jnp.linalg.norm(to_probe, axis=-1), 1e-4)
+        dir_p = to_probe / dist_p[:, None]
+        # soft backface: probes behind the surface contribute less
+        wn = jnp.maximum(jnp.sum(dir_p * n, -1) * 0.5 + 0.5,
+                         0.0) ** 2 + 0.05
+        w = w * wn
+        if distance is not None:
+            duv = P.oct_encode(-dir_p)
+            dt = jnp.clip((duv * DIST_RES).astype(jnp.int32), 0,
+                          DIST_RES - 1)
+            dtex = dt[:, 1] * DIST_RES + dt[:, 0]
+            pid_k = jnp.clip(base_pid + strides[k], 0, p_n - 1)
+            d2 = P.unpack_half2_u32(
+                dist_pack[pid_k * (DIST_RES * DIST_RES) + dtex])
+            md, md2 = d2[:, 0], d2[:, 1]
+            var = jnp.maximum(md2 - md * md, 1e-6)
+            cheb = var / (var + jnp.maximum(dist_p - md, 0.0) ** 2)
+            cheb = jnp.clip(cheb ** 3, 0.05, 1.0)
+            w = w * jnp.where(dist_p > md, cheb, 1.0)
+        e = P.unpack_rgb9e5_u32(irr_rows[:, k])
+        acc = acc + e * w[:, None]
+        wacc = wacc + w[:, None]
     out = acc / jnp.maximum(wacc, 1e-6)
     return out.reshape(*shape, 3)
 
