@@ -133,18 +133,26 @@ def _cone_order(r: int) -> np.ndarray:
     return np.lexsort((d[:, 2], oct_id)).astype(np.int32)
 
 
-def _cone_block(x, r, pbp):
+def _cone_block(x, r, pbp, brick: int = CONE_BRICK):
     """Dir-major flat rays (r*pbp, ...) -> cone-blocked traversal order
     ((cone, brick, dir-in-cone, probe-in-brick)); pure reshape/transpose."""
     s = x.shape[1:]
-    return x.reshape(r // CONE_DIRS, CONE_DIRS, pbp // CONE_BRICK,
-                     CONE_BRICK, *s).swapaxes(1, 2).reshape(-1, *s)
+    return x.reshape(r // CONE_DIRS, CONE_DIRS, pbp // brick,
+                     brick, *s).swapaxes(1, 2).reshape(-1, *s)
 
 
-def _cone_unblock(x, r, pbp):
+def _cone_unblock(x, r, pbp, brick: int = CONE_BRICK):
     s = x.shape[1:]
-    return x.reshape(r // CONE_DIRS, pbp // CONE_BRICK, CONE_DIRS,
-                     CONE_BRICK, *s).swapaxes(1, 2).reshape(-1, *s)
+    return x.reshape(r // CONE_DIRS, pbp // brick, CONE_DIRS,
+                     brick, *s).swapaxes(1, 2).reshape(-1, *s)
+
+
+def _brick_for(pb: int) -> int:
+    """Adaptive traversal brick: phased blocks (pb = P/num_phases probes)
+    padded to the full 256-probe brick wasted up to ~3x of every
+    packet's lanes on dead probes; the brick shrinks to the nearest
+    power of two >= pb (floor 64) so ray slots track live rays."""
+    return min(CONE_BRICK, max(64, 1 << max(pb - 1, 1).bit_length()))
 
 
 def _frame_rotation(frame_index):
@@ -509,7 +517,8 @@ def trace_probe_block(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
         state = jnp.ones((pb,), jnp.float32)
     # probe-padded dir-major layout (the reassembly below stays simple);
     # the TRAVERSAL stream is cone-blocked via pure reshapes
-    pbp = -(-pb // CONE_BRICK) * CONE_BRICK if cone_ok else pb
+    brick = _brick_for(pb)
+    pbp = -(-pb // brick) * brick if cone_ok else pb
     pos_p = jnp.pad(pos, ((0, pbp - pb), (0, 0)))
     state_p = jnp.pad(state, (0, pbp - pb))
     origins = jnp.tile(pos_p, (r, 1))                # (R*Pbp, 3)
@@ -526,11 +535,12 @@ def trace_probe_block(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
         if not cone_ok:
             return traverse_auto(bvh, o, d, live=lv, sp_mesh=sp_mesh,
                                  **kw)
-        res = traverse_auto(bvh, _cone_block(o, r, pbp),
-                            _cone_block(d, r, pbp),
-                            live=_cone_block(lv, r, pbp),
+        res = traverse_auto(bvh, _cone_block(o, r, pbp, brick),
+                            _cone_block(d, r, pbp, brick),
+                            live=_cone_block(lv, r, pbp, brick),
                             sp_mesh=sp_mesh, **kw)
-        return {k: _cone_unblock(v, r, pbp) for k, v in res.items()}
+        return {k: _cone_unblock(v, r, pbp, brick)
+                for k, v in res.items()}
 
     res = trace(origins, d_all, live, t_max=volume.max_ray_distance,
                 max_steps=max_steps)
