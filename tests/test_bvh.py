@@ -272,3 +272,11 @@ def test_traverse_pallas_matches_lockstep():
     ga = traverse_pallas(bvh, jnp.asarray(o), jnp.asarray(d),
                          t_max=150.0, any_hit=True, interpret=True)
     assert np.array_equal(np.asarray(ga['hit']), rh)
+
+    # big-scene mode: leaf rows stream from HBM per visit (the Bistro-
+    # scale path) — must agree bitwise on hits/winners too
+    gh2 = traverse_pallas(bvh, jnp.asarray(o), jnp.asarray(d),
+                          t_max=150.0, leaf_hbm=True, interpret=True)
+    assert np.array_equal(np.asarray(gh2['hit']), rh)
+    assert np.array_equal(np.asarray(gh2['tri'])[m],
+                          np.asarray(ref['tri'])[m])
