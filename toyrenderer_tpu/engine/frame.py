@@ -321,12 +321,37 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
             mask_pair_inst, mask_pair_meshlet)
         chosen = jnp.zeros_like(depth, dtype=bool)
         peel = None
+        # setup/records/bins are layer-invariant (only the peel bound
+        # changes) — hoist them so each extra layer costs one FILL, not
+        # a re-sort of the masked pair stream
+        setup_m = records_m = bins_m = table_m = big_m = None
+        if sp_mesh is None:
+            setup_m = raster_mod.setup_triangles(geo_m, cfg)
+            records_m = pack_resolve_records(
+                setup_m, scene, inst_world, inst_adj, prev_inst_world,
+                prev_vp)
+            if use_pallas:
+                bins_m = raster_mod.bin_pairs_stream(setup_m, cfg)
+            else:
+                table_m, _, big_m = raster_mod.bin_triangles(setup_m,
+                                                             cfg)
         for _layer in range(max(settings.alpha_layers, 1)):
-            _, recs_m, depth_m, tid_m, interp_m, _ = _raster_with_records(
-                scene, geo_m, cfg, use_pallas, inst_world, inst_adj,
-                prev_inst_world, prev_vp, sp_mesh=sp_mesh,
-                peel_depth=peel)
-            rec_m = interp_m if interp_m is not None else recs_m
+            if sp_mesh is not None:
+                (_, recs_m, depth_m, tid_m, interp_m,
+                 _) = _raster_with_records(
+                    scene, geo_m, cfg, use_pallas, inst_world, inst_adj,
+                    prev_inst_world, prev_vp, sp_mesh=sp_mesh,
+                    peel_depth=peel)
+                rec_m = interp_m if interp_m is not None else recs_m
+            elif use_pallas:
+                from toyrenderer_tpu.ops.raster_pallas import (
+                    fill_resolve_stream)
+                depth_m, tid_m, rec_m = fill_resolve_stream(
+                    setup_m, records_m, bins_m, cfg, peel_depth=peel)
+            else:
+                depth_m, tid_m = raster_mod.fill_visibility(
+                    setup_m, table_m, big_m, cfg, peel_depth=peel)
+                rec_m = records_m
             gb_m = resolve_gbuffer(rec_m, depth_m, tid_m,
                                    frame_inputs['jitter'], cfg,
                                    atlas=atlas,
