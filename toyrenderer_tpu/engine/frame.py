@@ -588,13 +588,36 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
             trans_pair_inst, trans_pair_meshlet)
         layers = []
         peel = None
+        # layer-invariant setup/records/bins hoisted (see the masked
+        # peel loop above)
+        setup_t = records_t = bins_t = table_t = big_t = None
+        if sp_mesh is None:
+            setup_t = raster_mod.setup_triangles(geo_t, cfg)
+            records_t = pack_resolve_records(
+                setup_t, scene, inst_world, inst_adj, prev_inst_world,
+                prev_vp)
+            if use_pallas:
+                bins_t = raster_mod.bin_pairs_stream(setup_t, cfg)
+            else:
+                table_t, _, big_t = raster_mod.bin_triangles(setup_t,
+                                                             cfg)
         for _layer in range(max(settings.oit_layers, 1)):
-            (_, recs_t2, depth_t, tid_t, interp_t,
-             _) = _raster_with_records(
-                scene, geo_t, cfg, use_pallas, inst_world, inst_adj,
-                prev_inst_world, prev_vp, sp_mesh=sp_mesh,
-                peel_depth=peel)
-            rec_t = interp_t if interp_t is not None else recs_t2
+            if sp_mesh is not None:
+                (_, recs_t2, depth_t, tid_t, interp_t,
+                 _) = _raster_with_records(
+                    scene, geo_t, cfg, use_pallas, inst_world, inst_adj,
+                    prev_inst_world, prev_vp, sp_mesh=sp_mesh,
+                    peel_depth=peel)
+                rec_t = interp_t if interp_t is not None else recs_t2
+            elif use_pallas:
+                from toyrenderer_tpu.ops.raster_pallas import (
+                    fill_resolve_stream)
+                depth_t, tid_t, rec_t = fill_resolve_stream(
+                    setup_t, records_t, bins_t, cfg, peel_depth=peel)
+            else:
+                depth_t, tid_t = raster_mod.fill_visibility(
+                    setup_t, table_t, big_t, cfg, peel_depth=peel)
+                rec_t = records_t
             gb_t = resolve_gbuffer(rec_t, depth_t, tid_t,
                                    frame_inputs['jitter'], cfg,
                                    atlas=atlas,
