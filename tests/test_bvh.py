@@ -280,3 +280,60 @@ def test_traverse_pallas_matches_lockstep():
     assert np.array_equal(np.asarray(gh2['hit']), rh)
     assert np.array_equal(np.asarray(gh2['tri'])[m],
                           np.asarray(ref['tri'])[m])
+
+
+def test_traverse_pallas_gdir_matches_lockstep():
+    """Grouped-direction packet traversal (every 128 consecutive rays
+    share one direction — the DDGI gdir brick layout) must agree with
+    the XLA lockstep traversal; exercises closest-hit, any-hit, live
+    masking, want_uv, and both packet sizes (nch=1 and nch=4)."""
+    from toyrenderer_tpu.ops.bvh_pallas import (
+        GDIR_GROUP, traverse_pallas_gdir)
+
+    rng = np.random.RandomState(7)
+    t = 3000
+    v0 = rng.uniform(-15, 15, (t, 3)).astype(np.float32)
+    v1 = v0 + rng.uniform(-0.7, 0.7, (t, 3)).astype(np.float32)
+    v2 = v0 + rng.uniform(-0.7, 0.7, (t, 3)).astype(np.float32)
+    valid = np.ones(t, bool)
+    valid[::13] = False
+    bvh = B.build_bvh(jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+                      jnp.asarray(valid))
+
+    n = 20 * GDIR_GROUP             # not a packet multiple: padding
+    gd = rng.normal(size=(n // GDIR_GROUP, 3)).astype(np.float32)
+    gd /= np.linalg.norm(gd, axis=1, keepdims=True)
+    o = rng.uniform(-20, 20, (n, 3)).astype(np.float32)
+    d = np.repeat(gd, GDIR_GROUP, axis=0)
+    ref = B.traverse(bvh, jnp.asarray(o), jnp.asarray(d), t_max=150.0,
+                     max_steps=8192)
+    rh = np.asarray(ref['hit'])
+
+    for packet in (1024, 4096):
+        got = traverse_pallas_gdir(bvh, jnp.asarray(o), jnp.asarray(gd),
+                                   t_max=150.0, packet=packet,
+                                   interpret=True, want_uv=True)
+        assert np.array_equal(np.asarray(got['hit']), rh)
+        m = rh
+        np.testing.assert_allclose(np.asarray(got['t'])[m],
+                                   np.asarray(ref['t'])[m], rtol=1e-4,
+                                   atol=1e-5)
+        assert np.array_equal(np.asarray(got['tri'])[m],
+                              np.asarray(ref['tri'])[m])
+
+    ga = traverse_pallas_gdir(bvh, jnp.asarray(o), jnp.asarray(gd),
+                              t_max=150.0, any_hit=True, interpret=True)
+    assert np.array_equal(np.asarray(ga['hit']), rh)
+
+    live = (np.arange(n) % 3 != 0).astype(np.float32)
+    gl = traverse_pallas_gdir(bvh, jnp.asarray(o), jnp.asarray(gd),
+                              t_max=150.0, live=jnp.asarray(live),
+                              interpret=True)
+    glh = np.asarray(gl['hit'])
+    assert not glh[live == 0].any()
+    assert np.array_equal(glh[live > 0], rh[live > 0])
+
+    # big-scene mode: leaf rows stream from HBM per visit
+    gh2 = traverse_pallas_gdir(bvh, jnp.asarray(o), jnp.asarray(gd),
+                               t_max=150.0, leaf_hbm=True, interpret=True)
+    assert np.array_equal(np.asarray(gh2['hit']), rh)

@@ -264,3 +264,44 @@ def test_probe_lifecycle_relocation_classification_variability():
     # variability decays as the constant-sky field converges
     assert var[-1] < var[1] * 0.7
     assert np.isfinite(var).all()
+
+
+def test_trace_probe_block_gdir_layout_matches(monkeypatch):
+    """The gdir traversal bricking (32 cone dirs x 128 probes per packet,
+    one direction per 128-ray group) must reassemble to exactly the same
+    probe radiance/dist/lifecycle as the default cone layout — on CPU
+    both reach the same lockstep traversal, so this isolates the
+    relayout + group-dir table construction."""
+    from toyrenderer_tpu.ops import bvh as B
+
+    rng = np.random.RandomState(11)
+    t = 600
+    c = rng.uniform(-4, 4, (t, 3)).astype(np.float32)
+    v0 = c + rng.normal(scale=0.5, size=(t, 3)).astype(np.float32)
+    v1 = c + rng.normal(scale=0.5, size=(t, 3)).astype(np.float32)
+    v2 = c + rng.normal(scale=0.5, size=(t, 3)).astype(np.float32)
+    bvh = B.build_bvh(jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+                      jnp.ones((t,), bool))
+    nrm = np.cross(np.asarray(v1 - v0), np.asarray(v2 - v0))
+    nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-9)
+    rec = jnp.asarray(np.concatenate(
+        [nrm, np.full((t, 3), 0.6), np.zeros((t, 3))], 1))
+
+    v = D.DdgiVolume(origin=(-4.0, -4.0, -4.0), spacing=(2.0, 2.0, 2.0),
+                     counts=(5, 5, 5), rays_per_probe=256)
+    probes = D.init_probes(v)
+    sky = lambda dd: jnp.full((dd.shape[0], 3), 0.3)
+    sun = jnp.asarray([0.0, 1.0, 0.0])
+
+    outs = {}
+    for flag in ('0', '1'):
+        monkeypatch.setenv('TR_GI_GDIR', flag)
+        rad, dist, dirs, start, lc = D.trace_probe_block(
+            v, bvh, rec, probes['ddgi_irradiance'], sun, jnp.ones(3),
+            jnp.asarray(1.0), jnp.asarray(2), sky, 3, max_steps=64)
+        outs[flag] = (np.asarray(rad), np.asarray(dist),
+                      {k: np.asarray(x) for k, x in lc.items()})
+    np.testing.assert_array_equal(outs['0'][0], outs['1'][0])
+    np.testing.assert_array_equal(outs['0'][1], outs['1'][1])
+    for k in outs['0'][2]:
+        np.testing.assert_array_equal(outs['0'][2][k], outs['1'][2][k])

@@ -85,7 +85,8 @@ def boxes_fit_vmem(bvh: Bvh, budget_bytes: int = 12 * 2**20) -> bool:
 
 def traverse_auto(bvh: Bvh, origins, directions, t_max,
                   any_hit: bool = False, max_steps: int = 128,
-                  live=None, interpret: bool = False, sp_mesh=None):
+                  live=None, interpret: bool = False, sp_mesh=None,
+                  group_dirs=None):
     """Dispatch: packet kernel on TPU when the tree fits VMEM, else the
     XLA lockstep traversal (also the CPU/test path).  Same contract as
     bvh.traverse; `live` optionally masks rays off (they report miss).
@@ -94,21 +95,37 @@ def traverse_auto(bvh: Bvh, origins, directions, t_max,
     packet stream over the mesh axis with a REPLICATED tree (the
     multi-chip RT path; the reference is single-GPU so this is new
     TPU-native capability).
+
+    group_dirs (N//128, 3): when the caller's ray stream gives every
+    128 consecutive rays ONE shared direction (DDGI gdir bricking;
+    uniform sun rays), the grouped-direction kernel variant runs
+    instead — directions live in a tiny side table rather than six
+    full-packet vector arrays (see _traverse_kernel_gdir).  Fallback
+    paths still use the per-ray `directions`.
     """
     import jax
     if sp_mesh is not None and sp_mesh[0].shape[sp_mesh[1]] > 1:
         return _traverse_sharded(bvh, origins, directions, t_max,
                                  any_hit=any_hit, max_steps=max_steps,
                                  live=live, interpret=interpret,
-                                 sp_mesh=sp_mesh)
+                                 sp_mesh=sp_mesh, group_dirs=group_dirs)
     from toyrenderer_tpu.ops.bvh import traverse as traverse_xla
     on_tpu = jax.default_backend() in ('tpu', 'axon')
+    use_gdir = group_dirs is not None and origins.shape[0] % GDIR_GROUP == 0
     if fits_vmem(bvh) and (on_tpu or interpret):
+        if use_gdir:
+            return traverse_pallas_gdir(bvh, origins, group_dirs, t_max,
+                                        any_hit=any_hit, live=live,
+                                        interpret=interpret)
         return traverse_pallas(bvh, origins, directions, t_max,
                                any_hit=any_hit, live=live,
                                interpret=interpret)
     if boxes_fit_vmem(bvh) and on_tpu:
         # Sponza-scale: leaf rows stream from HBM per visit
+        if use_gdir:
+            return traverse_pallas_gdir(bvh, origins, group_dirs, t_max,
+                                        any_hit=any_hit, live=live,
+                                        leaf_hbm=True)
         return traverse_pallas(bvh, origins, directions, t_max,
                                any_hit=any_hit, live=live,
                                leaf_hbm=True)
@@ -122,7 +139,7 @@ def traverse_auto(bvh: Bvh, origins, directions, t_max,
 
 def _traverse_sharded(bvh: Bvh, origins, directions, t_max,
                       any_hit: bool, max_steps: int, live, interpret,
-                      sp_mesh):
+                      sp_mesh, group_dirs=None):
     """shard_map over ray blocks: each device traverses its slice of the
     ray stream against the replicated BVH; results concatenate back.
     Bitwise-identical to the single-device path (no cross-ray math)."""
@@ -133,7 +150,9 @@ def _traverse_sharded(bvh: Bvh, origins, directions, t_max,
     mesh, axis = sp_mesh
     nsp = mesh.shape[axis]
     n = origins.shape[0]
-    n_pad = -(-n // nsp) * nsp
+    # group_dirs: shard boundaries must not straddle a 128-ray group
+    quant = nsp * GDIR_GROUP if group_dirs is not None else nsp
+    n_pad = -(-n // quant) * quant
 
     def pad(x):
         return jnp.pad(x, [(0, n_pad - n)] + [(0, 0)] * (x.ndim - 1))
@@ -143,6 +162,23 @@ def _traverse_sharded(bvh: Bvh, origins, directions, t_max,
     t_max_p = pad(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)))
     live_p = pad(jnp.ones((n,), jnp.float32) if live is None
                  else jnp.asarray(live, jnp.float32))
+
+    if group_dirs is not None:
+        gd = jnp.asarray(group_dirs, jnp.float32)
+        gd_p = jnp.pad(gd, ((0, n_pad // GDIR_GROUP - gd.shape[0]),
+                            (0, 0)))
+
+        def local(bvh, o, d, tm, lv, g):
+            return traverse_auto(bvh, o, d, tm, any_hit=any_hit,
+                                 max_steps=max_steps, live=lv,
+                                 interpret=interpret, group_dirs=g)
+
+        res = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=P(axis), check_rep=False)(
+            bvh, origins_p, dirs_p, t_max_p, live_p, gd_p)
+        return {k: v[:n] for k, v in res.items()}
 
     def local(bvh, o, d, tm, lv):
         return traverse_auto(bvh, o, d, tm, any_hit=any_hit,
@@ -380,6 +416,327 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
     if want_uv:
         out_ref[0, 4 * sub:5 * sub] = best_u
         out_ref[0, 5 * sub:6 * sub] = best_v
+
+
+GDIR_GROUP = 128              # rays per shared-direction group (1 sublane)
+
+
+def _traverse_kernel_gdir(ray_ref,        # (1, 5*SUB, 128) o/t_cap/live
+                          dir_ref,        # (NCH, 48) per-chunk dir columns
+                          cb_ref,         # (PR, 48) child boxes (VMEM)
+                          leaf_ref,       # (NG, 120) leaf rows (VMEM/HBM)
+                          out_ref,        # (1, C*SUB, 128) results
+                          stack_scr,      # SMEM (STACK_CAP,) i32
+                          leaf_scr,       # VMEM (1, 128) leaf-row landing
+                          leaf_sem,       # DMA semaphore
+                          *, n_levels: int, level_offsets: tuple,
+                          any_hit: bool, max_visits: int, sub: int,
+                          want_uv: bool, leaf_hbm: bool):
+    """Grouped-direction packet traversal: every SUBLANE (128 rays)
+    shares ONE direction, carried in a tiny side table instead of six
+    full-packet vector arrays.
+
+    Motivation (ROADMAP round-3): per-visit cost of the general kernel
+    is ~4.3 us at packet=4096 — far above the op-count estimate — with
+    vector-register spilling the prime suspect (~70 live (sub,128)
+    values).  With per-sublane directions the d/inv-d/o*inv arrays
+    (9 x 4 vregs) vanish: directions become (1, 8, 1) columns read from
+    a (nch, 48) VMEM table, the slab lo*inv multiplies collapse from
+    (8,8,128) to (8,8,1), and the Moller-Trumbore d-cross-e2 / det /
+    inv_det chain collapses from (12,8,128) to (12,8,1) — ~1.5x fewer
+    full-width vector ops AND a much smaller live set.
+
+    Ray populations that satisfy the layout: DDGI probe rays re-bricked
+    to (32 cone dirs x 128 morton probes) per packet — with 256
+    fibonacci rays each 32-dir block is exactly one octant — and
+    uniform-direction sun rays (every group identical).
+    """
+    ray = ray_ref[0]
+    ox, oy, oz = ray[0:sub], ray[sub:2 * sub], ray[2 * sub:3 * sub]
+    t_cap = ray[3 * sub:4 * sub]
+    live = ray[4 * sub:5 * sub] > 0.0
+
+    CH = 8
+    nch = sub // CH
+
+    def ch3(x, c):                      # chunk c as (1, 8, 128)
+        return x[c * CH:(c + 1) * CH][None]
+
+    # per-chunk direction columns (hoisted: nch x 6 tiny (1,8,1) values)
+    dcol = []
+    sx = jnp.float32(0.0)
+    sy = jnp.float32(0.0)
+    sz = jnp.float32(0.0)
+    for c in range(nch):
+        t = dir_ref[c:c + 1, :].T                     # (48, 1)
+        cols = tuple(t[k * CH:(k + 1) * CH][None] for k in range(6))
+        dcol.append(cols)
+        sx = sx + jnp.sum(t[0:CH])
+        sy = sy + jnp.sum(t[CH:2 * CH])
+        sz = sz + jnp.sum(t[2 * CH:3 * CH])
+
+    # dominant direction octant -> near-to-far child visit order
+    fx = (sx < 0.0).astype(jnp.int32)
+    fy = (sy < 0.0).astype(jnp.int32)
+    fz = (sz < 0.0).astype(jnp.int32)
+    flip = (fx << 2) | (fy << 1) | fz
+
+    leaf_level = n_levels - 1
+    stack_scr[0] = jnp.int32(0)
+
+    neg1 = jnp.full((sub, 128), -1.0)
+    zero = jnp.zeros((sub, 128))
+
+    def _unpack(s):
+        if want_uv:
+            sp, visits, best_t, best_tri, best_u, best_v = s
+        else:
+            sp, visits, best_t, best_tri = s
+            best_u = best_v = zero
+        return sp, visits, best_t, best_tri, best_u, best_v
+
+    def _pack(sp, visits, best_t, best_tri, best_u, best_v):
+        if want_uv:
+            return (sp, visits, best_t, best_tri, best_u, best_v)
+        return (sp, visits, best_t, best_tri)
+
+    def cond(s):
+        sp, visits, best_t, best_tri = s[:4]
+        go = (sp > 0) & (visits < max_visits)
+        if any_hit:
+            go = go & jnp.any(live & (best_tri < 0.0))
+        return go
+
+    def body(s):
+        sp, visits, best_t, best_tri, best_u, best_v = _unpack(s)
+        entry = stack_scr[sp - 1]
+        sp = sp - 1
+        level = entry & ((1 << _ENC_LEVEL_BITS) - 1)
+        node = entry >> _ENC_LEVEL_BITS
+
+        active = live & (best_t > 0.0)
+        if any_hit:
+            active = active & (best_tri < 0.0)
+
+        def visit_leaf():
+            if leaf_hbm:
+                dma = pltpu.make_async_copy(
+                    leaf_ref.at[pl.ds(node, 1), :], leaf_scr, leaf_sem)
+                dma.start()
+                dma.wait()
+                row = leaf_scr[:, :]
+            else:
+                row = leaf_ref[pl.ds(node, 1), :]          # (1, 120)
+            tcol = row.T                                   # (W, 1)
+
+            def col(c):                                    # (12, 1, 1)
+                return tcol[c * LEAF_TRIS:(c + 1) * LEAF_TRIS][:, :, None]
+            v0x, v0y, v0z = col(0), col(1), col(2)
+            e1x, e1y, e1z = col(3), col(4), col(5)
+            e2x, e2y, e2z = col(6), col(7), col(8)
+            pay3 = col(9) * jnp.ones((1, CH, 128))    # (12, 8, 128)
+            ts, tris, us, vs = [], [], [], []
+            for c in range(nch):
+                sl = slice(c * CH, (c + 1) * CH)
+                dxc, dyc, dzc = dcol[c][0], dcol[c][1], dcol[c][2]
+                # d x e2, det, inv_det: direction is per-sublane, so the
+                # whole chain stays (12, 8, 1) — no 128-lane work
+                px = dyc * e2z - dzc * e2y                 # (12, 8, 1)
+                py = dzc * e2x - dxc * e2z
+                pz = dxc * e2y - dyc * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv_det = jnp.where(jnp.abs(det) < 1e-7, 0.0, 1.0 / det)
+                tx = ch3(ox, c) - v0x                      # (12, 8, 128)
+                ty = ch3(oy, c) - v0y
+                tz = ch3(oz, c) - v0z
+                u = (tx * px + ty * py + tz * pz) * inv_det
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                v = (dxc * qx + dyc * qy + dzc * qz) * inv_det
+                tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                ok = ((jnp.abs(det) >= 1e-7) & (u >= 0.0) & (v >= 0.0)
+                      & (u + v <= 1.0) & (tt > 1e-7) & (pay3 >= 0.0))
+                bt2, btri2 = best_t[sl], best_tri[sl]
+                bu2, bv2 = best_u[sl], best_v[sl]
+                act = active[sl]
+                for j in range(LEAF_TRIS):
+                    upd = ok[j] & (tt[j] < bt2) & act
+                    bt2 = jnp.where(upd, tt[j], bt2)
+                    btri2 = jnp.where(upd, pay3[j], btri2)
+                    if want_uv:
+                        bu2 = jnp.where(upd, u[j], bu2)
+                        bv2 = jnp.where(upd, v[j], bv2)
+                ts.append(bt2)
+                tris.append(btri2)
+                us.append(bu2)
+                vs.append(bv2)
+            cat = (lambda xs: xs[0] if nch == 1
+                   else jnp.concatenate(xs, axis=0))
+            return _pack(sp, visits + 1, cat(ts), cat(tris),
+                         cat(us), cat(vs))
+
+        def visit_internal():
+            lrow = jnp.int32(level_offsets[0] if level_offsets else 0)
+            for j in range(1, n_levels - 1):
+                lrow = jnp.where(level == j,
+                                 jnp.int32(level_offsets[j]), lrow)
+            row = cb_ref[pl.ds(lrow + node, 1), :]         # (1, 48)
+            tcol = row.T                                   # (48, 1)
+
+            def col(c):                                    # (8, 1, 1)
+                return tcol[c * ARITY:(c + 1) * ARITY][:, :, None]
+            lox, loy, loz = col(0), col(1), col(2)
+            hix, hiy, hiz = col(3), col(4), col(5)
+            child_level = level + 1
+            acc = None
+            for c in range(nch):
+                sl = slice(c * CH, (c + 1) * CH)
+                ixc, iyc, izc = dcol[c][3], dcol[c][4], dcol[c][5]
+                # o*inv per chunk: 3 x (1,8,128); lo/hi*inv: (8,8,1)
+                oxi = ch3(ox, c) * ixc
+                oyi = ch3(oy, c) * iyc
+                ozi = ch3(oz, c) * izc
+                t0x = lox * ixc - oxi
+                t1x = hix * ixc - oxi
+                t0y = loy * iyc - oyi
+                t1y = hiy * iyc - oyi
+                t0z = loz * izc - ozi
+                t1z = hiz * izc - ozi
+                tmin = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x),
+                                jnp.minimum(t0y, t1y)),
+                    jnp.maximum(jnp.minimum(t0z, t1z), 0.0))
+                tmax = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x),
+                                jnp.maximum(t0y, t1y)),
+                    jnp.minimum(jnp.maximum(t0z, t1z),
+                                best_t[sl][None]))
+                okc = (tmax >= tmin) & active[sl][None]
+                acc = okc if acc is None else (acc | okc)
+            want_bits = jnp.int32(0)
+            for k in range(ARITY):
+                want_bits = want_bits | (
+                    jnp.any(acc[k]).astype(jnp.int32) << k)
+            new_sp = sp
+            for jj in range(ARITY - 1, -1, -1):
+                k = jnp.int32(jj) ^ flip
+                bit = (want_bits >> k) & 1
+                child = node * ARITY + k
+                stack_scr[new_sp] = ((child << _ENC_LEVEL_BITS)
+                                     | child_level)
+                new_sp = new_sp + bit
+            return _pack(new_sp, visits + 1, best_t, best_tri,
+                         best_u, best_v)
+
+        is_leaf = level == leaf_level
+        return jax.lax.cond(is_leaf, visit_leaf, visit_internal)
+
+    init = _pack(jnp.int32(1), jnp.int32(0), t_cap, neg1, zero, zero)
+    fin = jax.lax.while_loop(cond, body, init)
+    (sp, visits, best_t, best_tri, best_u, best_v) = _unpack(fin)
+
+    out_ref[0, 0:sub] = best_t
+    out_ref[0, sub:2 * sub] = best_tri
+    out_ref[0, 2 * sub:3 * sub] = (best_tri >= 0.0).astype(jnp.float32)
+    out_ref[0, 3 * sub:4 * sub] = (jnp.full((sub, 128), 1.0)
+                                   * visits.astype(jnp.float32))
+    if want_uv:
+        out_ref[0, 4 * sub:5 * sub] = best_u
+        out_ref[0, 5 * sub:6 * sub] = best_v
+
+
+def traverse_pallas_gdir(bvh: Bvh, origins, group_dirs, t_max,
+                         any_hit: bool = False,
+                         max_visits: int | None = None,
+                         packet: int = PACKET, live=None,
+                         interpret: bool = False, want_uv: bool = False,
+                         leaf_hbm: bool = False):
+    """Grouped-direction packet traversal: ray i's direction is
+    group_dirs[i // 128] — every 128 consecutive rays share one
+    direction (see _traverse_kernel_gdir).  Same return contract as
+    traverse_pallas."""
+    n = origins.shape[0]
+    sub = packet // _LANE
+    nch = sub // 8
+    n_pad = -(-n // packet) * packet
+    p = n_pad // packet
+    n_grp = n_pad // GDIR_GROUP
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+
+    def comp(x, fill=0.0):
+        x = jnp.pad(x, (0, n_pad - n), constant_values=fill)
+        return x.reshape(p, sub, _LANE)
+
+    if live is None:
+        live = jnp.ones((n,), jnp.float32)
+    else:
+        live = jnp.asarray(live, jnp.float32)
+    packed = jnp.concatenate([
+        comp(origins[:, 0]), comp(origins[:, 1]), comp(origins[:, 2]),
+        comp(t_max), comp(live),
+    ], axis=1)                                            # (P, 40, 128)
+
+    # per-chunk direction table: row = [dx0..7 dy0..7 dz0..7 ix.. iy.. iz..]
+    gd = jnp.asarray(group_dirs, jnp.float32)
+    if gd.shape[0] != n_grp:
+        gd = jnp.pad(gd, ((0, n_grp - gd.shape[0]), (0, 0)))
+    eps = 1e-12
+    sd = jnp.where(jnp.abs(gd) < eps, jnp.where(gd < 0, -eps, eps), gd)
+    inv = 1.0 / sd
+    dg = sd.reshape(p, nch, 8, 3).transpose(0, 1, 3, 2)
+    ig = inv.reshape(p, nch, 8, 3).transpose(0, 1, 3, 2)
+    table = jnp.concatenate([dg.reshape(p, nch, 24),
+                             ig.reshape(p, nch, 24)],
+                            axis=-1).reshape(p * nch, 48)
+
+    leaf = bvh.leaf_rows
+    if leaf_hbm:
+        leaf = jnp.pad(leaf, ((0, 0), (0, 128 - leaf.shape[1])))
+    cb = bvh.child_boxes
+    if max_visits is None:
+        max_visits = int(cb.shape[0]) + int(leaf.shape[0])
+
+    rows = 6 if want_uv else 4
+    kernel = functools.partial(
+        _traverse_kernel_gdir, n_levels=bvh.num_levels,
+        level_offsets=tuple(bvh.level_offset), any_hit=any_hit,
+        max_visits=max_visits, sub=sub, want_uv=want_uv,
+        leaf_hbm=leaf_hbm)
+    out = pl.pallas_call(
+        kernel,
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec((1, 5 * sub, _LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nch, 48), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY if leaf_hbm
+                         else pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows * sub, _LANE),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p, rows * sub, _LANE),
+                                       jnp.float32),
+        scratch_shapes=[pltpu.SMEM((STACK_CAP,), jnp.int32),
+                        pltpu.VMEM((1, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+    )(packed, table, cb, leaf)
+
+    def flat(i):
+        return out[:, i * sub:(i + 1) * sub, :].reshape(-1)[:n]
+
+    t = flat(0)
+    tri = flat(1).astype(jnp.int32)
+    hit = flat(2) > 0.0
+    zero = jnp.zeros((n,), jnp.float32)
+    return dict(hit=hit, t=jnp.where(hit, t, t_max[:n]), tri=tri,
+                u=flat(4) if want_uv else zero,
+                v=flat(5) if want_uv else zero,
+                steps=flat(3).astype(jnp.int32))
 
 
 def traverse_pallas(bvh: Bvh, origins, directions, t_max,

@@ -133,17 +133,35 @@ def _cone_order(r: int) -> np.ndarray:
     return np.lexsort((d[:, 2], oct_id)).astype(np.int32)
 
 
-def _cone_block(x, r, pbp, brick: int = CONE_BRICK):
+GDIR_DIRS = 32                  # dirs per block in the gdir layout
+GDIR_BRICK = 128                # probes per block (= rays per sublane)
+#   the grouped-direction traversal kernel (bvh_pallas.py
+#   _traverse_kernel_gdir) wants every 128 consecutive rays to share
+#   ONE direction: blocks of (32 cone dirs x 128 morton probes) give
+#   each packet sublane one direction x 128 grid-adjacent origins.
+#   With 256 fibonacci rays a 32-dir block is exactly one octant.
+
+
+def _gi_gdir_enabled() -> bool:
+    import os
+    # default flips to '1' once the kernel's real-TPU lowering and a
+    # measured win are confirmed (interpret-mode correctness is tested)
+    return os.environ.get('TR_GI_GDIR', '0') == '1'
+
+
+def _cone_block(x, r, pbp, brick: int = CONE_BRICK,
+                dirs: int = CONE_DIRS):
     """Dir-major flat rays (r*pbp, ...) -> cone-blocked traversal order
     ((cone, brick, dir-in-cone, probe-in-brick)); pure reshape/transpose."""
     s = x.shape[1:]
-    return x.reshape(r // CONE_DIRS, CONE_DIRS, pbp // brick,
+    return x.reshape(r // dirs, dirs, pbp // brick,
                      brick, *s).swapaxes(1, 2).reshape(-1, *s)
 
 
-def _cone_unblock(x, r, pbp, brick: int = CONE_BRICK):
+def _cone_unblock(x, r, pbp, brick: int = CONE_BRICK,
+                  dirs: int = CONE_DIRS):
     s = x.shape[1:]
-    return x.reshape(r // CONE_DIRS, pbp // brick, CONE_DIRS,
+    return x.reshape(r // dirs, pbp // brick, dirs,
                      brick, *s).swapaxes(1, 2).reshape(-1, *s)
 
 
@@ -517,7 +535,9 @@ def trace_probe_block(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
         state = jnp.ones((pb,), jnp.float32)
     # probe-padded dir-major layout (the reassembly below stays simple);
     # the TRAVERSAL stream is cone-blocked via pure reshapes
-    brick = _brick_for(pb)
+    use_gdir = cone_ok and (r % GDIR_DIRS == 0) and _gi_gdir_enabled()
+    ndirs = GDIR_DIRS if use_gdir else CONE_DIRS
+    brick = GDIR_BRICK if use_gdir else _brick_for(pb)
     pbp = -(-pb // brick) * brick if cone_ok else pb
     pos_p = jnp.pad(pos, ((0, pbp - pb), (0, 0)))
     state_p = jnp.pad(state, (0, pbp - pb))
@@ -535,11 +555,16 @@ def trace_probe_block(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
         if not cone_ok:
             return traverse_auto(bvh, o, d, live=lv, sp_mesh=sp_mesh,
                                  **kw)
-        res = traverse_auto(bvh, _cone_block(o, r, pbp, brick),
-                            _cone_block(d, r, pbp, brick),
-                            live=_cone_block(lv, r, pbp, brick),
-                            sp_mesh=sp_mesh, **kw)
-        return {k: _cone_unblock(v, r, pbp, brick)
+        db = _cone_block(d, r, pbp, brick, ndirs)
+        # gdir layout: every sublane-group of 128 rays shares one
+        # direction (one cone dir x one 128-probe brick) — hand the
+        # grouped-direction kernel its side table
+        gd = (db.reshape(-1, GDIR_BRICK, 3)[:, 0] if use_gdir else None)
+        res = traverse_auto(bvh, _cone_block(o, r, pbp, brick, ndirs),
+                            db,
+                            live=_cone_block(lv, r, pbp, brick, ndirs),
+                            sp_mesh=sp_mesh, group_dirs=gd, **kw)
+        return {k: _cone_unblock(v, r, pbp, brick, ndirs)
                 for k, v in res.items()}
 
     res = trace(origins, d_all, live, t_max=volume.max_ray_distance,

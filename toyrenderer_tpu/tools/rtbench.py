@@ -69,9 +69,21 @@ def ray_sets(n_rays, aabb_lo, aabb_hi, sun_dir):
     pr_o = np.tile(pp, (n_dirs, 1)).astype(np.float32)     # dir-major
     pr_d = np.repeat(dirs, pbp, axis=0).astype(np.float32)
     import jax.numpy as jnp
+    from toyrenderer_tpu.ops.ddgi import GDIR_BRICK, GDIR_DIRS
+    # gdir layout of the SAME rays: 32 cone dirs x 128 probes per
+    # packet, one direction per 128-ray sublane group
+    pbg = -(-n_probes // GDIR_BRICK) * GDIR_BRICK
+    og = np.tile(pp[:pbg], (n_dirs, 1)).astype(np.float32)
+    dg = np.repeat(dirs, pbg, axis=0).astype(np.float32)
+    gd_o = np.asarray(_cone_block(jnp.asarray(og), n_dirs, pbg,
+                                  GDIR_BRICK, GDIR_DIRS))
+    gd_d = np.asarray(_cone_block(jnp.asarray(dg), n_dirs, pbg,
+                                  GDIR_BRICK, GDIR_DIRS))
+    gd_g = gd_d.reshape(-1, GDIR_BRICK, 3)[:, 0].copy()
     pr_o = np.asarray(_cone_block(jnp.asarray(pr_o), n_dirs, pbp))
     pr_d = np.asarray(_cone_block(jnp.asarray(pr_d), n_dirs, pbp))
-    return (sh_o[:n_rays], sh_d[:n_rays]), (pr_o, pr_d)
+    return (sh_o[:n_rays], sh_d[:n_rays]), (pr_o, pr_d), (gd_o, gd_d,
+                                                          gd_g)
 
 
 def main(argv=None):
@@ -139,16 +151,30 @@ def main(argv=None):
 
     lo, hi = scene_host.world_aabb
     sun = np.asarray(scene_host.sun_direction)
-    (sh_o, sh_d), (pr_o, pr_d) = ray_sets(args.rays, np.asarray(lo),
-                                          np.asarray(hi), sun)
+    ((sh_o, sh_d), (pr_o, pr_d),
+     (gd_o, gd_d, gd_g)) = ray_sets(args.rays, np.asarray(lo),
+                                    np.asarray(hi), sun)
     kw = {'prefilter': not args.noprefilter}
     if args.packet:
         kw['packet'] = args.packet
+    if jax.default_backend() == 'cpu':
+        kw['interpret'] = True      # CPU smoke path (no perf meaning)
 
-    for name, o, d, any_hit in (("shadow(any-hit)", sh_o, sh_d, True),
-                                ("probe(closest)", pr_o, pr_d, False)):
-        fn = jax.jit(lambda b, o, d, ah=any_hit: traverse_pallas(
-            b, o, d, t_max=1e4, any_hit=ah, **kw))
+    from toyrenderer_tpu.ops.bvh_pallas import traverse_pallas_gdir
+    gkw = {k: v for k, v in kw.items() if k != 'prefilter'}
+
+    def run_gdir(b, o, d, ah, g=jnp.asarray(gd_g)):
+        return traverse_pallas_gdir(b, o, g, t_max=1e4, any_hit=ah,
+                                    **gkw)
+
+    for name, o, d, any_hit, f in (
+            ("shadow(any-hit)", sh_o, sh_d, True, None),
+            ("probe(closest)", pr_o, pr_d, False, None),
+            ("probe(gdir)", gd_o, gd_d, False, run_gdir)):
+        tp = f if f is not None else (
+            lambda b, o, d, ah: traverse_pallas(b, o, d, t_max=1e4,
+                                                any_hit=ah, **kw))
+        fn = jax.jit(lambda b, o, d, ah=any_hit, tp=tp: tp(b, o, d, ah))
         oj, dj = jnp.asarray(o), jnp.asarray(d)
         res = fn(bvh, oj, dj)
         float(np.asarray(res['hit']).sum())       # warm + force
