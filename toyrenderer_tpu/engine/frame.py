@@ -400,7 +400,13 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     needs_tris = settings.enable_gi or settings.enable_restir
     if needs_rt:
         if rt_static is not None:
-            bvh = bvh_mod.refit_bvh(rt_static, inst_world)
+            if hasattr(rt_static, 'depth_ranges'):
+                # adaptive SAH topology (explicit child refs): Pallas-
+                # only traversal — callers select it on TPU backends
+                from toyrenderer_tpu.ops.bvh_sah import refit_sah
+                bvh = refit_sah(rt_static, inst_world)
+            else:
+                bvh = bvh_mod.refit_bvh(rt_static, inst_world)
             if needs_tris:
                 tv0, tv1, tv2, tvalid = bvh_mod.world_triangles(
                     scene, inst_world, pair_inst, pair_meshlet)

@@ -101,6 +101,30 @@ def meshopt_lib():
         return None
 
 
+@functools.lru_cache(maxsize=1)
+def sah_lib():
+    """ctypes handle to the binned-SAH 8-wide BVH builder, or None."""
+    src = _DIR / "sah.cpp"
+    so = _DIR / "_sah.so"
+    if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+        if not _build(src, so):
+            return None
+    try:
+        lib = ctypes.CDLL(str(so))
+        lib.build_sah8.restype = ctypes.c_int64
+        lib.build_sah8.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,      # tlo, thi
+            ctypes.c_int64,                        # n
+            ctypes.c_int32, ctypes.c_int32,        # leaf_tris, nbins
+            ctypes.c_int64, ctypes.c_int64,        # max_nodes, max_leaves
+            ctypes.c_void_p, ctypes.c_void_p,      # out_child, out_axis
+            ctypes.c_void_p, ctypes.c_void_p,      # out_leaf, out_counts
+        ]
+        return lib
+    except OSError:
+        return None
+
+
 def meshlet_lib():
     """ctypes handle to the meshlet builder, or None."""
     global _LIB, _TRIED

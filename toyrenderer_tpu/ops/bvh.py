@@ -311,16 +311,11 @@ def _median8_order(centroid: np.ndarray, valid: np.ndarray) -> np.ndarray:
     return np.concatenate([ids[out], inval]).astype(np.int32)
 
 
-def build_rt_static(scene_host, pair_inst, pair_meshlet,
-                    rest_inst_world=None) -> RtStatic:
-    """One-time (scene load) construction of the static RT topology over
-    the full pair list — the analogue of Mesh::BuildBLAS.  Morton order is
-    derived from REST-POSE world centroids (computed from the host scene's
-    node TRS unless rest_inst_world is given); triangles are stored in
-    OBJECT space so refit_bvh can re-transform them each frame.
-
-    scene_host: SceneBuffers (numpy); pair_inst/pair_meshlet: host or
-    device i32 arrays (the FULL RT pair list, normally LOD0 no-culling)."""
+def _pair_world_tris(scene_host, pair_inst, pair_meshlet,
+                     rest_inst_world=None):
+    """Host-side pair-list expansion to triangles: returns (obj (T,3,3)
+    object-space verts, inst (T,) i32, w (T,3,3) rest-pose world verts,
+    valid (T,) bool).  Shared by the static-topology builders."""
     if rest_inst_world is None:
         from toyrenderer_tpu.scene.scenebuild import _world_matrices_host
         nw = _world_matrices_host(
@@ -339,7 +334,46 @@ def build_rt_static(scene_host, pair_inst, pair_meshlet,
     world = np.asarray(rest_inst_world)[inst]            # (T, 4, 4)
     obj_h = np.concatenate([obj, np.ones_like(obj[..., :1])], axis=-1)
     w = np.einsum('tik,tvk->tvi', world, obj_h)[..., :3]
+    return obj, inst, w, valid
 
+
+def transform_leaf_tris(tri_inst, obj_v0, obj_e1, obj_e2, inst_world):
+    """In-jit object->world transform of static leaf triangles by the
+    current instance matrices.  The matrix fetch is a one-hot MXU matmul
+    in hi/lo bf16 (f32 dot_general silently rounds to ONE bf16 pass on
+    TPU; the hi/lo split restores ~2^-17 relative accuracy) — gathers at
+    triangle rate are latency-bound, matmuls are not."""
+    n_inst = inst_world.shape[0]
+    cap = tri_inst.shape[0]
+    w_flat = inst_world.reshape(n_inst, 16)
+    onehot = (tri_inst[:, None]
+              == jnp.arange(n_inst, dtype=jnp.int32)[None, :]
+              ).astype(jnp.float32)                      # (cap, I)
+    hi = w_flat.astype(jnp.bfloat16).astype(jnp.float32)
+    lo_p = w_flat - hi
+    w_tri = (jnp.dot(onehot, hi, precision=jax.lax.Precision.DEFAULT)
+             + jnp.dot(onehot, lo_p,
+                       precision=jax.lax.Precision.DEFAULT))
+    w_tri = w_tri.reshape(cap, 4, 4)
+    r = w_tri[:, :3, :3]
+    t = w_tri[:, :3, 3]
+
+    tf = lambda v: jnp.einsum('tij,tj->ti', r, v)
+    return tf(obj_v0) + t, tf(obj_e1), tf(obj_e2)
+
+
+def build_rt_static(scene_host, pair_inst, pair_meshlet,
+                    rest_inst_world=None) -> RtStatic:
+    """One-time (scene load) construction of the static RT topology over
+    the full pair list — the analogue of Mesh::BuildBLAS.  The order is
+    derived from REST-POSE world centroids (computed from the host scene's
+    node TRS unless rest_inst_world is given); triangles are stored in
+    OBJECT space so refit_bvh can re-transform them each frame.
+
+    scene_host: SceneBuffers (numpy); pair_inst/pair_meshlet: host or
+    device i32 arrays (the FULL RT pair list, normally LOD0 no-culling)."""
+    obj, inst, w, valid = _pair_world_tris(
+        scene_host, pair_inst, pair_meshlet, rest_inst_world)
     t = w.shape[0]
     n_levels = num_levels_for(t)
     n_groups = ARITY ** (n_levels - 1)
@@ -379,29 +413,11 @@ def refit_bvh(rts: RtStatic, inst_world) -> Bvh:
     transforms + log8 min/max reductions — no sort.
 
     The instance-matrix fetch is a one-hot MXU matmul in hi/lo bf16
-    (f32 dot_general silently rounds to ONE bf16 pass on TPU; the hi/lo
-    split restores ~2^-17 relative accuracy) — gathers at triangle rate
-    are latency-bound, matmuls are not.
+    (see transform_leaf_tris).
     """
-    n_inst = inst_world.shape[0]
     cap = rts.tri_inst.shape[0]
-    w_flat = inst_world.reshape(n_inst, 16)
-    onehot = (rts.tri_inst[:, None]
-              == jnp.arange(n_inst, dtype=jnp.int32)[None, :]
-              ).astype(jnp.float32)                      # (cap, I)
-    hi = w_flat.astype(jnp.bfloat16).astype(jnp.float32)
-    lo_p = w_flat - hi
-    w_tri = (jnp.dot(onehot, hi, precision=jax.lax.Precision.DEFAULT)
-             + jnp.dot(onehot, lo_p,
-                       precision=jax.lax.Precision.DEFAULT))
-    w_tri = w_tri.reshape(cap, 4, 4)
-    r = w_tri[:, :3, :3]
-    t = w_tri[:, :3, 3]
-
-    tf = lambda v: jnp.einsum('tij,tj->ti', r, v)
-    v0w = tf(rts.obj_v0) + t
-    e1w = tf(rts.obj_e1)
-    e2w = tf(rts.obj_e2)
+    v0w, e1w, e2w = transform_leaf_tris(
+        rts.tri_inst, rts.obj_v0, rts.obj_e1, rts.obj_e2, inst_world)
 
     n_levels = rts.num_levels
     n_groups = ARITY ** (n_levels - 1)

@@ -58,6 +58,9 @@ PACKET = 4096                 # default rays per packet: (SUB, 128) vregs
 _LANE = 128
 STACK_CAP = 160               # DFS stack bound: (levels-1)*7+1, levels<=12
 _ENC_LEVEL_BITS = 4           # stack entry = (index << 4) | level
+ABSENT_CUT = -1.0e8           # SAH child refs are valid iff > this
+#                               (leaf refs are -(leaf+1) >= -NG >> cut;
+#                               absent slots carry bvh_sah.ABSENT_REF)
 
 
 def _row_bytes(n_rows: int) -> int:
@@ -66,21 +69,28 @@ def _row_bytes(n_rows: int) -> int:
     return -(-n_rows // 8) * 8 * 128 * 4
 
 
-def fits_vmem(bvh: Bvh, budget_bytes: int = 13 * 2**20) -> bool:
+def _node_array(bvh):
+    """(rows, W) node array of either tree flavor: Bvh.child_boxes
+    (complete tree) or BvhSah.node_rows (explicit SAH refs)."""
+    return (bvh.node_rows if hasattr(bvh, 'node_rows')
+            else bvh.child_boxes)
+
+
+def fits_vmem(bvh, budget_bytes: int = 13 * 2**20) -> bool:
     """True if this BVH's node data fits the kernel's VMEM staging budget
     (REAL lane-padded bytes, ~16 MB/core minus packet/scratch room)."""
-    return (_row_bytes(bvh.child_boxes.shape[0])
+    return (_row_bytes(_node_array(bvh).shape[0])
             + _row_bytes(bvh.leaf_rows.shape[0])) <= budget_bytes
 
 
-def boxes_fit_vmem(bvh: Bvh, budget_bytes: int = 12 * 2**20) -> bool:
+def boxes_fit_vmem(bvh, budget_bytes: int = 12 * 2**20) -> bool:
     """True if at least the internal child boxes fit VMEM — the big-scene
     mode: boxes staged in VMEM, leaf rows stay HBM-resident and stream in
     per leaf visit with an async DMA (one 512B padded row per visit).
     Internal boxes are a small fraction of the tree bytes (prefix-
     truncated levels), so this covers Bistro-scale scenes the all-VMEM
     kernel cannot stage."""
-    return _row_bytes(bvh.child_boxes.shape[0]) <= budget_bytes
+    return _row_bytes(_node_array(bvh).shape[0]) <= budget_bytes
 
 
 def traverse_auto(bvh: Bvh, origins, directions, t_max,
@@ -129,6 +139,11 @@ def traverse_auto(bvh: Bvh, origins, directions, t_max,
         return traverse_pallas(bvh, origins, directions, t_max,
                                any_hit=any_hit, live=live,
                                leaf_hbm=True)
+    if hasattr(bvh, 'node_rows'):
+        raise RuntimeError(
+            "BvhSah traversal needs the Pallas kernel (TPU backend or "
+            "interpret=True); use the complete tree (ops/bvh.py) on "
+            "this backend")
     if live is not None:
         t_max = jnp.where(jnp.asarray(live, bool),
                           jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
@@ -194,7 +209,7 @@ def _traverse_sharded(bvh: Bvh, origins, directions, t_max,
 
 
 def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
-                     cb_ref,             # (PR, 48) child boxes (VMEM)
+                     cb_ref,             # (PR, 48|64) node rows (VMEM)
                      leaf_ref,           # (NG, 120) leaf rows (VMEM/HBM)
                      out_ref,            # (1, C*SUB, 128) results
                      stack_scr,          # SMEM (STACK_CAP,) i32
@@ -202,7 +217,8 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
                      leaf_sem,           # DMA semaphore
                      *, n_levels: int, level_offsets: tuple,
                      any_hit: bool, max_visits: int, sub: int,
-                     want_uv: bool, leaf_hbm: bool):
+                     want_uv: bool, leaf_hbm: bool,
+                     explicit_refs: bool = False):
     ray = ray_ref[0]
     ox, oy, oz = ray[0:sub], ray[sub:2 * sub], ray[2 * sub:3 * sub]
     dx, dy, dz = (ray[3 * sub:4 * sub], ray[4 * sub:5 * sub],
@@ -277,8 +293,13 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
         sp, visits, best_t, best_tri, best_u, best_v = _unpack(s)
         entry = stack_scr[sp - 1]
         sp = sp - 1
-        level = entry & ((1 << _ENC_LEVEL_BITS) - 1)
-        node = entry >> _ENC_LEVEL_BITS
+        if explicit_refs:
+            # SAH tree: stack entries are (row << 1) | is_leaf
+            level = jnp.int32(0)
+            node = entry >> 1
+        else:
+            level = entry & ((1 << _ENC_LEVEL_BITS) - 1)
+            node = entry >> _ENC_LEVEL_BITS
 
         active = live & (best_t > 0.0)
         if any_hit:
@@ -346,14 +367,17 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
                          cat(us), cat(vs))
 
         def visit_internal():
-            # per-level row offset of the PREFIX-TRUNCATED box storage
-            # (static table -> scalar select chain; level is dynamic)
-            lrow = jnp.int32(level_offsets[0] if level_offsets else 0)
-            for j in range(1, n_levels - 1):
-                lrow = jnp.where(level == j,
-                                 jnp.int32(level_offsets[j]), lrow)
-            row = cb_ref[pl.ds(lrow + node, 1), :]         # (1, 48)
-            tcol = row.T                                   # (48, 1)
+            if explicit_refs:
+                row = cb_ref[pl.ds(node, 1), :]            # (1, 64)
+            else:
+                # per-level row offset of the PREFIX-TRUNCATED box
+                # storage (static table -> scalar select; level dynamic)
+                lrow = jnp.int32(level_offsets[0] if level_offsets else 0)
+                for j in range(1, n_levels - 1):
+                    lrow = jnp.where(level == j,
+                                     jnp.int32(level_offsets[j]), lrow)
+                row = cb_ref[pl.ds(lrow + node, 1), :]     # (1, 48)
+            tcol = row.T                                   # (W, 1)
 
             def col(c):                                    # (8, 1, 1)
                 return tcol[c * ARITY:(c + 1) * ARITY][:, :, None]
@@ -387,21 +411,45 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
             for k in range(ARITY):
                 want_bits = want_bits | (
                     jnp.any(acc[k]).astype(jnp.int32) << k)
-            # push far-to-near by the packet's dominant octant (morton
-            # child order makes k ^ flip front-to-back), so the nearest
-            # child pops first
             new_sp = sp
-            for jj in range(ARITY - 1, -1, -1):
-                k = jnp.int32(jj) ^ flip
-                bit = (want_bits >> k) & 1
-                child = node * ARITY + k
-                stack_scr[new_sp] = ((child << _ENC_LEVEL_BITS)
-                                     | child_level)
-                new_sp = new_sp + bit
+            if explicit_refs:
+                # SAH node: children pre-sorted ascending along the
+                # node's split axis; pop nearest first by pushing in
+                # (reversed-by-ray-sign) order.  Absent slots are
+                # masked by the ref sentinel.
+                refs = [row[0, 48 + k] for k in range(ARITY)]
+                ax = row[0, 48 + ARITY].astype(jnp.int32)
+                fa = jnp.where(ax == 0, fx, jnp.where(ax == 1, fy, fz))
+                rev = fa > 0
+                for jj in range(ARITY - 1, -1, -1):
+                    kk = jnp.where(rev, jnp.int32(ARITY - 1 - jj),
+                                   jnp.int32(jj))
+                    ref = jnp.where(rev, refs[ARITY - 1 - jj], refs[jj])
+                    lf = ref < -0.5
+                    idx = jnp.where(lf, -(ref + 1.0), ref).astype(
+                        jnp.int32)
+                    bit = (((want_bits >> kk) & 1)
+                           * (ref > ABSENT_CUT).astype(jnp.int32))
+                    stack_scr[new_sp] = (idx << 1) | lf.astype(jnp.int32)
+                    new_sp = new_sp + bit
+            else:
+                # push far-to-near by the packet's dominant octant
+                # (morton child order makes k ^ flip front-to-back), so
+                # the nearest child pops first
+                for jj in range(ARITY - 1, -1, -1):
+                    k = jnp.int32(jj) ^ flip
+                    bit = (want_bits >> k) & 1
+                    child = node * ARITY + k
+                    stack_scr[new_sp] = ((child << _ENC_LEVEL_BITS)
+                                         | child_level)
+                    new_sp = new_sp + bit
             return _pack(new_sp, visits + 1, best_t, best_tri,
                          best_u, best_v)
 
-        is_leaf = level == leaf_level
+        if explicit_refs:
+            is_leaf = (entry & 1) == 1
+        else:
+            is_leaf = level == leaf_level
         return jax.lax.cond(is_leaf, visit_leaf, visit_internal)
 
     init = _pack(jnp.int32(1), jnp.int32(0), t_cap, neg1, zero, zero)
@@ -431,7 +479,8 @@ def _traverse_kernel_gdir(ray_ref,        # (1, 5*SUB, 128) o/t_cap/live
                           leaf_sem,       # DMA semaphore
                           *, n_levels: int, level_offsets: tuple,
                           any_hit: bool, max_visits: int, sub: int,
-                          want_uv: bool, leaf_hbm: bool):
+                          want_uv: bool, leaf_hbm: bool,
+                          explicit_refs: bool = False):
     """Grouped-direction packet traversal: every SUBLANE (128 rays)
     shares ONE direction, carried in a tiny side table instead of six
     full-packet vector arrays.
@@ -511,8 +560,12 @@ def _traverse_kernel_gdir(ray_ref,        # (1, 5*SUB, 128) o/t_cap/live
         sp, visits, best_t, best_tri, best_u, best_v = _unpack(s)
         entry = stack_scr[sp - 1]
         sp = sp - 1
-        level = entry & ((1 << _ENC_LEVEL_BITS) - 1)
-        node = entry >> _ENC_LEVEL_BITS
+        if explicit_refs:
+            level = jnp.int32(0)
+            node = entry >> 1
+        else:
+            level = entry & ((1 << _ENC_LEVEL_BITS) - 1)
+            node = entry >> _ENC_LEVEL_BITS
 
         active = live & (best_t > 0.0)
         if any_hit:
@@ -577,12 +630,16 @@ def _traverse_kernel_gdir(ray_ref,        # (1, 5*SUB, 128) o/t_cap/live
                          cat(us), cat(vs))
 
         def visit_internal():
-            lrow = jnp.int32(level_offsets[0] if level_offsets else 0)
-            for j in range(1, n_levels - 1):
-                lrow = jnp.where(level == j,
-                                 jnp.int32(level_offsets[j]), lrow)
-            row = cb_ref[pl.ds(lrow + node, 1), :]         # (1, 48)
-            tcol = row.T                                   # (48, 1)
+            if explicit_refs:
+                row = cb_ref[pl.ds(node, 1), :]            # (1, 64)
+            else:
+                lrow = jnp.int32(level_offsets[0] if level_offsets
+                                 else 0)
+                for j in range(1, n_levels - 1):
+                    lrow = jnp.where(level == j,
+                                     jnp.int32(level_offsets[j]), lrow)
+                row = cb_ref[pl.ds(lrow + node, 1), :]     # (1, 48)
+            tcol = row.T                                   # (W, 1)
 
             def col(c):                                    # (8, 1, 1)
                 return tcol[c * ARITY:(c + 1) * ARITY][:, :, None]
@@ -619,17 +676,37 @@ def _traverse_kernel_gdir(ray_ref,        # (1, 5*SUB, 128) o/t_cap/live
                 want_bits = want_bits | (
                     jnp.any(acc[k]).astype(jnp.int32) << k)
             new_sp = sp
-            for jj in range(ARITY - 1, -1, -1):
-                k = jnp.int32(jj) ^ flip
-                bit = (want_bits >> k) & 1
-                child = node * ARITY + k
-                stack_scr[new_sp] = ((child << _ENC_LEVEL_BITS)
-                                     | child_level)
-                new_sp = new_sp + bit
+            if explicit_refs:
+                refs = [row[0, 48 + k] for k in range(ARITY)]
+                ax = row[0, 48 + ARITY].astype(jnp.int32)
+                fa = jnp.where(ax == 0, fx, jnp.where(ax == 1, fy, fz))
+                rev = fa > 0
+                for jj in range(ARITY - 1, -1, -1):
+                    kk = jnp.where(rev, jnp.int32(ARITY - 1 - jj),
+                                   jnp.int32(jj))
+                    ref = jnp.where(rev, refs[ARITY - 1 - jj], refs[jj])
+                    lf = ref < -0.5
+                    idx = jnp.where(lf, -(ref + 1.0), ref).astype(
+                        jnp.int32)
+                    bit = (((want_bits >> kk) & 1)
+                           * (ref > ABSENT_CUT).astype(jnp.int32))
+                    stack_scr[new_sp] = (idx << 1) | lf.astype(jnp.int32)
+                    new_sp = new_sp + bit
+            else:
+                for jj in range(ARITY - 1, -1, -1):
+                    k = jnp.int32(jj) ^ flip
+                    bit = (want_bits >> k) & 1
+                    child = node * ARITY + k
+                    stack_scr[new_sp] = ((child << _ENC_LEVEL_BITS)
+                                         | child_level)
+                    new_sp = new_sp + bit
             return _pack(new_sp, visits + 1, best_t, best_tri,
                          best_u, best_v)
 
-        is_leaf = level == leaf_level
+        if explicit_refs:
+            is_leaf = (entry & 1) == 1
+        else:
+            is_leaf = level == leaf_level
         return jax.lax.cond(is_leaf, visit_leaf, visit_internal)
 
     init = _pack(jnp.int32(1), jnp.int32(0), t_cap, neg1, zero, zero)
@@ -690,19 +767,22 @@ def traverse_pallas_gdir(bvh: Bvh, origins, group_dirs, t_max,
                              ig.reshape(p, nch, 24)],
                             axis=-1).reshape(p * nch, 48)
 
+    explicit = hasattr(bvh, 'node_rows')
     leaf = bvh.leaf_rows
     if leaf_hbm:
         leaf = jnp.pad(leaf, ((0, 0), (0, 128 - leaf.shape[1])))
-    cb = bvh.child_boxes
+    cb = _node_array(bvh)
     if max_visits is None:
         max_visits = int(cb.shape[0]) + int(leaf.shape[0])
 
     rows = 6 if want_uv else 4
     kernel = functools.partial(
-        _traverse_kernel_gdir, n_levels=bvh.num_levels,
-        level_offsets=tuple(bvh.level_offset), any_hit=any_hit,
+        _traverse_kernel_gdir,
+        n_levels=2 if explicit else bvh.num_levels,
+        level_offsets=(0,) if explicit else tuple(bvh.level_offset),
+        any_hit=any_hit,
         max_visits=max_visits, sub=sub, want_uv=want_uv,
-        leaf_hbm=leaf_hbm)
+        leaf_hbm=leaf_hbm, explicit_refs=explicit)
     out = pl.pallas_call(
         kernel,
         grid=(p,),
@@ -779,21 +859,24 @@ def traverse_pallas(bvh: Bvh, origins, directions, t_max,
         comp(t_max), comp(live),
     ], axis=1)                                            # (P, 64, 128)
 
+    explicit = hasattr(bvh, 'node_rows')
     leaf = bvh.leaf_rows
     if leaf_hbm:
         # Mosaic DMA slices must be lane-aligned (128); pad row width
         leaf = jnp.pad(leaf, ((0, 0), (0, 128 - leaf.shape[1])))
-    cb = bvh.child_boxes
+    cb = _node_array(bvh)
     if max_visits is None:
         # exact bound: every internal node + every leaf group once
         max_visits = int(cb.shape[0]) + int(leaf.shape[0])
 
     rows = 6 if want_uv else 4
     kernel = functools.partial(
-        _traverse_kernel, n_levels=bvh.num_levels,
-        level_offsets=tuple(bvh.level_offset), any_hit=any_hit,
+        _traverse_kernel,
+        n_levels=2 if explicit else bvh.num_levels,
+        level_offsets=(0,) if explicit else tuple(bvh.level_offset),
+        any_hit=any_hit,
         max_visits=max_visits, sub=sub, want_uv=want_uv,
-        leaf_hbm=leaf_hbm)
+        leaf_hbm=leaf_hbm, explicit_refs=explicit)
     out = pl.pallas_call(
         kernel,
         grid=(p,),

@@ -196,8 +196,8 @@ def main(argv=None):
             scene_host.world_aabb[0], scene_host.world_aabb[1])
     rt_static = None
     if args.full and not args.norefit:
-        from toyrenderer_tpu.ops.bvh import build_rt_static
-        rt_static = build_rt_static(scene_host, pi, pm)
+        from toyrenderer_tpu.ops.bvh_sah import build_rt_static_auto
+        rt_static = build_rt_static_auto(scene_host, pi, pm)
     view = View.from_scene(scene_host, w, h)
     carry = init_carry(scene, settings, ddgi_volume)
     render = make_render_fn(settings, ddgi_volume)

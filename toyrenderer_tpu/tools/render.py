@@ -162,12 +162,14 @@ def main(argv=None):
     rt_static = None
     if (args.gi or args.restir
             or (args.shadows and args.shadowtechnique == 'rt')):
-        from toyrenderer_tpu.ops.bvh import build_rt_static
+        from toyrenderer_tpu.ops.bvh_sah import build_rt_static_auto
         t0 = time.time()
-        rt_static = build_rt_static(scene_host, pair_inst, pair_meshlet)
-        print(f"[rt] static topology: "
-              f"{rt_static.payload.shape[0]} tri slots, "
-              f"{rt_static.num_levels} levels "
+        rt_static = build_rt_static_auto(scene_host, pair_inst,
+                                         pair_meshlet)
+        kind = ('sah' if hasattr(rt_static, 'depth_ranges')
+                else 'complete')
+        print(f"[rt] static topology ({kind}): "
+              f"{rt_static.payload.shape[0]} tri slots "
               f"({time.time() - t0:.2f}s)")
     view = View.from_scene(scene_host, w, h)
     carry = init_carry(scene, settings, ddgi_volume)

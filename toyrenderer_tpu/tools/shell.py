@@ -272,9 +272,9 @@ def main(argv=None):
                                        settings.shadow_technique == 'rt')):
             return None
         if rt_static_box[0] is None:
-            from toyrenderer_tpu.ops.bvh import build_rt_static
-            rt_static_box[0] = build_rt_static(scene_host, np.asarray(pi),
-                                               np.asarray(pm))
+            from toyrenderer_tpu.ops.bvh_sah import build_rt_static_auto
+            rt_static_box[0] = build_rt_static_auto(
+                scene_host, np.asarray(pi), np.asarray(pm))
         return rt_static_box[0]
 
     def vol_for(settings):
