@@ -97,6 +97,8 @@ def main(argv=None):
                    help="override rays/packet (0 = kernel default)")
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--noprefilter", action="store_true")
+    p.add_argument("--nosah", action="store_true",
+                   help="skip the adaptive-SAH tree rows")
     args = p.parse_args(argv)
 
     import jax
@@ -149,6 +151,27 @@ def main(argv=None):
           f"cb={bvh.child_boxes.shape} leaf={bvh.leaf_rows.shape}, "
           f"fits_vmem={fits_vmem(bvh)}")
 
+    sah = None
+    if not args.nosah:
+        from toyrenderer_tpu.ops.bvh_sah import (
+            build_rt_static_sah, refit_sah)
+        t0 = time.time()
+        rts_sah = build_rt_static_sah(scene_host, pi, pm)
+
+        @jax.jit
+        def refit_s(rts, scene):
+            world = G.node_world_matrices(
+                scene, scene.node_translation, scene.node_rotation,
+                scene.node_scale)
+            iw, _ = G.instance_transforms(scene, world)
+            return refit_sah(rts, iw)
+
+        sah = refit_s(rts_sah, scene)
+        jax.block_until_ready(sah.node_rows)
+        print(f"[sah] nodes={sah.node_rows.shape[0]} "
+              f"leaves={sah.leaf_rows.shape[0]} "
+              f"fits_vmem={fits_vmem(sah)} ({time.time()-t0:.1f}s)")
+
     lo, hi = scene_host.world_aabb
     sun = np.asarray(scene_host.sun_direction)
     ((sh_o, sh_d), (pr_o, pr_d),
@@ -167,16 +190,32 @@ def main(argv=None):
         return traverse_pallas_gdir(b, o, g, t_max=1e4, any_hit=ah,
                                     **gkw)
 
-    for name, o, d, any_hit, f in (
-            ("shadow(any-hit)", sh_o, sh_d, True, None),
-            ("probe(closest)", pr_o, pr_d, False, None),
-            ("probe(gdir)", gd_o, gd_d, False, run_gdir)):
+    def run_plain(b, o, d, ah):
+        lh = {'leaf_hbm': True} if not fits_vmem(b) else {}
+        return traverse_pallas(b, o, d, t_max=1e4, any_hit=ah,
+                               **kw, **lh)
+
+    def run_gdir_hbm(b, o, d, ah, g=jnp.asarray(gd_g)):
+        lh = {'leaf_hbm': True} if not fits_vmem(b) else {}
+        return traverse_pallas_gdir(b, o, g, t_max=1e4, any_hit=ah,
+                                    **gkw, **lh)
+
+    rows = [("shadow(any-hit)", bvh, sh_o, sh_d, True, None),
+            ("probe(closest)", bvh, pr_o, pr_d, False, None),
+            ("probe(gdir)", bvh, gd_o, gd_d, False, run_gdir)]
+    if sah is not None:
+        rows += [("probe(sah)", sah, pr_o, pr_d, False, run_plain),
+                 ("probe(sah+gdir)", sah, gd_o, gd_d, False,
+                  run_gdir_hbm),
+                 ("shadow(sah)", sah, sh_o, sh_d, True, run_plain)]
+
+    for name, tree, o, d, any_hit, f in rows:
         tp = f if f is not None else (
             lambda b, o, d, ah: traverse_pallas(b, o, d, t_max=1e4,
                                                 any_hit=ah, **kw))
         fn = jax.jit(lambda b, o, d, ah=any_hit, tp=tp: tp(b, o, d, ah))
         oj, dj = jnp.asarray(o), jnp.asarray(d)
-        res = fn(bvh, oj, dj)
+        res = fn(tree, oj, dj)
         float(np.asarray(res['hit']).sum())       # warm + force
         ts = []
         for i in range(args.reps):
@@ -184,7 +223,7 @@ def main(argv=None):
             # block_until_ready through the axon tunnel is NOT a
             # reliable completion fence (see ROADMAP gotchas)
             t0 = time.time()
-            res = fn(bvh, oj + 1e-5 * (i + 1), dj)
+            res = fn(tree, oj + 1e-5 * (i + 1), dj)
             float(np.asarray(res['hit']).sum())
             ts.append(time.time() - t0)
         dt = min(ts)
