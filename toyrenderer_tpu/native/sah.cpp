@@ -176,6 +176,42 @@ int32_t make_leaf(Ctx& c, const int32_t* ids, int64_t n) {
     return -(lid + 1);
 }
 
+// terminal for small subtrees (n <= 8*leaf_tris): ONE node whose
+// children are ceil(n/leaf_tris) consecutive FULL leaves sliced along
+// the widest centroid axis.  Row-optimal: recursive SAH splitting of
+// e.g. 100 tris yields ~9 narrow nodes + 16 half-full leaves (25 rows);
+// the chop yields 1 node + 9 leaves (10 rows) at ~0.93 fill — and a
+// leaf visit costs the same 12 Moller-Trumbore lanes at any fill.
+int32_t chop(Ctx& c, int32_t* ids, int64_t n, int depth) {
+    float clo[3] = {3e38f, 3e38f, 3e38f};
+    float chi[3] = {-3e38f, -3e38f, -3e38f};
+    for (int64_t i = 0; i < n; ++i) {
+        const float* cc = c.cent.data() + 3 * ids[i];
+        for (int a = 0; a < 3; ++a) {
+            clo[a] = std::min(clo[a], cc[a]);
+            chi[a] = std::max(chi[a], cc[a]);
+        }
+    }
+    int ax = 0;
+    float w = -1;
+    for (int a = 0; a < 3; ++a)
+        if (chi[a] - clo[a] > w) { w = chi[a] - clo[a]; ax = a; }
+    std::sort(ids, ids + n, [&](int32_t x, int32_t y) {
+        return c.cent[3 * x + ax] < c.cent[3 * y + ax];
+    });
+    int32_t me = (int32_t)c.nodes.size();
+    c.nodes.emplace_back();
+    c.nodes[me].depth = depth;
+    c.nodes[me].axis = ax;
+    for (int k = 0; k < 8; ++k) c.nodes[me].kids[k] = INT32_MIN;
+    int slot = 0;
+    for (int64_t off = 0; off < n; off += c.leaf_tris)
+        c.nodes[me].kids[slot++] =
+            make_leaf(c, ids + off, std::min<int64_t>(c.leaf_tris,
+                                                      n - off));
+    return me;
+}
+
 // build one 8-wide node over ids[0..n): binary SAH splits refilled to
 // width 8 (split the largest splittable part until 8 parts), then
 // consecutive small parts merge into FULL leaves — a node row costs the
@@ -184,6 +220,7 @@ int32_t make_leaf(Ctx& c, const int32_t* ids, int64_t n) {
 // leaves strictly reduce both tree bytes and packet visits.
 int32_t build(Ctx& c, int32_t* ids, int64_t n, int depth) {
     if (n <= c.leaf_tris && depth > 0) return make_leaf(c, ids, n);
+    if (n <= c.leaf_tris * 8) return chop(c, ids, n, depth);
     int32_t me = (int32_t)c.nodes.size();
     c.nodes.emplace_back();
     c.nodes[me].depth = depth;

@@ -169,7 +169,30 @@ def _build_sah8_np(tlo, thi, leaf_tris: int, nbins: int):
     nodes = []       # (axis, depth, [child descriptors])
     leaves = []
 
+    def mk_leaf(p):
+        lid = len(leaves)
+        leaves.append(np.pad(p, (0, leaf_tris - len(p)),
+                             constant_values=-1))
+        return -(lid + 1)
+
+    def chop(idxs, depth):
+        # terminal for small subtrees (n <= 8*leaf_tris): ONE node of
+        # consecutive FULL leaves sliced along the widest centroid axis
+        # (row-optimal; see native/sah.cpp chop)
+        c = cent[idxs]
+        ax = int(np.argmax(c.max(0) - c.min(0)))
+        order = idxs[np.argsort(c[:, ax], kind='stable')]
+        me = len(nodes)
+        nodes.append([ax, depth, []])
+        for off in range(0, len(order), leaf_tris):
+            nodes[me][2].append(mk_leaf(order[off:off + leaf_tris]))
+        return me
+
     def build(idxs, depth):
+        if len(idxs) <= leaf_tris and depth > 0:
+            return mk_leaf(idxs)
+        if len(idxs) <= leaf_tris * 8:
+            return chop(idxs, depth)
         me = len(nodes)
         nodes.append([0, depth, []])
         # split the largest splittable part until 8 wide (node rows
@@ -201,13 +224,8 @@ def _build_sah8_np(tlo, thi, leaf_tris: int, nbins: int):
             else:
                 groups.append(p)
         for p in groups:
-            if len(p) <= leaf_tris:
-                lid = len(leaves)
-                leaves.append(np.pad(p, (0, leaf_tris - len(p)),
-                                     constant_values=-1))
-                nodes[me][2].append(-(lid + 1))
-            else:
-                nodes[me][2].append(build(p, depth + 1))
+            nodes[me][2].append(mk_leaf(p) if len(p) <= leaf_tris
+                                else build(p, depth + 1))
         return me
 
     build(np.arange(n), 0)
