@@ -134,6 +134,14 @@ def test_sah_traversal_matches_lockstep():
                                 t_max=150.0, packet=1024, interpret=True)
     assert np.array_equal(np.asarray(gotg['hit']),
                           np.asarray(refg['hit']))
+    # big-scene mode: HBM leaf rows through the 1-slot DMA pipeline
+    goth = traverse_pallas_gdir(sah, jnp.asarray(og), jnp.asarray(gd),
+                                t_max=150.0, packet=1024, interpret=True,
+                                leaf_hbm=True)
+    assert np.array_equal(np.asarray(goth['hit']),
+                          np.asarray(refg['hit']))
+    assert np.array_equal(np.asarray(goth['tri']),
+                          np.asarray(gotg['tri']))
 
 
 def test_sah_refit_rigid_motion_matches_rebuild():
