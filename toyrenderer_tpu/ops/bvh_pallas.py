@@ -270,29 +270,96 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
     # barycentrics join the carry only when a consumer wants them.
 
     def _unpack(s):
+        pend = pslot = None
+        if leaf_hbm:
+            s, pend, pslot = s[:-2], s[-2], s[-1]
         if want_uv:
             sp, visits, best_t, best_tri, best_u, best_v = s
         else:
             sp, visits, best_t, best_tri = s
             best_u = best_v = zero
-        return sp, visits, best_t, best_tri, best_u, best_v
+        return sp, visits, best_t, best_tri, best_u, best_v, pend, pslot
 
-    def _pack(sp, visits, best_t, best_tri, best_u, best_v):
+    def _pack(sp, visits, best_t, best_tri, best_u, best_v,
+              pend=None, pslot=None):
         if want_uv:
-            return (sp, visits, best_t, best_tri, best_u, best_v)
-        return (sp, visits, best_t, best_tri)
+            s = (sp, visits, best_t, best_tri, best_u, best_v)
+        else:
+            s = (sp, visits, best_t, best_tri)
+        if leaf_hbm:
+            s = s + (pend, pslot)
+        return s
 
     def cond(s):
         sp, visits, best_t, best_tri = s[:4]
-        go = (sp > 0) & (visits < max_visits)
+        go = sp > 0
+        if leaf_hbm:
+            go = go | (s[-2] >= 0)      # pending prefetched leaf
+        go = go & (visits < max_visits)
         if any_hit:
             go = go & jnp.any(live & (best_tri < 0.0))
         return go
 
+    def leaf_mt(row, active, best_t, best_tri, best_u, best_v):
+        """Moller-Trumbore a (1, >=120) leaf row against the packet."""
+        tcol = row.T                                   # (W, 1)
+
+        def col(c):                                    # (12, 1, 1)
+            return tcol[c * LEAF_TRIS:(c + 1) * LEAF_TRIS][:, :, None]
+        v0x, v0y, v0z = col(0), col(1), col(2)
+        e1x, e1y, e1z = col(3), col(4), col(5)
+        e2x, e2y, e2z = col(6), col(7), col(8)
+        pay3 = col(9) * jnp.ones((1, CH, 128))    # (12, 8, 128)
+        # Moller-Trumbore: all LEAF_TRIS tris x one ray chunk per
+        # batched op chain
+        ts, tris, us, vs = [], [], [], []
+        for c in range(nch):
+            sl = slice(c * CH, (c + 1) * CH)
+            dxc, dyc, dzc = ch3(dx, c), ch3(dy, c), ch3(dz, c)
+            px = dyc * e2z - dzc * e2y
+            py = dzc * e2x - dxc * e2z
+            pz = dxc * e2y - dyc * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = jnp.where(jnp.abs(det) < 1e-7, 0.0, 1.0 / det)
+            tx = ch3(ox, c) - v0x
+            ty = ch3(oy, c) - v0y
+            tz = ch3(oz, c) - v0z
+            u = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (dxc * qx + dyc * qy + dzc * qz) * inv_det
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            ok = ((inv_det != 0.0) & (u >= 0.0) & (v >= 0.0)
+                  & (u + v <= 1.0) & (tt > 1e-7) & (pay3 >= 0.0))
+            # closest-hit fold, static batch indices
+            bt2, btri2 = best_t[sl], best_tri[sl]
+            bu2, bv2 = best_u[sl], best_v[sl]
+            act = active[sl]
+            for j in range(LEAF_TRIS):
+                upd = ok[j] & (tt[j] < bt2) & act
+                bt2 = jnp.where(upd, tt[j], bt2)
+                btri2 = jnp.where(upd, pay3[j], btri2)
+                if want_uv:
+                    bu2 = jnp.where(upd, u[j], bu2)
+                    bv2 = jnp.where(upd, v[j], bv2)
+            ts.append(bt2)
+            tris.append(btri2)
+            us.append(bu2)
+            vs.append(bv2)
+        cat = (lambda xs: xs[0] if nch == 1
+               else jnp.concatenate(xs, axis=0))
+        return cat(ts), cat(tris), cat(us), cat(vs)
+
     def body(s):
-        sp, visits, best_t, best_tri, best_u, best_v = _unpack(s)
-        entry = stack_scr[sp - 1]
-        sp = sp - 1
+        (sp, visits, best_t, best_tri, best_u, best_v,
+         pend, pslot) = _unpack(s)
+        # leaf_hbm pipelining peeks without popping (sp may be 0 on the
+        # drain iteration); the plain path pops unconditionally
+        top = jnp.maximum(sp - 1, 0) if leaf_hbm else sp - 1
+        entry = stack_scr[top]
+        if not leaf_hbm:
+            sp = sp - 1
         if explicit_refs:
             # SAH tree: stack entries are (row << 1) | is_leaf
             level = jnp.int32(0)
@@ -306,65 +373,43 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
             active = active & (best_tri < 0.0)
 
         def visit_leaf():
-            if leaf_hbm:
-                # big-scene mode: leaf rows live in HBM; stream ONE
-                # 512B padded row per visit (internal boxes stay VMEM)
-                dma = pltpu.make_async_copy(
-                    leaf_ref.at[pl.ds(node, 1), :], leaf_scr, leaf_sem)
-                dma.start()
-                dma.wait()
-                row = leaf_scr[:, :]
-            else:
-                row = leaf_ref[pl.ds(node, 1), :]          # (1, 120)
-            tcol = row.T                                   # (W, 1)
+            row = leaf_ref[pl.ds(node, 1), :]              # (1, 120)
+            bt, btri, bu, bv = leaf_mt(row, active, best_t, best_tri,
+                                       best_u, best_v)
+            return _pack(sp, visits + 1, bt, btri, bu, bv)
 
-            def col(c):                                    # (12, 1, 1)
-                return tcol[c * LEAF_TRIS:(c + 1) * LEAF_TRIS][:, :, None]
-            v0x, v0y, v0z = col(0), col(1), col(2)
-            e1x, e1y, e1z = col(3), col(4), col(5)
-            e2x, e2y, e2z = col(6), col(7), col(8)
-            pay3 = col(9) * jnp.ones((1, CH, 128))    # (12, 8, 128)
-            # Moller-Trumbore: all LEAF_TRIS tris x one ray chunk per
-            # batched op chain
-            ts, tris, us, vs = [], [], [], []
-            for c in range(nch):
-                sl = slice(c * CH, (c + 1) * CH)
-                dxc, dyc, dzc = ch3(dx, c), ch3(dy, c), ch3(dz, c)
-                px = dyc * e2z - dzc * e2y
-                py = dzc * e2x - dxc * e2z
-                pz = dxc * e2y - dyc * e2x
-                det = e1x * px + e1y * py + e1z * pz
-                inv_det = jnp.where(jnp.abs(det) < 1e-7, 0.0, 1.0 / det)
-                tx = ch3(ox, c) - v0x
-                ty = ch3(oy, c) - v0y
-                tz = ch3(oz, c) - v0z
-                u = (tx * px + ty * py + tz * pz) * inv_det
-                qx = ty * e1z - tz * e1y
-                qy = tz * e1x - tx * e1z
-                qz = tx * e1y - ty * e1x
-                v = (dxc * qx + dyc * qy + dzc * qz) * inv_det
-                tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                ok = ((inv_det != 0.0) & (u >= 0.0) & (v >= 0.0)
-                      & (u + v <= 1.0) & (tt > 1e-7) & (pay3 >= 0.0))
-                # closest-hit fold, static batch indices
-                bt2, btri2 = best_t[sl], best_tri[sl]
-                bu2, bv2 = best_u[sl], best_v[sl]
-                act = active[sl]
-                for j in range(LEAF_TRIS):
-                    upd = ok[j] & (tt[j] < bt2) & act
-                    bt2 = jnp.where(upd, tt[j], bt2)
-                    btri2 = jnp.where(upd, pay3[j], btri2)
-                    if want_uv:
-                        bu2 = jnp.where(upd, u[j], bu2)
-                        bv2 = jnp.where(upd, v[j], bv2)
-                ts.append(bt2)
-                tris.append(btri2)
-                us.append(bu2)
-                vs.append(bv2)
-            cat = (lambda xs: xs[0] if nch == 1
-                   else jnp.concatenate(xs, axis=0))
-            return _pack(sp, visits + 1, cat(ts), cat(tris),
-                         cat(us), cat(vs))
+        def visit_leaf_pipelined():
+            # 1-slot leaf-row DMA pipeline — see the gdir kernel's
+            # docstring for the scheme (identical here)
+            def with_pend():
+                pr = jnp.maximum(pend, 0)
+                dma = pltpu.make_async_copy(
+                    leaf_ref.at[pl.ds(pr, 1), :],
+                    leaf_scr.at[pl.ds(pslot, 1), :], leaf_sem)
+                dma.wait()
+                row = leaf_scr[pl.ds(pslot, 1), :]
+                return leaf_mt(row, active, best_t, best_tri,
+                               best_u, best_v)
+
+            def no_pend():
+                return best_t, best_tri, best_u, best_v
+
+            bt, btri, bu, bv = jax.lax.cond(pend >= 0, with_pend,
+                                            no_pend)
+
+            def stash():
+                ns = 1 - pslot
+                pltpu.make_async_copy(
+                    leaf_ref.at[pl.ds(node, 1), :],
+                    leaf_scr.at[pl.ds(ns, 1), :], leaf_sem).start()
+                return sp - 1, node, ns
+
+            def drained():
+                return sp, jnp.int32(-1), pslot
+
+            sp2, pend2, pslot2 = jax.lax.cond(sp > 0, stash, drained)
+            return _pack(sp2, visits + 1, bt, btri, bu, bv,
+                         pend2, pslot2)
 
         def visit_internal():
             if explicit_refs:
@@ -411,7 +456,7 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
             for k in range(ARITY):
                 want_bits = want_bits | (
                     jnp.any(acc[k]).astype(jnp.int32) << k)
-            new_sp = sp
+            new_sp = sp - 1 if leaf_hbm else sp      # pop (peeked) entry
             if explicit_refs:
                 # SAH node: children pre-sorted ascending along the
                 # node's split axis; pop nearest first by pushing in
@@ -444,17 +489,31 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
                                          | child_level)
                     new_sp = new_sp + bit
             return _pack(new_sp, visits + 1, best_t, best_tri,
-                         best_u, best_v)
+                         best_u, best_v, pend, pslot)
 
         if explicit_refs:
             is_leaf = (entry & 1) == 1
         else:
             is_leaf = level == leaf_level
+        if leaf_hbm:
+            do_internal = (sp > 0) & ~is_leaf
+            return jax.lax.cond(do_internal, visit_internal,
+                                visit_leaf_pipelined)
         return jax.lax.cond(is_leaf, visit_leaf, visit_internal)
 
-    init = _pack(jnp.int32(1), jnp.int32(0), t_cap, neg1, zero, zero)
+    init = _pack(jnp.int32(1), jnp.int32(0), t_cap, neg1, zero, zero,
+                 jnp.int32(-1), jnp.int32(0))
     fin = jax.lax.while_loop(cond, body, init)
-    (sp, visits, best_t, best_tri, best_u, best_v) = _unpack(fin)
+    (sp, visits, best_t, best_tri, best_u, best_v,
+     pend, pslot) = _unpack(fin)
+    if leaf_hbm:
+        # pair any in-flight prefetch's semaphore before the kernel ends
+        def _drain():
+            pltpu.make_async_copy(
+                leaf_ref.at[pl.ds(jnp.maximum(pend, 0), 1), :],
+                leaf_scr.at[pl.ds(pslot, 1), :], leaf_sem).wait()
+
+        jax.lax.cond(pend >= 0, _drain, lambda: None)
 
     out_ref[0, 0:sub] = best_t
     out_ref[0, sub:2 * sub] = best_tri
@@ -942,6 +1001,10 @@ def traverse_pallas(bvh: Bvh, origins, directions, t_max,
     if max_visits is None:
         # exact bound: every internal node + every leaf group once
         max_visits = int(cb.shape[0]) + int(leaf.shape[0])
+    if leaf_hbm:
+        # the 1-slot leaf pipeline spends an extra (cheap) scheduling
+        # iteration per leaf stash
+        max_visits = 2 * max_visits + 2
 
     rows = 6 if want_uv else 4
     kernel = functools.partial(
@@ -967,7 +1030,9 @@ def traverse_pallas(bvh: Bvh, origins, directions, t_max,
         out_shape=jax.ShapeDtypeStruct((p, rows * sub, _LANE),
                                        jnp.float32),
         scratch_shapes=[pltpu.SMEM((STACK_CAP,), jnp.int32),
-                        pltpu.VMEM((1, 128), jnp.float32),
+                        # 2 ping-ponged leaf-row landing slots (the
+                        # leaf_hbm 1-slot DMA pipeline)
+                        pltpu.VMEM((2, 128), jnp.float32),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(packed, cb, leaf)
