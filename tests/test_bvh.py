@@ -337,3 +337,56 @@ def test_traverse_pallas_gdir_matches_lockstep():
     gh2 = traverse_pallas_gdir(bvh, jnp.asarray(o), jnp.asarray(gd),
                                t_max=150.0, leaf_hbm=True, interpret=True)
     assert np.array_equal(np.asarray(gh2['hit']), rh)
+
+
+def test_rt_static_masked_alpha_coverage():
+    """Alpha-masked pairs join the RT topology coverage-classified
+    (shadowmask.hlsl any-hit alpha parity, pre-classified at build):
+    mostly-opaque cutout triangles occlude rays, hole triangles drop."""
+    from toyrenderer_tpu.scene import load_scene
+    from toyrenderer_tpu.ops.geometry import static_meshlet_pairs
+    from toyrenderer_tpu.ops import geometry as G
+
+    s = load_scene("resources/courtyard.glb")
+    mk_i, mk_m = static_meshlet_pairs(s, 'mask')
+    assert len(mk_i) > 0
+    keep = B.alpha_coverage_keep(s, mk_i, mk_m)
+    counts = np.asarray(s.meshlet_tri_count)[np.asarray(mk_m)]
+    valid = (np.arange(96)[None, :] < counts[:, None]).reshape(-1)
+    frac = keep.sum() / valid.sum()
+    # foliage/banner textures: most triangles occlude, holes drop
+    assert 0.3 < frac < 0.98
+    assert keep.sum() < valid.sum()
+
+    pi, pm = static_meshlet_pairs(s, 'not_mask')
+    pi, pm = pi[:512], pm[:512]
+    rts = B.build_rt_static(s, pi, pm, mask_pair_inst=mk_i,
+                            mask_pair_meshlet=mk_m)
+    rts0 = B.build_rt_static(s, pi, pm)
+    n_with = int((np.asarray(rts.payload) >= 0).sum())
+    n_without = int((np.asarray(rts0.payload) >= 0).sum())
+    assert rts.n_mask_pairs == len(mk_i)
+    assert n_with == n_without + int(keep.sum())
+
+    # a kept masked triangle must occlude a ray aimed at it
+    d = s.to_device()
+    world = G.node_world_matrices(d, d.node_translation, d.node_rotation,
+                                  d.node_scale)
+    iw, _ = G.instance_transforms(d, world)
+    bvh = B.refit_bvh(rts, iw)
+    leaf = np.asarray(bvh.leaf_rows)
+    rows = leaf.reshape(leaf.shape[0], 10, B.LEAF_TRIS).transpose(
+        0, 2, 1).reshape(-1, 10)
+    pay = rows[:, 9].astype(np.int64)
+    base = len(np.asarray(pi)) * 96
+    masked_slots = np.nonzero(pay >= base)[0]
+    assert len(masked_slots) == int(keep.sum())
+    sl = masked_slots[len(masked_slots) // 2]
+    v0 = rows[sl, 0:3]
+    cen = v0 + (rows[sl, 3:6] + rows[sl, 6:9]) / 3.0
+    dirn = np.asarray([0.3, -0.8, 0.2], np.float32)
+    dirn /= np.linalg.norm(dirn)
+    o = cen - dirn * 2.0
+    res = B.traverse(bvh, jnp.asarray(o[None]), jnp.asarray(dirn[None]),
+                     t_max=10.0, max_steps=4096)
+    assert bool(np.asarray(res['hit'])[0])

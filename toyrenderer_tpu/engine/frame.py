@@ -398,6 +398,17 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     needs_wp = needs_rt or settings.enable_shadows
     # pair-order world triangles feed DDGI shade records / ReSTIR lights
     needs_tris = settings.enable_gi or settings.enable_restir
+    # rt_static built WITH the alpha-masked set appended (coverage-kept
+    # cutout tris occlude — shadowmask.hlsl any-hit alpha parity): the
+    # payload indexes the CONCATENATED pair stream, so shade records /
+    # world triangles must span it too
+    rt_pi, rt_pm = pair_inst, pair_meshlet
+    if (rt_static is not None
+            and getattr(rt_static, 'n_mask_pairs', 0) > 0
+            and mask_pair_inst is not None):
+        nm = rt_static.n_mask_pairs
+        rt_pi = jnp.concatenate([pair_inst, mask_pair_inst[:nm]])
+        rt_pm = jnp.concatenate([pair_meshlet, mask_pair_meshlet[:nm]])
     if needs_rt:
         if rt_static is not None:
             if hasattr(rt_static, 'depth_ranges'):
@@ -409,10 +420,10 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                 bvh = bvh_mod.refit_bvh(rt_static, inst_world)
             if needs_tris:
                 tv0, tv1, tv2, tvalid = bvh_mod.world_triangles(
-                    scene, inst_world, pair_inst, pair_meshlet)
+                    scene, inst_world, rt_pi, rt_pm)
         else:
             tv0, tv1, tv2, tvalid = bvh_mod.world_triangles(
-                scene, inst_world, pair_inst, pair_meshlet)
+                scene, inst_world, rt_pi, rt_pm)
             bvh = bvh_mod.build_bvh(tv0, tv1, tv2, tvalid)
 
     from toyrenderer_tpu.ops.gbuffer import unpack_gbuffer
@@ -474,7 +485,7 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     if settings.enable_gi:
         assert ddgi_volume is not None, "enable_gi requires a ddgi_volume"
         shade_rec = ddgi_mod.build_shade_records(
-            scene, pair_inst, pair_meshlet, tv0, tv1, tv2)
+            scene, rt_pi, rt_pm, tv0, tv1, tv2)
         to_light = -frame_inputs['sun_direction']
         # block-phased trace with the full probe lifecycle: relocation,
         # classification (inactive probes are ray-masked to zero cost) and
@@ -529,7 +540,7 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     restir_carry = {}
     if settings.enable_restir:
         lights = restir_mod.collect_emissive_lights(
-            scene, pair_inst, pair_meshlet, tv0, tv1, tv2,
+            scene, rt_pi, rt_pm, tv0, tv1, tv2,
             max_lights=settings.restir_max_lights)
         restir_light, reservoir = restir_mod.restir_di(
             bvh, lights, wp, m_gb['normal'], m_gb['albedo'], depth > 0.0,

@@ -67,6 +67,7 @@ class RtStaticSah:
     child_ref: jnp.ndarray       # (PR, 8) i32 (INT32_MIN absent)
     node_axis: jnp.ndarray       # (PR,) i32 split axis
     depth_ranges: tuple          # static ((start, count), ...) by depth
+    n_mask_pairs: int = 0        # static: see RtStatic.n_mask_pairs
 
 
 def _register_rt_static_sah():
@@ -75,9 +76,10 @@ def _register_rt_static_sah():
     jax.tree_util.register_pytree_node(
         RtStaticSah,
         lambda b: (tuple(getattr(b, f) for f in arr),
-                   (b.depth_ranges,)),
+                   (b.depth_ranges, b.n_mask_pairs)),
         lambda aux, ch: RtStaticSah(**dict(zip(arr, ch)),
-                                    depth_ranges=aux[0]))
+                                    depth_ranges=aux[0],
+                                    n_mask_pairs=aux[1]))
 
 
 _register_rt_static_sah()
@@ -250,15 +252,23 @@ def _build_sah8_np(tlo, thi, leaf_tris: int, nbins: int):
 
 
 def build_rt_static_sah(scene_host, pair_inst, pair_meshlet,
-                        rest_inst_world=None,
+                        rest_inst_world=None, mask_pair_inst=None,
+                        mask_pair_meshlet=None,
                         nbins: int = 16) -> RtStaticSah:
     """One-time (scene load) SAH topology over the full RT pair list —
     rest-pose world AABBs drive the build; triangles are stored in
     OBJECT space in leaf order so refit_sah re-transforms them per
     frame.  Uses the native builder (native/sah.cpp) with a numpy
-    fallback."""
+    fallback.  Optional alpha-masked pairs join coverage-classified
+    (see bvh.rt_pairs_with_mask)."""
+    from toyrenderer_tpu.ops.bvh import rt_pairs_with_mask
+    pair_inst, pair_meshlet, keep, n_mask = rt_pairs_with_mask(
+        scene_host, pair_inst, pair_meshlet, mask_pair_inst,
+        mask_pair_meshlet)
     obj, inst, w, valid = _pair_world_tris(
         scene_host, pair_inst, pair_meshlet, rest_inst_world)
+    if keep is not None:
+        valid = valid & keep
     ids = np.nonzero(valid)[0]
     wv = w[ids]
     tlo = wv.min(axis=1)
@@ -302,11 +312,12 @@ def build_rt_static_sah(scene_host, pair_inst, pair_meshlet,
         payload=jnp.asarray(pay),
         child_ref=jnp.asarray(child),
         node_axis=jnp.asarray(axis),
-        depth_ranges=tuple(ranges))
+        depth_ranges=tuple(ranges), n_mask_pairs=n_mask)
 
 
 def build_rt_static_auto(scene_host, pair_inst, pair_meshlet,
-                         rest_inst_world=None):
+                         rest_inst_world=None, mask_pair_inst=None,
+                         mask_pair_meshlet=None):
     """Frozen-topology selector for the frame tools: the adaptive SAH
     tree on TPU backends (its traversal is Pallas-only), the complete
     morton/median tree otherwise (CPU tests, XLA fallback).  Env knob
@@ -319,10 +330,14 @@ def build_rt_static_auto(scene_host, pair_inst, pair_meshlet,
     want = os.environ.get('TR_RT_SAH', '0') == '1'
     if on_tpu and want:
         return build_rt_static_sah(scene_host, pair_inst, pair_meshlet,
-                                   rest_inst_world)
+                                   rest_inst_world,
+                                   mask_pair_inst=mask_pair_inst,
+                                   mask_pair_meshlet=mask_pair_meshlet)
     from toyrenderer_tpu.ops.bvh import build_rt_static
     return build_rt_static(scene_host, pair_inst, pair_meshlet,
-                           rest_inst_world)
+                           rest_inst_world,
+                           mask_pair_inst=mask_pair_inst,
+                           mask_pair_meshlet=mask_pair_meshlet)
 
 
 def refit_sah(rts: RtStaticSah, inst_world) -> BvhSah:

@@ -197,7 +197,9 @@ def main(argv=None):
     rt_static = None
     if args.full and not args.norefit:
         from toyrenderer_tpu.ops.bvh_sah import build_rt_static_auto
-        rt_static = build_rt_static_auto(scene_host, pi, pm)
+        rt_static = build_rt_static_auto(
+            scene_host, pi, pm,
+            mask_pair_inst=mk_i, mask_pair_meshlet=mk_m)
     view = View.from_scene(scene_host, w, h)
     carry = init_carry(scene, settings, ddgi_volume)
     render = make_render_fn(settings, ddgi_volume)

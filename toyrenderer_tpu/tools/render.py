@@ -164,8 +164,9 @@ def main(argv=None):
             or (args.shadows and args.shadowtechnique == 'rt')):
         from toyrenderer_tpu.ops.bvh_sah import build_rt_static_auto
         t0 = time.time()
-        rt_static = build_rt_static_auto(scene_host, pair_inst,
-                                         pair_meshlet)
+        rt_static = build_rt_static_auto(
+            scene_host, pair_inst, pair_meshlet,
+            mask_pair_inst=mk_i, mask_pair_meshlet=mk_m)
         kind = ('sah' if hasattr(rt_static, 'depth_ranges')
                 else 'complete')
         print(f"[rt] static topology ({kind}): "

@@ -273,6 +273,8 @@ def main(argv=None):
             return None
         if rt_static_box[0] is None:
             from toyrenderer_tpu.ops.bvh_sah import build_rt_static_auto
+            # shell uses the 'all' pair filter, so masked pairs are
+            # already in the RT list (no separate set to append)
             rt_static_box[0] = build_rt_static_auto(
                 scene_host, np.asarray(pi), np.asarray(pm))
         return rt_static_box[0]
