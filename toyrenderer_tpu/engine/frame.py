@@ -446,9 +446,16 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         from toyrenderer_tpu.ops import shadowmap as sm_mod
         sm_cfg = sm_mod.shadow_map_config(
             settings.shadow_map_resolution)
+        # masked cutout casters: the rt pair stream + its coverage keep
+        # (rt_pi == pair_inst when no masked set / no rt_static)
+        sm_keep = (rt_static.pair_keep
+                   if (rt_static is not None
+                       and getattr(rt_static, 'n_mask_pairs', 0) > 0
+                       and mask_pair_inst is not None) else None)
         sm_depth = sm_mod.render_shadow_map(
-            scene, inst_world, pair_inst, pair_meshlet,
-            frame_inputs['sun_view_proj'], sm_cfg, use_pallas)
+            scene, inst_world, rt_pi, rt_pm,
+            frame_inputs['sun_view_proj'], sm_cfg, use_pallas,
+            tri_keep=sm_keep)
         sm_quads = sm_mod.quad_expand_map(sm_depth)
         if gi_sun_map:
             sun_vis_fn = lambda pts: sm_mod.sample_shadow_map_points(  # noqa: E731

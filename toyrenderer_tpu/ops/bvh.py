@@ -241,6 +241,10 @@ class RtStatic:
     obj_e2: jnp.ndarray          # (cap, 3) f32 object-space v2 - v0
     tri_inst: jnp.ndarray        # (cap,) i32 instance id (0 for padding)
     payload: jnp.ndarray         # (cap,) i32 pair-order tri id; -1 pad
+    pair_keep: jnp.ndarray       # (Tcat,) bool: per pair-stream triangle
+    #                              alpha-coverage keep (all-True when no
+    #                              masked set); consumed by the sun-map
+    #                              raster so cutout casters match the tree
     num_levels: int              # static
     n_real_groups: int           # static: reachable leaf-group prefix
     n_mask_pairs: int = 0        # static: alpha-masked pairs appended to
@@ -249,7 +253,8 @@ class RtStatic:
 
 
 def _register_rt_static():
-    arr = ('obj_v0', 'obj_e1', 'obj_e2', 'tri_inst', 'payload')
+    arr = ('obj_v0', 'obj_e1', 'obj_e2', 'tri_inst', 'payload',
+           'pair_keep')
     static = ('num_levels', 'n_real_groups', 'n_mask_pairs')
     jax.tree_util.register_pytree_node(
         RtStatic,
@@ -511,6 +516,8 @@ def build_rt_static(scene_host, pair_inst, pair_meshlet,
         obj_e2=jnp.asarray(obj_s[:, 2] - obj_s[:, 0]),
         tri_inst=jnp.asarray(inst_s),
         payload=jnp.asarray(pay),
+        pair_keep=jnp.asarray(keep if keep is not None
+                              else np.ones(t, bool)),
         num_levels=n_levels,
         n_real_groups=n_real,
         n_mask_pairs=n_mask)

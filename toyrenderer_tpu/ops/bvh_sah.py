@@ -66,13 +66,14 @@ class RtStaticSah:
     payload: jnp.ndarray         # (NG*12,) i32 pair-order tri id; -1 pad
     child_ref: jnp.ndarray       # (PR, 8) i32 (INT32_MIN absent)
     node_axis: jnp.ndarray       # (PR,) i32 split axis
-    depth_ranges: tuple          # static ((start, count), ...) by depth
+    pair_keep: jnp.ndarray = None  # (Tcat,) bool: see RtStatic.pair_keep
+    depth_ranges: tuple = ()     # static ((start, count), ...) by depth
     n_mask_pairs: int = 0        # static: see RtStatic.n_mask_pairs
 
 
 def _register_rt_static_sah():
     arr = ('obj_v0', 'obj_e1', 'obj_e2', 'tri_inst', 'payload',
-           'child_ref', 'node_axis')
+           'child_ref', 'node_axis', 'pair_keep')
     jax.tree_util.register_pytree_node(
         RtStaticSah,
         lambda b: (tuple(getattr(b, f) for f in arr),
@@ -312,6 +313,8 @@ def build_rt_static_sah(scene_host, pair_inst, pair_meshlet,
         payload=jnp.asarray(pay),
         child_ref=jnp.asarray(child),
         node_axis=jnp.asarray(axis),
+        pair_keep=jnp.asarray(keep if keep is not None
+                              else np.ones(w.shape[0], bool)),
         depth_ranges=tuple(ranges), n_mask_pairs=n_mask)
 
 

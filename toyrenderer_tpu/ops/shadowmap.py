@@ -75,14 +75,20 @@ def shadow_map_config(resolution: int) -> RasterConfig:
 
 
 def render_shadow_map(scene, inst_world, pair_inst, pair_meshlet,
-                      sun_view_proj, cfg: RasterConfig, use_pallas: bool):
+                      sun_view_proj, cfg: RasterConfig, use_pallas: bool,
+                      tri_keep=None):
     """Depth-from-the-sun via the standard raster pipeline.
 
     Uses the FULL (unculled) pair list — off-screen geometry casts
-    shadows.  Returns (S, S) f32, 0 == nothing (fully lit beyond map).
+    shadows.  tri_keep: optional (T,) bool per pair-stream triangle —
+    the alpha-coverage classification that lets masked cutout geometry
+    cast (hole-free) shadows without per-texel alpha in the raster.
+    Returns (S, S) f32, 0 == nothing (fully lit beyond map).
     """
     geo = geo_mod.meshlet_clip_triangles(
         scene, inst_world, sun_view_proj, pair_inst, pair_meshlet)
+    if tri_keep is not None:
+        geo = dict(geo, tri_valid=geo['tri_valid'] & tri_keep)
     # double-sided raster into the shadow map (no light-facing culling —
     # the cheap fix for acne from backface-only casters)
     geo = dict(geo, double_sided=jnp.ones_like(geo['double_sided']))

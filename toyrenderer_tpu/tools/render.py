@@ -160,8 +160,9 @@ def main(argv=None):
               f"{ddgi_volume.rays_per_probe} rays")
     # static RT topology (BLAS-cache analogue): built once, refit per frame
     rt_static = None
-    if (args.gi or args.restir
-            or (args.shadows and args.shadowtechnique == 'rt')):
+    if args.gi or args.restir or args.shadows:
+        # built for 'map' shadows too: the sun-map raster consumes the
+        # masked-set coverage keep (cutout casters)
         from toyrenderer_tpu.ops.bvh_sah import build_rt_static_auto
         t0 = time.time()
         rt_static = build_rt_static_auto(
