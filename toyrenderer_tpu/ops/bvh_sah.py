@@ -67,20 +67,25 @@ class RtStaticSah:
     child_ref: jnp.ndarray       # (PR, 8) i32 (INT32_MIN absent)
     node_axis: jnp.ndarray       # (PR,) i32 split axis
     pair_keep: jnp.ndarray = None  # (Tcat,) bool: see RtStatic.pair_keep
+    seg_inst: jnp.ndarray = None  # (S,) i32: instance of each contiguous
+    #                               leaf-triangle segment (instance-major
+    #                               builds; see refit_sah)
     depth_ranges: tuple = ()     # static ((start, count), ...) by depth
     n_mask_pairs: int = 0        # static: see RtStatic.n_mask_pairs
+    seg_lens: tuple = ()         # static: triangle count per segment
 
 
 def _register_rt_static_sah():
     arr = ('obj_v0', 'obj_e1', 'obj_e2', 'tri_inst', 'payload',
-           'child_ref', 'node_axis', 'pair_keep')
+           'child_ref', 'node_axis', 'pair_keep', 'seg_inst')
     jax.tree_util.register_pytree_node(
         RtStaticSah,
         lambda b: (tuple(getattr(b, f) for f in arr),
-                   (b.depth_ranges, b.n_mask_pairs)),
+                   (b.depth_ranges, b.n_mask_pairs, b.seg_lens)),
         lambda aux, ch: RtStaticSah(**dict(zip(arr, ch)),
                                     depth_ranges=aux[0],
-                                    n_mask_pairs=aux[1]))
+                                    n_mask_pairs=aux[1],
+                                    seg_lens=aux[2]))
 
 
 _register_rt_static_sah()
@@ -252,6 +257,95 @@ def _build_sah8_np(tlo, thi, leaf_tris: int, nbins: int):
     return child, axis, leaf, max_d
 
 
+def _build_one(tlo, thi, nbins):
+    built = _build_sah8_native(tlo, thi, LEAF_TRIS, nbins)
+    if built is None:
+        built = _build_sah8_np(tlo, thi, LEAF_TRIS, nbins)
+    return built
+
+
+def _build_instance_major(tlo, thi, inst_v, nbins):
+    """BLAS/TLAS-structured topology (Visual.cpp BLAS-per-mesh +
+    Scene.cpp TLAS parity, flattened into one node array): one SAH
+    subtree per INSTANCE over its own triangles, plus a median-split
+    top tree whose children are the instance roots.  Instance-major
+    leaf order makes each instance's triangles one CONTIGUOUS segment,
+    so the per-frame refit broadcasts ONE matrix per segment instead of
+    a (tris x instances) one-hot matmul — O(T) at any instance count
+    (the plaza/Bistro-scale enabler).
+
+    Returns (child (PR,8), axis (PR,), leaf (NL,12) LOCAL-valid tri
+    ids, seg_inst list, seg_tris list)."""
+    uinst = np.unique(inst_v)
+    childs, axes, leaves = [], [], []
+    roots, seg_inst, seg_tris = [], [], []
+    n_off = 0
+    l_off = 0
+    ilo = np.empty((len(uinst), 3), np.float32)
+    ihi = np.empty((len(uinst), 3), np.float32)
+    for j, iid in enumerate(uinst):
+        sel = np.nonzero(inst_v == iid)[0]
+        c, a, lf, _md = _build_one(tlo[sel], thi[sel], nbins)
+        # globalize: internal refs shift by n_off, leaf refs by l_off,
+        # local tri ids -> this call's selection
+        gi = np.where(c >= 0, c + n_off,
+                      np.where(c == _ABSENT_I, c, c - l_off))
+        childs.append(gi)
+        axes.append(a)
+        lg = np.where(lf >= 0, sel[np.maximum(lf, 0)], -1)
+        leaves.append(lg)
+        roots.append(n_off)
+        seg_inst.append(int(iid))
+        seg_tris.append(int(lf.shape[0]) * LEAF_TRIS)
+        ilo[j] = tlo[sel].min(0)
+        ihi[j] = thi[sel].max(0)
+        n_off += c.shape[0]
+        l_off += lf.shape[0]
+
+    child = np.concatenate(childs, axis=0)
+    axis = np.concatenate(axes, axis=0)
+    leaf = np.concatenate(leaves, axis=0)
+    if len(uinst) == 1:
+        return child, axis, leaf, seg_inst, seg_tris
+
+    # top tree (TLAS): median-split over instance AABB centers; children
+    # are instance roots (global node ids) or deeper top nodes.  Top
+    # node t's FINAL id is n_off + t, assigned at creation, so refs are
+    # final immediately.
+    cent = (ilo + ihi) * 0.5
+    n_inst_nodes = n_off
+    top_child, top_axis = [], []
+
+    def build_top(items):
+        me = len(top_child)
+        top_child.append(np.full(8, _ABSENT_I, np.int64))
+        top_axis.append(0)
+        c = cent[items]
+        ax = int(np.argmax(c.max(0) - c.min(0)))
+        top_axis[me] = ax
+        order = items[np.argsort(c[:, ax], kind='stable')]
+        if len(order) <= 8:
+            groups = [order[i:i + 1] for i in range(len(order))]
+        else:
+            bounds = np.linspace(0, len(order), 9).astype(int)
+            groups = [order[bounds[i]:bounds[i + 1]] for i in range(8)
+                      if bounds[i] < bounds[i + 1]]
+        for k, g in enumerate(groups):
+            top_child[me][k] = (roots[g[0]] if len(g) == 1
+                                else build_top(g))
+        return n_inst_nodes + me
+
+    root_final = build_top(np.arange(len(uinst)))
+    child = np.concatenate(
+        [child, np.stack(top_child).astype(child.dtype)], axis=0)
+    axis = np.concatenate(
+        [axis, np.asarray(top_axis, axis.dtype)], axis=0)
+    # the depth relabel in build_rt_static_sah moves the (single
+    # unreferenced) root — wherever it sits — to node 0
+    assert root_final == n_inst_nodes
+    return child, axis, leaf, seg_inst, seg_tris
+
+
 def build_rt_static_sah(scene_host, pair_inst, pair_meshlet,
                         rest_inst_world=None, mask_pair_inst=None,
                         mask_pair_meshlet=None,
@@ -261,7 +355,8 @@ def build_rt_static_sah(scene_host, pair_inst, pair_meshlet,
     OBJECT space in leaf order so refit_sah re-transforms them per
     frame.  Uses the native builder (native/sah.cpp) with a numpy
     fallback.  Optional alpha-masked pairs join coverage-classified
-    (see bvh.rt_pairs_with_mask)."""
+    (see bvh.rt_pairs_with_mask).  Topology is instance-major
+    (BLAS/TLAS-structured, see _build_instance_major)."""
     from toyrenderer_tpu.ops.bvh import rt_pairs_with_mask
     pair_inst, pair_meshlet, keep, n_mask = rt_pairs_with_mask(
         scene_host, pair_inst, pair_meshlet, mask_pair_inst,
@@ -274,26 +369,46 @@ def build_rt_static_sah(scene_host, pair_inst, pair_meshlet,
     wv = w[ids]
     tlo = wv.min(axis=1)
     thi = wv.max(axis=1)
-    built = _build_sah8_native(tlo, thi, LEAF_TRIS, nbins)
-    if built is None:
-        built = _build_sah8_np(tlo, thi, LEAF_TRIS, nbins)
-    child, axis, leaf, _max_d = built
+    child, axis, leaf, seg_inst, seg_tris = _build_instance_major(
+        tlo, thi, inst[ids], nbins)
     pr = child.shape[0]
 
-    # depth ranges (nodes are emitted grouped by depth)
-    depth = np.zeros((pr,), np.int32)
-    for i in range(pr):
-        for k in range(8):
-            c = child[i, k]
-            if c >= 0:
-                depth[c] = depth[i] + 1
+    # depth relabel: instance-major concatenation interleaves depths, so
+    # permute nodes into depth-grouped order (refit walks contiguous
+    # depth ranges bottom-up)
+    depth = np.full((pr,), -1, np.int32)
+    # roots: nodes never referenced as children
+    referenced = np.zeros(pr, bool)
+    refs = child[(child >= 0) & (child != _ABSENT_I)]
+    referenced[refs] = True
+    depth[~referenced] = 0
+    frontier = np.nonzero(~referenced)[0]
+    while len(frontier):
+        nxt = []
+        for i in frontier:
+            for k in range(8):
+                c = child[i, k]
+                if c >= 0:
+                    depth[c] = depth[i] + 1
+                    nxt.append(c)
+        frontier = np.asarray(nxt, np.int64)
     max_d = int(depth.max())
+    assert (depth >= 0).all()
     # kernel DFS stack bound (bvh_pallas.STACK_CAP)
     assert (max_d + 1) * (ARITY - 1) + 1 <= 160, \
         f"SAH tree too deep for the traversal stack (depth {max_d})"
+    perm = np.argsort(depth, kind='stable')      # new order -> old id
+    remap = np.empty(pr, np.int64)               # old id -> new id
+    remap[perm] = np.arange(pr)
+    child = np.where(child >= 0, remap[np.maximum(child, 0)],
+                     child)[perm]
+    axis = axis[perm]
+    depth = depth[perm]
+    assert depth[0] == 0
     ranges = []
     for d in range(max_d + 1):
         idx = np.nonzero(depth == d)[0]
+        assert idx[-1] - idx[0] + 1 == len(idx)
         ranges.append((int(idx[0]), int(len(idx))))
 
     # leaf-order triangle arrays (absent slots: payload -1, degenerate
@@ -311,11 +426,13 @@ def build_rt_static_sah(scene_host, pair_inst, pair_meshlet,
         obj_e2=jnp.asarray((obj_s[:, 2] - obj_s[:, 0]).astype(np.float32)),
         tri_inst=jnp.asarray(inst_s),
         payload=jnp.asarray(pay),
-        child_ref=jnp.asarray(child),
+        child_ref=jnp.asarray(child.astype(np.int32)),
         node_axis=jnp.asarray(axis),
         pair_keep=jnp.asarray(keep if keep is not None
                               else np.ones(w.shape[0], bool)),
-        depth_ranges=tuple(ranges), n_mask_pairs=n_mask)
+        seg_inst=jnp.asarray(np.asarray(seg_inst, np.int32)),
+        depth_ranges=tuple(ranges), n_mask_pairs=n_mask,
+        seg_lens=tuple(seg_tris))
 
 
 def build_rt_static_auto(scene_host, pair_inst, pair_meshlet,
@@ -351,8 +468,24 @@ def refit_sah(rts: RtStaticSah, inst_world) -> BvhSah:
     written).  Runs inside the frame jit; no sort, no topology work."""
     cap = rts.tri_inst.shape[0]
     ng = cap // LEAF_TRIS
-    v0w, e1w, e2w = transform_leaf_tris(
-        rts.tri_inst, rts.obj_v0, rts.obj_e1, rts.obj_e2, inst_world)
+    if rts.seg_lens:
+        # instance-major leaf order: each instance's triangles are one
+        # contiguous segment — broadcast ONE matrix per segment (static
+        # repeat pattern) instead of the (tris x instances) one-hot
+        # matmul; O(T) at any instance count
+        w_seg = inst_world[rts.seg_inst]                 # (S, 4, 4)
+        w_tri = jnp.repeat(w_seg, jnp.asarray(rts.seg_lens), axis=0,
+                           total_repeat_length=cap)
+        r = w_tri[:, :3, :3]
+        t = w_tri[:, :3, 3]
+        tf = lambda v: jnp.einsum('tij,tj->ti', r, v)    # noqa: E731
+        v0w = tf(rts.obj_v0) + t
+        e1w = tf(rts.obj_e1)
+        e2w = tf(rts.obj_e2)
+    else:
+        v0w, e1w, e2w = transform_leaf_tris(
+            rts.tri_inst, rts.obj_v0, rts.obj_e1, rts.obj_e2,
+            inst_world)
 
     # leaf rows: component-major [v0x*12 | v0y | v0z | e1xyz | e2xyz |
     # pay*12] — identical layout to Bvh.leaf_rows

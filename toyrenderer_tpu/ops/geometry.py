@@ -93,14 +93,20 @@ def meshlet_clip_triangles(scene, inst_world, view_proj,
     )
 
 
-def static_meshlet_pairs(scene_host, alpha_filter: str = 'all'):
-    """Host helper: the no-culling (instance, meshlet) LOD0 pair list.
+def static_meshlet_pairs(scene_host, alpha_filter: str = 'all',
+                         lod: int = 0):
+    """Host helper: the no-culling (instance, meshlet) pair list at a
+    fixed LOD (default LOD0).
 
     Uses the *host* SceneBuffers (numpy) — this is the pre-culling fallback
     and the capacity bound for the culling kernel's compacted output.
     alpha_filter: 'all' | 'opaque' (opaque + alpha-masked) |
     'opaque_strict' (no masked) | 'mask' | 'blend' — the alpha-mode set
     split of the reference's base pass / transparent forward.
+    lod: requested LOD per primitive, clamped to its coarsest built
+    level — lod > 0 is the RT-topology budget knob for Bistro-scale
+    scenes (shadow/GI rays trace simplified geometry; primary
+    visibility stays rasterized at full detail).
     """
     import numpy as np
     from toyrenderer_tpu.scene.gltf import ALPHA_BLEND, ALPHA_MASK
@@ -119,8 +125,11 @@ def static_meshlet_pairs(scene_host, alpha_filter: str = 'all'):
             continue
         if alpha_filter == 'blend' and mode != ALPHA_BLEND:
             continue
-        off = int(scene_host.prim_meshlet_offset[p, 0])
-        cnt = int(scene_host.prim_meshlet_count[p, 0])
+        li = lod
+        while li > 0 and int(scene_host.prim_meshlet_count[p, li]) == 0:
+            li -= 1
+        off = int(scene_host.prim_meshlet_offset[p, li])
+        cnt = int(scene_host.prim_meshlet_count[p, li])
         pi.extend([i] * cnt)
         pm.extend(range(off, off + cnt))
     if not pi:
