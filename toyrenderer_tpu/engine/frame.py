@@ -241,7 +241,8 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                  carry: FrameCarry, settings: RenderSettings,
                  ddgi_volume=None, trans_pair_inst=None,
                  trans_pair_meshlet=None, mask_pair_inst=None,
-                 mask_pair_meshlet=None, sp_mesh=None, rt_static=None):
+                 mask_pair_meshlet=None, sp_mesh=None, rt_static=None,
+                 rt_pair_inst=None, rt_pair_meshlet=None):
     """One frame.  jit with static settings via `make_render_fn`.
 
     frame_inputs (all jnp arrays, dynamic):
@@ -402,13 +403,19 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     # cutout tris occlude — shadowmask.hlsl any-hit alpha parity): the
     # payload indexes the CONCATENATED pair stream, so shade records /
     # world triangles must span it too
-    rt_pi, rt_pm = pair_inst, pair_meshlet
+    # explicit rt_pair_* override: the RT topology may be built over a
+    # DIFFERENT pair list than the raster (e.g. reduced-LOD geometry on
+    # Bistro-scale scenes) — payloads index that stream
+    base_pi = rt_pair_inst if rt_pair_inst is not None else pair_inst
+    base_pm = (rt_pair_meshlet if rt_pair_meshlet is not None
+               else pair_meshlet)
+    rt_pi, rt_pm = base_pi, base_pm
     if (rt_static is not None
             and getattr(rt_static, 'n_mask_pairs', 0) > 0
             and mask_pair_inst is not None):
         nm = rt_static.n_mask_pairs
-        rt_pi = jnp.concatenate([pair_inst, mask_pair_inst[:nm]])
-        rt_pm = jnp.concatenate([pair_meshlet, mask_pair_meshlet[:nm]])
+        rt_pi = jnp.concatenate([base_pi, mask_pair_inst[:nm]])
+        rt_pm = jnp.concatenate([base_pm, mask_pair_meshlet[:nm]])
     if needs_rt:
         if rt_static is not None:
             if hasattr(rt_static, 'depth_ranges'):

@@ -93,6 +93,24 @@ def meshlet_clip_triangles(scene, inst_world, view_proj,
     )
 
 
+def rt_lod_pairs(scene_host, alpha_filter: str = 'all',
+                 budget_tris: int = 500_000):
+    """RT-topology pair list at the finest LOD whose triangle count fits
+    the budget — Bistro-scale scenes trace shadow/GI rays against
+    simplified geometry (primary visibility stays rasterized at full
+    LOD; the RT tree must fit the traversal kernel's VMEM box budget).
+    Returns (pair_inst, pair_meshlet, lod)."""
+    import numpy as np
+    max_lods = int(np.asarray(scene_host.prim_meshlet_offset).shape[1])
+    counts = np.asarray(scene_host.meshlet_tri_count)
+    for lod in range(max_lods):
+        pi, pm = static_meshlet_pairs(scene_host, alpha_filter, lod=lod)
+        tris = int(counts[np.asarray(pm)].sum())
+        if tris <= budget_tris or lod == max_lods - 1:
+            return pi, pm, lod
+    return pi, pm, max_lods - 1
+
+
 def static_meshlet_pairs(scene_host, alpha_filter: str = 'all',
                          lod: int = 0):
     """Host helper: the no-culling (instance, meshlet) pair list at a

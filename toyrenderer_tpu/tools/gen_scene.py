@@ -620,80 +620,92 @@ def build(out_path, compress=True, scale=1.0, seed=7):
                         marble)
 
     # --- layout -------------------------------------------------------------
-    # floor
-    nx = int(col_len // 2) + 2
-    nz = int(col_wid // 2) + 2
-    for i in range(nx):
-        for j in range(nz):
-            x = (i - nx / 2 + 0.5) * 2
-            z = (j - nz / 2 + 0.5) * 2
-            g.add_node(f"floor{i}_{j}",
-                       mesh=slab if (i + j) % 2 == 0 else slab2,
-                       t=(x, 0, z))
-    # two colonnade rows + arches
-    n_cols = 9
-    for i in range(n_cols):
-        x = (i - n_cols / 2 + 0.5) * 4.0
-        for z in (-col_wid / 2 + 1.5, col_wid / 2 - 1.5):
-            g.add_node(f"col{i}_{z:.0f}", mesh=column, t=(x, 0.1, z))
-    for i in range(n_cols - 1):
-        x = (i - n_cols / 2 + 1.0) * 4.0
-        for z in (-col_wid / 2 + 1.5, col_wid / 2 - 1.5):
-            g.add_node(f"arch{i}_{z:.0f}", mesh=arch_m, t=(x, 0.1, z))
-    # outer walls
-    nwx = int(col_len // 2) + 2
-    for i in range(nwx):
-        x = (i - nwx / 2 + 0.5) * 2
-        g.add_node(f"walln{i}", mesh=wall, t=(x, 0, -col_wid / 2 - 1.0))
-        g.add_node(f"walls{i}", mesh=wall, t=(x, 0, col_wid / 2 + 1.0))
-    side = [0.0, np.sin(np.pi / 4), 0.0, np.cos(np.pi / 4)]
-    nwz = int(col_wid // 2) + 2
-    for j in range(nwz):
-        z = (j - nwz / 2 + 0.5) * 2
-        g.add_node(f"walle{j}", mesh=wall, t=(col_len / 2 + 1.0, 0, z),
-                   r=side)
-        g.add_node(f"wallw{j}", mesh=wall, t=(-col_len / 2 - 1.0, 0, z),
-                   r=side)
-    # roof beams
-    for i in range(int(col_len // 2)):
-        x = (i - col_len / 4 + 0.5) * 2
-        g.add_node(f"beam{i}", mesh=beam, t=(x, 6.2, 0))
-    # curtains between some columns
-    rot90 = [0.0, np.sin(np.pi / 4), 0.0, np.cos(np.pi / 4)]
-    for i, xi in enumerate((-14, -6, 2, 10)):
-        g.add_node(f"curt{i}",
-                   mesh=curtain_m if i % 2 == 0 else curtain_m2,
-                   t=(xi, 1.2, -col_wid / 2 + 1.5))
-        g.add_node(f"curtb{i}",
-                   mesh=curtain_m2 if i % 2 == 0 else curtain_m,
-                   t=(xi + 2, 1.2, col_wid / 2 - 1.5))
-    # banners hanging from beams
-    for i in range(6):
-        x = (i - 2.5) * 5.5
-        g.add_node(f"ban{i}", mesh=banner_meshes[i % 3],
-                   t=(x, 3.4, (-1) ** i * 2.0),
-                   r=rot90 if i % 2 == 0 else (0, 0, 0, 1))
-    # plants along the colonnade
-    k = 0
-    for i in range(n_cols - 1):
-        x = (i - n_cols / 2 + 1.0) * 4.0
-        for z in (-col_wid / 2 + 2.6, col_wid / 2 - 2.6):
-            g.add_node(f"pot{k}", mesh=pot, t=(x, 0.12, z))
-            g.add_node(f"leaves{k}", mesh=leaf_meshes[k % 3],
-                       t=(x, 0.12, z))
-            k += 1
-    # centerpiece
-    g.add_node("statue", mesh=statue, t=(3.0, 0.12, 0.0))
-    # props
-    for i in range(8):
-        x = rng.uniform(-col_len / 2 + 3, col_len / 2 - 3)
-        z = rng.uniform(-col_wid / 2 + 3, col_wid / 2 - 3)
-        if i % 2 == 0:
-            g.add_node(f"vase{i}", mesh=vase, t=(x, 0.12, z))
-        else:
-            yaw = rng.uniform(0, np.pi)
-            g.add_node(f"crate{i}", mesh=crate, t=(x, 0.12, z),
-                       r=(0, np.sin(yaw / 2), 0, np.cos(yaw / 2)))
+    # one courtyard CELL; `scale` >= 2 replicates it on a grid into a
+    # plaza (shared meshes/materials, ~scale^2 x the instances and
+    # drawn triangles — the Bistro-scale stress content)
+    def cell(ox, oz, pref):
+        def addn(name, mesh, t, r=None):
+            kw = {'r': r} if r is not None else {}
+            g.add_node(pref + name, mesh=mesh,
+                       t=(t[0] + ox, t[1], t[2] + oz), **kw)
+        # floor
+        nx = int(col_len // 2) + 2
+        nz = int(col_wid // 2) + 2
+        for i in range(nx):
+            for j in range(nz):
+                x = (i - nx / 2 + 0.5) * 2
+                z = (j - nz / 2 + 0.5) * 2
+                addn(f"floor{i}_{j}",
+                     slab if (i + j) % 2 == 0 else slab2, (x, 0, z))
+        # two colonnade rows + arches
+        n_cols = 9
+        for i in range(n_cols):
+            x = (i - n_cols / 2 + 0.5) * 4.0
+            for z in (-col_wid / 2 + 1.5, col_wid / 2 - 1.5):
+                addn(f"col{i}_{z:.0f}", column, (x, 0.1, z))
+        for i in range(n_cols - 1):
+            x = (i - n_cols / 2 + 1.0) * 4.0
+            for z in (-col_wid / 2 + 1.5, col_wid / 2 - 1.5):
+                addn(f"arch{i}_{z:.0f}", arch_m, (x, 0.1, z))
+        # outer walls
+        nwx = int(col_len // 2) + 2
+        for i in range(nwx):
+            x = (i - nwx / 2 + 0.5) * 2
+            addn(f"walln{i}", wall, (x, 0, -col_wid / 2 - 1.0))
+            addn(f"walls{i}", wall, (x, 0, col_wid / 2 + 1.0))
+        side = [0.0, np.sin(np.pi / 4), 0.0, np.cos(np.pi / 4)]
+        nwz = int(col_wid // 2) + 2
+        for j in range(nwz):
+            z = (j - nwz / 2 + 0.5) * 2
+            addn(f"walle{j}", wall, (col_len / 2 + 1.0, 0, z), r=side)
+            addn(f"wallw{j}", wall, (-col_len / 2 - 1.0, 0, z), r=side)
+        # roof beams
+        for i in range(int(col_len // 2)):
+            x = (i - col_len / 4 + 0.5) * 2
+            addn(f"beam{i}", beam, (x, 6.2, 0))
+        # curtains between some columns
+        rot90 = [0.0, np.sin(np.pi / 4), 0.0, np.cos(np.pi / 4)]
+        for i, xi in enumerate((-14, -6, 2, 10)):
+            addn(f"curt{i}",
+                 curtain_m if i % 2 == 0 else curtain_m2,
+                 (xi, 1.2, -col_wid / 2 + 1.5))
+            addn(f"curtb{i}",
+                 curtain_m2 if i % 2 == 0 else curtain_m,
+                 (xi + 2, 1.2, col_wid / 2 - 1.5))
+        # banners hanging from beams
+        for i in range(6):
+            x = (i - 2.5) * 5.5
+            addn(f"ban{i}", banner_meshes[i % 3],
+                 (x, 3.4, (-1) ** i * 2.0),
+                 r=rot90 if i % 2 == 0 else (0, 0, 0, 1))
+        # plants along the colonnade
+        k = 0
+        for i in range(n_cols - 1):
+            x = (i - n_cols / 2 + 1.0) * 4.0
+            for z in (-col_wid / 2 + 2.6, col_wid / 2 - 2.6):
+                addn(f"pot{k}", pot, (x, 0.12, z))
+                addn(f"leaves{k}", leaf_meshes[k % 3], (x, 0.12, z))
+                k += 1
+        # centerpiece
+        addn("statue", statue, (3.0, 0.12, 0.0))
+        # props
+        for i in range(8):
+            x = rng.uniform(-col_len / 2 + 3, col_len / 2 - 3)
+            z = rng.uniform(-col_wid / 2 + 3, col_wid / 2 - 3)
+            if i % 2 == 0:
+                addn(f"vase{i}", vase, (x, 0.12, z))
+            else:
+                yaw = rng.uniform(0, np.pi)
+                addn(f"crate{i}", crate, (x, 0.12, z),
+                     r=(0, np.sin(yaw / 2), 0, np.cos(yaw / 2)))
+
+    n_cells = max(int(round(scale)), 1)
+    pitch_x, pitch_z = col_len + 8.0, col_wid + 10.0
+    for cx in range(n_cells):
+        for cz in range(n_cells):
+            ox = (cx - (n_cells - 1) / 2) * pitch_x
+            oz = (cz - (n_cells - 1) / 2) * pitch_z
+            cell(ox, oz, "" if n_cells == 1 else f"c{cx}{cz}_")
 
     # camera at one end looking down the colonnade; sun tilted in
     cameras = [{"type": "perspective", "perspective":
