@@ -390,3 +390,23 @@ def test_rt_static_masked_alpha_coverage():
     res = B.traverse(bvh, jnp.asarray(o[None]), jnp.asarray(dirn[None]),
                      t_max=10.0, max_steps=4096)
     assert bool(np.asarray(res['hit'])[0])
+
+
+def test_rt_lod_pairs_budget():
+    """RT-LOD topology (Bistro-scale budget knob): under a small budget
+    the helper walks to a coarser LOD with fewer triangles; results
+    remain a valid pair list for build_rt_static."""
+    from toyrenderer_tpu.scene import load_scene
+    from toyrenderer_tpu.ops.geometry import rt_lod_pairs
+
+    s = load_scene("resources/courtyard.glb")
+    counts = np.asarray(s.meshlet_tri_count)
+    pi0, pm0, lod0 = rt_lod_pairs(s, 'not_mask', budget_tris=10**9)
+    assert lod0 == 0
+    t0 = int(counts[np.asarray(pm0)].sum())
+    piN, pmN, lodN = rt_lod_pairs(s, 'not_mask', budget_tris=t0 // 4)
+    assert lodN > 0
+    tN = int(counts[np.asarray(pmN)].sum())
+    assert tN < t0
+    rts = B.build_rt_static(s, piN[:256], pmN[:256])
+    assert int((np.asarray(rts.payload) >= 0).sum()) > 0
