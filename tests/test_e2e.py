@@ -377,3 +377,49 @@ def test_stacked_cutout_layers():
     # left half (front passes) identical between the two
     left_diff = np.abs(imgs[1][40:80, 30:60] - imgs[2][40:80, 30:60])
     assert left_diff.max() <= 2
+
+
+def test_gi_frame_sah_gdir_interpret_matches_complete(monkeypatch):
+    """FULL-frame integration of the tuned traversal: a GI frame traced
+    through the SAH tree + grouped-direction kernel (interpret mode)
+    must closely match the same frame on the complete tree + XLA
+    lockstep — exercises refit_sah inside the frame jit and the
+    payload -> shade-record alignment of the SAH leaf order."""
+    from toyrenderer_tpu.ops.bvh import build_rt_static
+    from toyrenderer_tpu.ops.bvh_sah import build_rt_static_sah
+    from toyrenderer_tpu.ops.ddgi import DdgiVolume
+
+    scene_host = load_scene("resources/cornell.gltf", use_cache=False)
+    scene = scene_host.to_device()
+    pi_h, pm_h = static_meshlet_pairs(scene_host)
+    pi, pm = jnp.asarray(pi_h), jnp.asarray(pm_h)
+    lo, hi = (np.asarray(x) for x in scene_host.world_aabb)
+    vol = DdgiVolume(origin=tuple(lo), spacing=tuple((hi - lo) / 3.0),
+                     counts=(4, 4, 4), rays_per_probe=32,
+                     max_ray_distance=float(np.linalg.norm(hi - lo)))
+    st = RenderSettings(width=96, height=64, enable_gi=True,
+                        gi_half_res=False, manual_exposure=0.02)
+    rts_c = build_rt_static(scene_host, pi_h, pm_h)
+    rts_s = build_rt_static_sah(scene_host, pi_h, pm_h)
+
+    imgs = {}
+    for name, rts in (("complete", rts_c), ("sah", rts_s)):
+        if name == "sah":
+            monkeypatch.setenv("TR_INTERPRET", "1")
+            monkeypatch.setenv("TR_GI_GDIR", "1")
+        view = View.from_scene(scene_host, st.width, st.height)
+        view.enable_jitter = False
+        carry = init_carry(scene, st, vol)
+        render = make_render_fn(st, vol, donate_carry=False)
+        for _ in range(2):
+            mats = view.matrices()
+            fi = default_frame_inputs(scene_host, mats)
+            img, carry, _ = render(scene, pi, pm, fi, carry,
+                                   rt_static=rts)
+        imgs[name] = np.asarray(img, np.float32)
+        monkeypatch.delenv("TR_INTERPRET", raising=False)
+        monkeypatch.delenv("TR_GI_GDIR", raising=False)
+
+    diff = np.abs(imgs["complete"] - imgs["sah"]).mean()
+    assert np.isfinite(imgs["sah"]).all()
+    assert diff < 2.0, diff      # u8-scale images; tiny numeric drift only

@@ -113,7 +113,13 @@ def traverse_auto(bvh: Bvh, origins, directions, t_max,
     full-packet vector arrays (see _traverse_kernel_gdir).  Fallback
     paths still use the per-ray `directions`.
     """
+    import os
+
     import jax
+    # TR_INTERPRET=1: run the Pallas kernels in interpret mode on any
+    # backend — lets CPU tests drive the FULL frame through the packet
+    # traversal (SAH/gdir integration) without TPU hardware
+    interpret = interpret or os.environ.get('TR_INTERPRET', '0') == '1'
     if sp_mesh is not None and sp_mesh[0].shape[sp_mesh[1]] > 1:
         return _traverse_sharded(bvh, origins, directions, t_max,
                                  any_hit=any_hit, max_steps=max_steps,
