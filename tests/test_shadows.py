@@ -144,3 +144,48 @@ def test_shadow_map_matches_rt_reference():
     # both find real shadow (dark areas exist)
     assert masks['map'].min() < 0.3
     assert masks['rt'].min() < 0.3
+
+
+def test_shadow_gdir_strip_sampling_consistent():
+    """Grouped-direction shadow rays (one cone sample per 64x2 strip):
+    with a ZERO cone angle the gdir mask must exactly equal the
+    per-pixel mask (both trace the exact sun direction); with a real
+    cone the masks agree except at penumbra-noise pixels."""
+    import jax.numpy as jnp
+    import numpy as np
+    from toyrenderer_tpu.ops import bvh as B
+    from toyrenderer_tpu.ops.shadows import trace_shadow_mask
+
+    rng = np.random.RandomState(3)
+    t = 400
+    v0 = rng.uniform(-5, 5, (t, 3)).astype(np.float32)
+    v0[:, 1] = np.abs(v0[:, 1]) + 1.0
+    v1 = v0 + rng.uniform(-0.6, 0.6, (t, 3)).astype(np.float32)
+    v2 = v0 + rng.uniform(-0.6, 0.6, (t, 3)).astype(np.float32)
+    bvh = B.build_bvh(jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+                      jnp.ones((t,), bool))
+
+    h, w = 96, 160
+    xs = np.linspace(-5, 5, w, dtype=np.float32)
+    zs = np.linspace(-5, 5, h, dtype=np.float32)
+    gx, gz = np.meshgrid(xs, zs)                     # (h, w)
+    wp = np.stack([gx, np.zeros_like(gx), gz], -1).astype(np.float32)
+    nrm = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (h, w, 3))
+    hit = jnp.ones((h, w), bool)
+    sun = jnp.asarray([0.3, 0.8, 0.2])
+    sun = sun / jnp.linalg.norm(sun)
+    fi = jnp.asarray(5)
+
+    a = trace_shadow_mask(bvh, jnp.asarray(wp), nrm, hit, sun, fi,
+                          half_angle=0.0, gdir=False)
+    b = trace_shadow_mask(bvh, jnp.asarray(wp), nrm, hit, sun, fi,
+                          half_angle=0.0, gdir=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    c = trace_shadow_mask(bvh, jnp.asarray(wp), nrm, hit, sun, fi,
+                          gdir=False)
+    d = trace_shadow_mask(bvh, jnp.asarray(wp), nrm, hit, sun, fi,
+                          gdir=True)
+    # same scene, tiny cone: disagreement limited to penumbra noise
+    frac = (np.asarray(c) != np.asarray(d)).mean()
+    assert frac < 0.05, frac

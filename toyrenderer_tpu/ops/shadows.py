@@ -57,22 +57,31 @@ def cone_sample(direction, r1, r2, half_angle: float):
                            1e-8)
 
 
+def _shadow_gdir_enabled() -> bool:
+    import os
+    return os.environ.get('TR_SHADOW_GDIR', '0') == '1'
+
+
 def trace_shadow_mask(bvh, world_pos, normal, hit_mask, sun_dir_to_light,
                       frame_index, half_angle: float = SUN_ANGULAR_RADIUS,
                       normal_bias: float = 2e-2, t_max: float = 1e4,
-                      max_steps: int = 96, sp_mesh=None):
+                      max_steps: int = 96, sp_mesh=None,
+                      gdir: bool | None = None):
     """1 spp cone-sampled sun visibility per pixel.
 
     Args:
       world_pos (H, W, 3), normal (H, W, 3), hit_mask (H, W) bool
       sun_dir_to_light (3,): surface -> sun unit vector
+      gdir: cone-sample per 64x2-pixel STRIP instead of per pixel so
+        every 128-ray group shares one direction — the grouped-direction
+        traversal kernel applies (TR_SHADOW_GDIR=1; the temporal
+        accumulator averages the strip noise across frames like the
+        per-pixel noise).
     Returns (H, W) f32 raw shadow mask (1 = lit).  Sky pixels return 1.
     """
     h, w = hit_mask.shape
-    r1 = interleaved_gradient_noise(h, w, frame_index)
-    r2 = interleaved_gradient_noise(h, w, frame_index + 17)
-    dirs = cone_sample(jnp.broadcast_to(sun_dir_to_light, world_pos.shape),
-                       r1, r2, half_angle)
+    if gdir is None:
+        gdir = _shadow_gdir_enabled()
     origins = world_pos + normal * normal_bias
 
     # order rays in 64x64 pixel blocks (= one 4096-ray traversal packet):
@@ -92,10 +101,33 @@ def trace_shadow_mask(bvh, world_pos, normal, hit_mask, sun_dir_to_light,
         x = v.reshape(hp // blk, wp // blk, blk, blk)
         return x.swapaxes(1, 2).reshape(hp, wp)[:h, :w]
 
+    gd = None
+    if gdir:
+        # one cone sample per (64-wide, 2-tall) strip aligned to the
+        # tile grid: after to_blocks, each 128-ray group = one strip
+        sh, sw = hp // 2, wp // blk
+        r1 = interleaved_gradient_noise(sh, sw, frame_index)
+        r2 = interleaved_gradient_noise(sh, sw, frame_index + 17)
+        strips = cone_sample(
+            jnp.broadcast_to(sun_dir_to_light, (sh, sw, 3)),
+            r1, r2, half_angle)                       # (hp/2, wp/64, 3)
+        dirs = jnp.repeat(jnp.repeat(strips, 2, axis=0), blk,
+                          axis=1)[:h, :w]
+        # strip (ty*32+j, tx) -> group (tile-major, then row pair)
+        gd = strips.reshape(hp // blk, blk // 2, wp // blk, 3).swapaxes(
+            1, 2).reshape(-1, 3)
+    else:
+        r1 = interleaved_gradient_noise(h, w, frame_index)
+        r2 = interleaved_gradient_noise(h, w, frame_index + 17)
+        dirs = cone_sample(
+            jnp.broadcast_to(sun_dir_to_light, world_pos.shape),
+            r1, r2, half_angle)
+
     from toyrenderer_tpu.ops.bvh_pallas import traverse_auto
+    live = to_blocks(jnp.ones((h, w), jnp.float32))   # pad rays dead
     res = traverse_auto(bvh, to_blocks(origins), to_blocks(dirs),
                         t_max=t_max, max_steps=max_steps, any_hit=True,
-                        sp_mesh=sp_mesh)
+                        live=live, sp_mesh=sp_mesh, group_dirs=gd)
     lit = 1.0 - from_blocks(res['hit'].astype(jnp.float32))
     # facing away from the sun is its own shadow; sky stays lit
     ndotl = jnp.sum(normal * sun_dir_to_light, -1)
