@@ -535,7 +535,7 @@ GDIR_GROUP = 128              # rays per shared-direction group (1 sublane)
 
 
 def _traverse_kernel_gdir(ray_ref,        # (1, 5*SUB, 128) o/t_cap/live
-                          dir_ref,        # (NCH, 48) per-chunk dir columns
+                          dir_ref,        # (1, RP, 128) per-chunk dir rows
                           cb_ref,         # (PR, 48) child boxes (VMEM)
                           leaf_ref,       # (NG, 120) leaf rows (VMEM/HBM)
                           out_ref,        # (1, C*SUB, 128) results
@@ -576,13 +576,16 @@ def _traverse_kernel_gdir(ray_ref,        # (1, 5*SUB, 128) o/t_cap/live
     def ch3(x, c):                      # chunk c as (1, 8, 128)
         return x[c * CH:(c + 1) * CH][None]
 
-    # per-chunk direction columns (hoisted: nch x 6 tiny (1,8,1) values)
+    # per-chunk direction columns (hoisted: nch x 6 tiny (1,8,1) values).
+    # dir_ref rows are lane-padded to 128 (Mosaic block divisibility);
+    # the 48 payload values live in lanes 0..47 and become sublanes
+    # 0..47 of the (128, 1) transpose.
     dcol = []
     sx = jnp.float32(0.0)
     sy = jnp.float32(0.0)
     sz = jnp.float32(0.0)
     for c in range(nch):
-        t = dir_ref[c:c + 1, :].T                     # (48, 1)
+        t = dir_ref[0, c:c + 1, :].T                  # (128, 1)
         cols = tuple(t[k * CH:(k + 1) * CH][None] for k in range(6))
         dcol.append(cols)
         sx = sx + jnp.sum(t[0:CH])
@@ -896,9 +899,12 @@ def traverse_pallas_gdir(bvh: Bvh, origins, group_dirs, t_max,
     inv = 1.0 / sd
     dg = sd.reshape(p, nch, 8, 3).transpose(0, 1, 3, 2)
     ig = inv.reshape(p, nch, 8, 3).transpose(0, 1, 3, 2)
+    # lane-pad each 48-value dir row to 128 so the (1, nch, 128) block
+    # satisfies Mosaic's lane divisibility (see the kernel's dcol note)
     table = jnp.concatenate([dg.reshape(p, nch, 24),
                              ig.reshape(p, nch, 24)],
-                            axis=-1).reshape(p * nch, 48)
+                            axis=-1)                      # (P, nch, 48)
+    table = jnp.pad(table, ((0, 0), (0, 0), (0, _LANE - 48)))
 
     explicit = hasattr(bvh, 'node_rows')
     leaf = bvh.leaf_rows
@@ -926,7 +932,7 @@ def traverse_pallas_gdir(bvh: Bvh, origins, group_dirs, t_max,
         in_specs=[
             pl.BlockSpec((1, 5 * sub, _LANE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nch, 48), lambda i: (i, 0),
+            pl.BlockSpec((1, nch, _LANE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY if leaf_hbm
