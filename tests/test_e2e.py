@@ -423,3 +423,59 @@ def test_gi_frame_sah_gdir_interpret_matches_complete(monkeypatch):
     diff = np.abs(imgs["complete"] - imgs["sah"]).mean()
     assert np.isfinite(imgs["sah"]).all()
     assert diff < 2.0, diff      # u8-scale images; tiny numeric drift only
+
+
+def test_gi_dedicated_tree_matches_shared():
+    """A GI frame tracing probe rays through a DEDICATED GI topology
+    (rt_static_gi) built over the SAME pair list must match the
+    shared-tree frame exactly up to traversal tie-breaks — validates
+    the gi_pair/shade-record plumbing (frame.py gi_own_tree path).
+    With a LOD-REDUCED GI stream the image must stay finite and close
+    (diffuse GI barely sees the LOD switch)."""
+    from toyrenderer_tpu.ops.bvh import build_rt_static
+    from toyrenderer_tpu.ops.ddgi import DdgiVolume
+    from toyrenderer_tpu.ops.geometry import rt_lod_pairs
+    from toyrenderer_tpu.scene.procedural import make_stress_scene
+
+    scene_host = make_stress_scene(n_objects=12, sphere_res=10)
+    scene = scene_host.to_device()
+    pi_h, pm_h = static_meshlet_pairs(scene_host)
+    pi, pm = jnp.asarray(pi_h), jnp.asarray(pm_h)
+    lo, hi = (np.asarray(x) for x in scene_host.world_aabb)
+    vol = DdgiVolume(origin=tuple(lo), spacing=tuple((hi - lo) / 3.0),
+                     counts=(4, 4, 4), rays_per_probe=32,
+                     max_ray_distance=float(np.linalg.norm(hi - lo)))
+    st = RenderSettings(width=96, height=64, enable_gi=True,
+                        gi_half_res=False, manual_exposure=0.02)
+    rts = build_rt_static(scene_host, pi_h, pm_h)
+    # LOD-reduced GI pair stream (budget below the LOD0 count)
+    lod0 = int(np.asarray(
+        scene_host.meshlet_tri_count)[np.asarray(pm_h)].sum())
+    g_pi, g_pm, g_lod = rt_lod_pairs(scene_host,
+                                     budget_tris=lod0 // 2)
+    assert g_lod > 0
+    rts_gi = build_rt_static(scene_host, g_pi, g_pm)
+
+    def run(**kw):
+        view = View.from_scene(scene_host, st.width, st.height)
+        view.enable_jitter = False
+        carry = init_carry(scene, st, vol)
+        render = make_render_fn(st, vol, donate_carry=False)
+        for _ in range(2):
+            mats = view.matrices()
+            fi = default_frame_inputs(scene_host, mats)
+            img, carry, _ = render(scene, pi, pm, fi, carry,
+                                   rt_static=rts, **kw)
+        return np.asarray(img, np.float32)
+
+    shared = run()
+    same_tree = run(rt_static_gi=rts, gi_pair_inst=pi,
+                    gi_pair_meshlet=pm)
+    # same topology via the dedicated path: bitwise-equal traversal
+    assert np.abs(shared - same_tree).max() <= 1.0
+    lod_tree = run(rt_static_gi=rts_gi,
+                   gi_pair_inst=jnp.asarray(g_pi),
+                   gi_pair_meshlet=jnp.asarray(g_pm))
+    assert np.isfinite(lod_tree).all()
+    # diffuse GI through simplified geometry: small mean image delta
+    assert np.abs(shared - lod_tree).mean() < 6.0

@@ -106,11 +106,13 @@ class RenderSettings:
     debug_mode: int = 0                   # lighting.DEBUG_*
     # raster tuning
     max_tris_per_tile: int = 512
-    raster_chunk: int = 256    # pair records per fill grid step: the
-    #                            batched-3D chunk raster made per-step
-    #                            FIXED cost (DMA bookkeeping ~1.5us)
-    #                            dominant; 256 measured 2.1x faster than
-    #                            32 on the courtyard at 1080p
+    raster_chunk: int = 128    # pair records per fill grid step.
+    #   Measured in the REAL culled courtyard frame at 1080p (v5e):
+    #   128 -> 216 ms deferred vs 256 -> 397 ms — per-chunk gather
+    #   waste (every tile step gathers the whole chunk even when few
+    #   pairs land in the tile) outweighs per-step fixed cost beyond
+    #   ~128; 32 was in turn ~2x slower than 256 on an UNCULLED fill
+    #   microbench, so the default serves the culled frame
     max_big_tris: int = 256
     tile_batch: int = 32
     tile_h: int = 16                      # fill-tile height (8 = native
@@ -242,7 +244,9 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                  ddgi_volume=None, trans_pair_inst=None,
                  trans_pair_meshlet=None, mask_pair_inst=None,
                  mask_pair_meshlet=None, sp_mesh=None, rt_static=None,
-                 rt_pair_inst=None, rt_pair_meshlet=None):
+                 rt_pair_inst=None, rt_pair_meshlet=None,
+                 rt_static_gi=None, gi_pair_inst=None,
+                 gi_pair_meshlet=None):
     """One frame.  jit with static settings via `make_render_fn`.
 
     frame_inputs (all jnp arrays, dynamic):
@@ -395,10 +399,17 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     bvh = None
     needs_rays = (settings.enable_shadows
                   and settings.shadow_technique == 'rt')
-    needs_rt = (needs_rays or settings.enable_gi or settings.enable_restir)
-    needs_wp = needs_rt or settings.enable_shadows
+    # a dedicated GI tree (rt_static_gi, usually LOD-reduced + SAH — the
+    # measured probe-ray winner) decouples DDGI from the shadow tree, so
+    # the main tree is only needed for rt shadows / ReSTIR
+    gi_own_tree = settings.enable_gi and rt_static_gi is not None
+    needs_rt = (needs_rays or settings.enable_restir
+                or (settings.enable_gi and not gi_own_tree))
+    needs_wp = (needs_rt or settings.enable_shadows
+                or settings.enable_gi)
     # pair-order world triangles feed DDGI shade records / ReSTIR lights
-    needs_tris = settings.enable_gi or settings.enable_restir
+    needs_tris = (settings.enable_restir
+                  or (settings.enable_gi and not gi_own_tree))
     # rt_static built WITH the alpha-masked set appended (coverage-kept
     # cutout tris occlude — shadowmask.hlsl any-hit alpha parity): the
     # payload indexes the CONCATENATED pair stream, so shade records /
@@ -498,15 +509,39 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     gi_carry = {}
     if settings.enable_gi:
         assert ddgi_volume is not None, "enable_gi requires a ddgi_volume"
+        if gi_own_tree:
+            # dedicated GI topology: probe rays are diffuse-frequency, so
+            # they trace a (usually LOD-reduced, SAH-flavored) tree built
+            # over its own pair stream — the TPU-first trade the
+            # reference's shared TLAS doesn't make.  Shade records must
+            # span the GI stream (payloads index it).
+            g_pi = gi_pair_inst if gi_pair_inst is not None else base_pi
+            g_pm = (gi_pair_meshlet if gi_pair_meshlet is not None
+                    else base_pm)
+            if (getattr(rt_static_gi, 'n_mask_pairs', 0) > 0
+                    and mask_pair_inst is not None):
+                nm = rt_static_gi.n_mask_pairs
+                g_pi = jnp.concatenate([g_pi, mask_pair_inst[:nm]])
+                g_pm = jnp.concatenate([g_pm, mask_pair_meshlet[:nm]])
+            if hasattr(rt_static_gi, 'depth_ranges'):
+                from toyrenderer_tpu.ops.bvh_sah import refit_sah
+                gi_bvh = refit_sah(rt_static_gi, inst_world)
+            else:
+                gi_bvh = bvh_mod.refit_bvh(rt_static_gi, inst_world)
+            gv0, gv1, gv2, _ = bvh_mod.world_triangles(
+                scene, inst_world, g_pi, g_pm)
+        else:
+            gi_bvh, g_pi, g_pm = bvh, rt_pi, rt_pm
+            gv0, gv1, gv2 = tv0, tv1, tv2
         shade_rec = ddgi_mod.build_shade_records(
-            scene, rt_pi, rt_pm, tv0, tv1, tv2)
+            scene, g_pi, g_pm, gv0, gv1, gv2)
         to_light = -frame_inputs['sun_direction']
         # block-phased trace with the full probe lifecycle: relocation,
         # classification (inactive probes are ray-masked to zero cost) and
         # variability convergence (GIRenderer.cpp:450-577, 158-190)
         (radiance, ray_dist, ray_dirs, blk,
          lifecycle) = ddgi_mod.trace_probe_block(
-            ddgi_volume, bvh, shade_rec, carry['ddgi_irradiance'],
+            ddgi_volume, gi_bvh, shade_rec, carry['ddgi_irradiance'],
             to_light, frame_inputs['sun_color'],
             frame_inputs['sun_intensity'], carry['frame_index'],
             sky_fn, settings.gi_update_phases,

@@ -460,6 +460,44 @@ def build_rt_static_auto(scene_host, pair_inst, pair_meshlet,
                            mask_pair_meshlet=mask_pair_meshlet)
 
 
+def build_rt_static_gi(scene_host, alpha_filter: str = 'all',
+                       mask_pair_inst=None, mask_pair_meshlet=None,
+                       rest_inst_world=None):
+    """GI-dedicated frozen topology: DDGI probe rays are
+    diffuse-frequency, so they trace LOD-REDUCED geometry (budget
+    TR_GI_TRIS, default 100k triangles) on the SAH tree — the measured
+    probe-ray winner (courtyard rtbench: 1.80 vs 1.33 Mrays/s closest-
+    hit) — while camera-frequency shadow rays keep the full-detail main
+    tree.  The reference shares one TLAS for both ray kinds
+    (giprobetrace.hlsl + shadowmask.hlsl trace the same AS); splitting
+    them is the TPU-first trade: probe packets visit ~proportionally
+    fewer nodes on the smaller tree, and GI quality is bounded by the
+    half-res/golden CI tests, not by LOD0 detail.
+
+    TR_GI_SAH=0 forces the complete morton/median flavor (the SAH
+    traversal is Pallas-only, so non-TPU backends always get it).
+    Returns (rt_static_gi, gi_pair_inst, gi_pair_meshlet, lod)."""
+    import os
+
+    import jax
+
+    from toyrenderer_tpu.ops.geometry import rt_lod_pairs
+    budget = int(os.environ.get('TR_GI_TRIS', '100000'))
+    g_pi, g_pm, lod = rt_lod_pairs(scene_host, alpha_filter,
+                                   budget_tris=budget)
+    on_tpu = jax.default_backend() in ('tpu', 'axon')
+    want_sah = os.environ.get('TR_GI_SAH', '1') == '1'
+    build = (build_rt_static_sah if (on_tpu and want_sah) else None)
+    if build is None:
+        from toyrenderer_tpu.ops.bvh import build_rt_static
+        build = build_rt_static
+    rts = build(scene_host, g_pi, g_pm, rest_inst_world,
+                mask_pair_inst=mask_pair_inst,
+                mask_pair_meshlet=mask_pair_meshlet)
+    import jax.numpy as jnp
+    return rts, jnp.asarray(g_pi), jnp.asarray(g_pm), lod
+
+
 def refit_sah(rts: RtStaticSah, inst_world) -> BvhSah:
     """Per-frame refit: transform the static object-space leaves by the
     current instance matrices, rebuild leaf AABBs, then reduce node

@@ -195,11 +195,21 @@ def main(argv=None):
         ddgi_volume = volume_from_aabb(
             scene_host.world_aabb[0], scene_host.world_aabb[1])
     rt_static = None
+    rt_static_gi = gi_pi = gi_pm = None
     if args.full and not args.norefit:
-        from toyrenderer_tpu.ops.bvh_sah import build_rt_static_auto
+        from toyrenderer_tpu.ops.bvh_sah import (build_rt_static_auto,
+                                                 build_rt_static_gi)
         rt_static = build_rt_static_auto(
             scene_host, pi, pm,
             mask_pair_inst=mk_i, mask_pair_meshlet=mk_m)
+        if os.environ.get("TR_GI_TREE", "1") == "1":
+            gs, gp_i, gp_m, gl = build_rt_static_gi(
+                scene_host, 'not_mask' if has_mask else 'all',
+                mask_pair_inst=mk_i, mask_pair_meshlet=mk_m)
+            if gl > 0 or type(gs) is not type(rt_static):
+                rt_static_gi, gi_pi, gi_pm = gs, gp_i, gp_m
+                print(f"[rt] GI topology LOD{gl}: "
+                      f"{gs.payload.shape[0]} tri slots")
     view = View.from_scene(scene_host, w, h)
     carry = init_carry(scene, settings, ddgi_volume)
     render = make_render_fn(settings, ddgi_volume)
@@ -207,7 +217,9 @@ def main(argv=None):
     fi = default_frame_inputs(scene_host, view.matrices())
     img, carry, _ = render(scene, pi, pm, fi, carry, mask_pair_inst=mk_i,
                            mask_pair_meshlet=mk_m,
-                           rt_static=rt_static)   # compile outside
+                           rt_static=rt_static, rt_static_gi=rt_static_gi,
+                           gi_pair_inst=gi_pi,
+                           gi_pair_meshlet=gi_pm)   # compile outside
     img.block_until_ready()
 
     with jax.profiler.trace(args.trace_dir):
@@ -217,7 +229,10 @@ def main(argv=None):
             img, carry, _ = render(scene, pi, pm, fi, carry,
                                    mask_pair_inst=mk_i,
                                    mask_pair_meshlet=mk_m,
-                                   rt_static=rt_static)
+                                   rt_static=rt_static,
+                                   rt_static_gi=rt_static_gi,
+                                   gi_pair_inst=gi_pi,
+                                   gi_pair_meshlet=gi_pm)
             img.block_until_ready()
             view.advance(mats)
 

@@ -173,6 +173,22 @@ def main(argv=None):
         print(f"[rt] static topology ({kind}): "
               f"{rt_static.payload.shape[0]} tri slots "
               f"({time.time() - t0:.2f}s)")
+    # GI-dedicated topology (LOD-reduced + SAH-preferred): only worth a
+    # second tree when it actually differs from the main one
+    rt_static_gi = gi_pi = gi_pm = None
+    if args.gi and rt_static is not None:
+        from toyrenderer_tpu.ops.bvh_sah import build_rt_static_gi
+        t0 = time.time()
+        gi_static, g_pi, g_pm, gi_lod = build_rt_static_gi(
+            scene_host, opaque_filter, mask_pair_inst=mk_i,
+            mask_pair_meshlet=mk_m)
+        if gi_lod > 0 or type(gi_static) is not type(rt_static):
+            rt_static_gi, gi_pi, gi_pm = gi_static, g_pi, g_pm
+            gkind = ('sah' if hasattr(gi_static, 'depth_ranges')
+                     else 'complete')
+            print(f"[rt] GI topology ({gkind}, LOD{gi_lod}): "
+                  f"{gi_static.payload.shape[0]} tri slots "
+                  f"({time.time() - t0:.2f}s)")
     view = View.from_scene(scene_host, w, h)
     carry = init_carry(scene, settings, ddgi_volume)
     render = make_render_fn(settings, ddgi_volume)
@@ -236,7 +252,10 @@ def main(argv=None):
                                    trans_pair_meshlet=tp_m,
                                    mask_pair_inst=mk_i,
                                    mask_pair_meshlet=mk_m,
-                                   rt_static=rt_static)
+                                   rt_static=rt_static,
+                                   rt_static_gi=rt_static_gi,
+                                   gi_pair_inst=gi_pi,
+                                   gi_pair_meshlet=gi_pm)
         image.block_until_ready()
         dt = (time.time() - t0) * 1000
         view.advance(mats)
