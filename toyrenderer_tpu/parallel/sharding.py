@@ -54,11 +54,14 @@ def make_sp_frame_renderer(mesh: Mesh, settings, ddgi_volume=None,
 
     shard_config(settings.raster_config(), mesh.shape[axis])  # validate
 
-    def step(scene, pair_inst, pair_meshlet, fi, carry, rt_static=None):
+    def step(scene, pair_inst, pair_meshlet, fi, carry, rt_static=None,
+             rt_static_gi=None, gi_pair_inst=None, gi_pair_meshlet=None):
         img, new_carry, aux = render_frame(
             scene, pair_inst, pair_meshlet, fi, carry,
             settings=settings, ddgi_volume=ddgi_volume,
-            sp_mesh=(mesh, axis), rt_static=rt_static)
+            sp_mesh=(mesh, axis), rt_static=rt_static,
+            rt_static_gi=rt_static_gi, gi_pair_inst=gi_pair_inst,
+            gi_pair_meshlet=gi_pair_meshlet)
         img = jax.lax.with_sharding_constraint(
             img, NamedSharding(mesh, P(axis, None, None)))
         return img, new_carry, aux

@@ -186,6 +186,9 @@ def main(argv=None):
                               enable_culling=args.stress or args.culling,
                               enable_shadows=args.shadows or args.full,
                               enable_ao=args.full, enable_gi=args.full,
+                              # mirror bench.py's all-on config: probes
+                              # update in 4 phased blocks per frame
+                              gi_update_phases=4 if args.full else 1,
                               enable_taa=args.full,
                               enable_bloom=args.full,
                               enable_auto_exposure=args.full)
