@@ -88,8 +88,10 @@ def aggregate_trace(trace_dir: str, frames: int) -> dict:
         dev = [p for p in planes if p['lines']]
     by_pass = collections.Counter()
     unattributed = collections.Counter()
-    detail = collections.Counter()        # per-op drill of DETAIL_PASS
-    detail_pass = os.environ.get('PASSES_DETAIL')
+    # per-op drill of the PASSES_DETAIL pass(es) — comma-separated list
+    detail = collections.defaultdict(collections.Counter)
+    detail_passes = set(
+        p for p in os.environ.get('PASSES_DETAIL', '').split(',') if p)
     total_ps = 0
     for p in dev:
         emd = p['event_metadata']
@@ -111,10 +113,10 @@ def aggregate_trace(trace_dir: str, frames: int) -> dict:
                 total_ps += dur
                 if lab:
                     by_pass[lab] += dur
-                    if detail_pass and lab == detail_pass:
+                    if lab in detail_passes:
                         md = emd.get(ev['metadata_id'], {})
                         nm = md.get('name', '?')
-                        detail[nm[:120]] += dur
+                        detail[lab][nm[:120]] += dur
                 else:
                     nm = emd.get(ev['metadata_id'], {}).get('name', '?')
                     unattributed[nm.split('.')[0]] += dur
@@ -124,9 +126,11 @@ def aggregate_trace(trace_dir: str, frames: int) -> dict:
         k: round(v / 1e9 / frames, 3)
         for k, v in unattributed.most_common(8)}
     out['_total'] = total_ps / 1e9 / frames
-    if detail_pass:
-        out['_detail'] = {k: round(v / 1e9 / frames, 3)
-                          for k, v in detail.most_common(14)}
+    if detail_passes:
+        out['_detail'] = {
+            lab: {k: round(v / 1e9 / frames, 3)
+                  for k, v in cnt.most_common(14)}
+            for lab, cnt in detail.items()}
     return out
 
 
@@ -250,9 +254,10 @@ def main(argv=None):
           f"{table['_unattributed_top']}")
     print(f"{'TOTAL device':<{width}} {table['_total']:8.3f}")
     if '_detail' in table:
-        print(f"[detail {os.environ.get('PASSES_DETAIL')}]")
-        for k, v in table['_detail'].items():
-            print(f"   {v:8.3f}  {k}")
+        for lab, rows in table['_detail'].items():
+            print(f"[detail {lab}]")
+            for k, v in rows.items():
+                print(f"   {v:8.3f}  {k}")
     if args.json:
         with open(args.json, 'w') as f:
             json.dump(table, f, indent=1, default=str)
