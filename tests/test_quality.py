@@ -77,3 +77,22 @@ def test_half_res_gi_error_bounded(cornell):
     assert rel.mean() < 0.06, f"half-res GI mean rel error {rel.mean():.4f}"
     # GI actually contributes (interior brighter than sun-only ambient)
     assert hdr_f.mean() > 0
+
+
+def test_coarse_gi_visibility_error_bounded(cornell):
+    """The coarse Chebyshev visibility factor (gi_vis_scale=2, the
+    default — the 8 per-corner distance gathers are the measured probe-
+    sampling whale) must stay close to full-rate visibility: mean
+    relative HDR error < 4% on lit geometry."""
+    base = dict(width=W, height=H, manual_exposure=0.01, enable_gi=True,
+                gi_max_steps=48, gi_half_res=True)
+    aux_c = _run(cornell, RenderSettings(gi_vis_scale=2, **base),
+                 frames=4)
+    aux_f = _run(cornell, RenderSettings(gi_vis_scale=1, **base),
+                 frames=4)
+    hit = aux_f['depth'] > 0
+    hdr_c = aux_c['hdr'][hit]
+    hdr_f = aux_f['hdr'][hit]
+    rel = np.abs(hdr_c - hdr_f) / (np.abs(hdr_f) + 1e-3)
+    assert rel.mean() < 0.04, \
+        f"coarse-vis GI mean rel error {rel.mean():.4f}"

@@ -67,6 +67,10 @@ class RenderSettings:
     gi_update_phases: int = 1             # probes update in P/N blocks
     gi_sample_scale: int = 2              # probe-sampling downscale when
     #                                       gi_half_res (2 = half res)
+    gi_vis_scale: int = 2                 # EXTRA downscale of the per-
+    #   corner Chebyshev visibility factor inside the probe sampler (the
+    #   8 distance gathers are the measured sampling whale); relative to
+    #   the sampling res, 1 = off.  Bounded by tests/test_quality.py
     gi_half_res: bool = True              # sample probe irradiance at
     #   half res + expand (16 gathers/pixel otherwise)
     gi_sun_technique: str = 'auto'        # probe-hit direct-sun
@@ -573,13 +577,15 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                 ddgi_volume, gi_carry['ddgi_irradiance'],
                 gi_carry['ddgi_distance'], _pool(wp),
                 normalize(_pool(m_gb['normal'])),
-                probe_offset=gi_carry['ddgi_offset'])
+                probe_offset=gi_carry['ddgi_offset'],
+                vis_pool=max(settings.gi_vis_scale, 1))
             gi_irradiance = jnp.repeat(jnp.repeat(gi_h, sc, 0), sc, 1)
         else:
             gi_irradiance = ddgi_mod.sample_irradiance_visibility(
                 ddgi_volume, gi_carry['ddgi_irradiance'],
                 gi_carry['ddgi_distance'], wp, m_gb['normal'],
-                probe_offset=gi_carry['ddgi_offset'])
+                probe_offset=gi_carry['ddgi_offset'],
+                vis_pool=max(settings.gi_vis_scale, 1))
         gi_irradiance = jnp.where((depth > 0)[..., None],
                                   gi_irradiance, 0.0)
 

@@ -119,7 +119,7 @@ def aggregate_trace(trace_dir: str, frames: int) -> dict:
                         detail[lab][nm[:120]] += dur
                 else:
                     nm = emd.get(ev['metadata_id'], {}).get('name', '?')
-                    unattributed[nm.split('.')[0]] += dur
+                    unattributed[nm[:200]] += dur
     out = {k: v / 1e9 / frames for k, v in by_pass.items()}
     out['_unattributed'] = sum(unattributed.values()) / 1e9 / frames
     out['_unattributed_top'] = {
