@@ -110,13 +110,13 @@ class RenderSettings:
     debug_mode: int = 0                   # lighting.DEBUG_*
     # raster tuning
     max_tris_per_tile: int = 512
-    raster_chunk: int = 128    # pair records per fill grid step.
-    #   Measured in the REAL culled courtyard frame at 1080p (v5e):
-    #   128 -> 216 ms deferred vs 256 -> 397 ms — per-chunk gather
-    #   waste (every tile step gathers the whole chunk even when few
-    #   pairs land in the tile) outweighs per-step fixed cost beyond
-    #   ~128; 32 was in turn ~2x slower than 256 on an UNCULLED fill
-    #   microbench, so the default serves the culled frame
+    raster_chunk: int = 32     # pair records per fill grid step.
+    #   With the count-bounded group loop (raster_rows fori), VPU cost
+    #   tracks real pairs at any chunk size; what remains is the
+    #   XLA-side comb gather + stream DMA, which pad per-tile to the
+    #   chunk.  Measured in the real culled courtyard frame at 1080p
+    #   (v5e, count-bounded kernel): 32 -> 192.8 ms deferred,
+    #   64 -> 202.8, 128 -> 210.4, 256 -> 234.5
     max_big_tris: int = 256
     tile_batch: int = 32
     tile_h: int = 16                      # fill-tile height (8 = native

@@ -32,6 +32,31 @@ CACHE_VERSION = 10
 MAX_LODS = LOD.MAX_LODS
 
 
+def pin_gather_layout(x):
+    """Commit a (N, K) row-gathered table to the {0,1} (column-major)
+    device layout TPU gathers want.
+
+    XLA lowers big row gathers with the table's minor dim along LANES
+    (rows become per-lane columns); a default {1,0}-layout parameter
+    therefore gets an async relayout copy EVERY frame — measured
+    167 ms/frame for the courtyard texel atlas (u32[1.5M, 16]) in the
+    all-on 1080p trace.  Committing the array in {0,1} once at scene
+    load removes the per-frame copy.  No-op off-TPU and on any
+    API/backend that rejects explicit layouts (CPU tests, interpret)."""
+    import jax
+    if getattr(x, 'ndim', 0) != 2:
+        return x
+    if jax.default_backend() not in ('tpu', 'axon'):
+        return x
+    try:
+        from jax.experimental.layout import Format, Layout
+        shard = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        return jax.device_put(
+            x, Format(Layout(major_to_minor=(0, 1)), shard))
+    except Exception:
+        return x
+
+
 def _pad_to(x: np.ndarray, n: int, axis: int = 0) -> np.ndarray:
     pad = n - x.shape[axis]
     if pad <= 0:
@@ -194,6 +219,7 @@ class SceneBuffers:
     def to_device(self) -> "DeviceScene":
         import jax.numpy as jnp
         kw = {f: jnp.asarray(getattr(self, f)) for f in self._DEVICE_FIELDS}
+        kw['tex_texels'] = pin_gather_layout(kw['tex_texels'])
         return DeviceScene(
             node_depth=self.node_depth,
             num_vertices=self.num_vertices,
