@@ -54,26 +54,58 @@ def pack_resolve_records(setup: dict, scene, inst_world, inst_adj,
     inst = setup['inst_id']
     mat = setup['mat_id']
 
-    # vertex normals stay UNNORMALIZED here: all 3 vertices share one
-    # instance adjugate, so the per-triangle scale is uniform and the
-    # per-pixel normalize after interpolation (resolve_interpolants /
-    # the kernel epilogue) recovers the exact direction — skipping the
-    # T-dense normalize saves ~1.3 ms/frame at 1080p
-    n_obj = scene.normals[vids]                            # (T, 3, 3)
-    adj = inst_adj[inst]                                   # (T, 3, 3)
-    n_w = jnp.einsum('tij,tvj->tvi', adj, n_obj)
-    uv = scene.uvs[vids]                                   # (T, 3, 2)
-
-    obj = scene.positions[vids]                            # (T, 3, 3)
-    obj_h = jnp.concatenate([obj, jnp.ones_like(obj[..., :1])], -1)
     # fold prev view-proj into the per-INSTANCE matrices (N ~ hundreds)
-    # before the T-dense transform
+    # before any dense transform
     prev_mat = jnp.einsum('ij,njk->nik', prev_view_proj_nojit,
                           prev_inst_world)
-    prev_clip = jnp.einsum('tij,tvj->tvi', prev_mat[inst], obj_h)
-    prev_xyw = prev_clip[..., jnp.asarray([0, 1, 3])]      # (T, 3, 3)
-    cw = inst_world[inst]                                  # (T, 4, 4)
-    world_pos = jnp.einsum('tij,tvj->tvi', cw, obj_h)[..., :3]
+
+    pm = setup.get('pair_meshlet')
+    if (pm is not None and getattr(scene, 'ml_verts', None) is not None
+            and t == pm.shape[0] * 96):
+        # meshlet-window fetch: per-vertex attribute gathers are
+        # latency-bound (~3.8M random rows/frame on the courtyard — the
+        # measured record-pack whale, scene.{normals,uvs,positions}[vids]
+        # at (T, 3) rate).  Instead fetch each pair's 64-vertex WINDOW
+        # as one contiguous block, transform at window rate (64/pair vs
+        # 288 tri-verts/pair), and assemble per-triangle attributes with
+        # an EXACT one-hot matmul (one nonzero per row; HIGHEST
+        # precision makes the select bit-faithful on the MXU).
+        p_in = setup['pair_inst']
+        win = scene.ml_verts[pm]                           # (Tp, 64, 8)
+        lt = scene.ml_local_tris[pm]                       # (Tp, 96, 3)
+        wpos, wnrm, wuv = win[..., 0:3], win[..., 3:6], win[..., 6:8]
+        wpos_h = jnp.concatenate(
+            [wpos, jnp.ones_like(wpos[..., :1])], -1)      # (Tp, 64, 4)
+        # vertex normals stay UNNORMALIZED (uniform per-tri scale; the
+        # per-pixel normalize after interpolation recovers direction)
+        nrm_w = jnp.einsum('tij,tkj->tki', inst_adj[p_in], wnrm)
+        prevc = jnp.einsum('tij,tkj->tki', prev_mat[p_in], wpos_h)
+        prevc = prevc[..., jnp.asarray([0, 1, 3])]         # (Tp, 64, 3)
+        worldp = jnp.einsum('tij,tkj->tki', inst_world[p_in],
+                            wpos_h)[..., :3]
+        feats = jnp.concatenate([nrm_w, wuv, prevc, worldp], -1)
+        oh = (lt[..., None]
+              == jnp.arange(win.shape[1], dtype=lt.dtype)
+              ).astype(feats.dtype)                        # (Tp, 96, 3, 64)
+        tri = jnp.einsum('tmvk,tkc->tmvc', oh, feats,
+                         precision=jax.lax.Precision.HIGHEST)
+        tri = tri.reshape(t, 3, feats.shape[-1])
+        n_w = tri[..., 0:3]
+        uv = tri[..., 3:5]
+        prev_xyw = tri[..., 5:8]
+        world_pos = tri[..., 8:11]
+    else:
+        # per-vertex gather fallback (scenes without window tables)
+        n_obj = scene.normals[vids]                        # (T, 3, 3)
+        adj = inst_adj[inst]                               # (T, 3, 3)
+        n_w = jnp.einsum('tij,tvj->tvi', adj, n_obj)
+        uv = scene.uvs[vids]                               # (T, 3, 2)
+        obj = scene.positions[vids]                        # (T, 3, 3)
+        obj_h = jnp.concatenate([obj, jnp.ones_like(obj[..., :1])], -1)
+        prev_clip = jnp.einsum('tij,tvj->tvi', prev_mat[inst], obj_h)
+        prev_xyw = prev_clip[..., jnp.asarray([0, 1, 3])]  # (T, 3, 3)
+        cw = inst_world[inst]                              # (T, 4, 4)
+        world_pos = jnp.einsum('tij,tvj->tvi', cw, obj_h)[..., :3]
 
     base = scene.mat_base_color[mat]                       # (T, 4)
     mr = scene.mat_metal_rough[mat]                        # (T, 2)

@@ -90,6 +90,10 @@ def meshlet_clip_triangles(scene, inst_world, view_proj,
         mat_id=rep(mat.astype(jnp.int32)),
         double_sided=rep(double_sided),
         tri_valid=tri_valid.reshape(tp * mt),
+        # (Tp,) pair arrays ride along for pair-rate consumers (the
+        # meshlet-window record fetch in gbuffer.pack_resolve_records)
+        pair_meshlet=pair_meshlet.astype(jnp.int32),
+        pair_inst=pair_inst.astype(jnp.int32),
     )
 
 

@@ -161,12 +161,16 @@ def setup_triangles(geo: dict, cfg: RasterConfig) -> dict:
     ty0 = jnp.where(keep, ty0, 1.0).astype(jnp.int32)
     ty1 = jnp.where(keep, ty1, 0.0).astype(jnp.int32)
 
-    return dict(
+    out = dict(
         edges=edges, zs=zs, ws=ws, inv_s=inv_s,
         tx0=tx0, tx1=tx1, ty0=ty0, ty1=ty1, valid=keep,
         vtx_ids=geo['vtx_ids'], inst_id=geo['inst_id'],
         mat_id=geo['mat_id'],
     )
+    if 'pair_meshlet' in geo:
+        out['pair_meshlet'] = geo['pair_meshlet']
+        out['pair_inst'] = geo['pair_inst']
+    return out
 
 
 def eval_edges(setup: dict, tid, pxn, pyn):

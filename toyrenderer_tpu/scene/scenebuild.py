@@ -216,10 +216,58 @@ class SceneBuffers:
         "tex_texels tex_offset tex_width tex_height tex_num_mips "
         "tex_wrap tex_min_mip tex_desc").split()
 
+    def meshlet_windows(self):
+        """Meshlet-major vertex windows: (ml_verts (M, 64, 8) f32
+        [pos3 | nrm3 | uv2], ml_local_tris (M, 96, 3) i32 in [0, 64)).
+
+        Per-triangle vertex attribute fetches are latency-bound random
+        gathers (~3.8M/frame on the courtyard, the measured record-pack
+        whale); with each meshlet's <=64 unique vertices copied into a
+        contiguous window, the frame fetches (Tp, 64, 8) BLOCKS and
+        assembles per-triangle attributes with an exact one-hot matmul
+        on the MXU instead.  Derived post-hoc from the flat arrays, so
+        the scene cache format is unchanged."""
+        cached = self.__dict__.get('_ml_windows')
+        if cached is not None:
+            return cached
+        G = np.asarray(self.meshlet_tris, np.int64)       # (M, 96, 3)
+        m = G.shape[0]
+        # padded triangle slots reference the PRIMITIVE's vertex 0,
+        # which may not be among the meshlet's 64 real vertices (the
+        # 65th-unique off-by-one); remap padding to the meshlet's own
+        # first vertex — padded tris are invalid (tri_count) and never
+        # consumed
+        tc = np.asarray(self.meshlet_tri_count).reshape(m, 1)
+        pad = np.arange(G.shape[1])[None, :] >= tc        # (M, 96)
+        first = G[:, 0, 0]
+        G = np.where(pad[..., None], first[:, None, None], G)
+        flat = G.reshape(m, 288)
+        order = np.argsort(flat, axis=1, kind='stable')
+        s = np.take_along_axis(flat, order, axis=1)
+        newv = np.ones((m, 288), bool)
+        newv[:, 1:] = s[:, 1:] != s[:, :-1]
+        ranks = np.cumsum(newv, axis=1) - 1
+        assert ranks.max(initial=0) < ML.MESHLET_MAX_VERTS, \
+            "meshlet exceeds the 64-unique-vertex budget"
+        w = np.zeros((m, ML.MESHLET_MAX_VERTS), np.int64)
+        np.put_along_axis(w, ranks, s, axis=1)
+        local = np.empty((m, 288), np.int32)
+        np.put_along_axis(local, order, ranks.astype(np.int32), axis=1)
+        pos = np.asarray(self.positions, np.float32)[w]
+        nrm = np.asarray(self.normals, np.float32)[w]
+        uv = np.asarray(self.uvs, np.float32)[w]
+        verts = np.concatenate([pos, nrm, uv], axis=-1)
+        out = (verts, local.reshape(m, 96, 3))
+        self.__dict__['_ml_windows'] = out
+        return out
+
     def to_device(self) -> "DeviceScene":
         import jax.numpy as jnp
         kw = {f: jnp.asarray(getattr(self, f)) for f in self._DEVICE_FIELDS}
         kw['tex_texels'] = pin_gather_layout(kw['tex_texels'])
+        mv, mlt = self.meshlet_windows()
+        kw['ml_verts'] = jnp.asarray(mv)
+        kw['ml_local_tris'] = jnp.asarray(mlt)
         return DeviceScene(
             node_depth=self.node_depth,
             num_vertices=self.num_vertices,
@@ -268,6 +316,8 @@ class DeviceScene:
     mat_alpha_cutoff: object
     mat_double_sided: object
     mat_base_color_tex: object
+    ml_verts: object = None        # (M, 64, 8) meshlet vertex windows
+    ml_local_tris: object = None   # (M, 96, 3) window-local indices
     tex_texels: object = None
     tex_offset: object = None
     tex_width: object = None
@@ -292,7 +342,8 @@ class DeviceScene:
 
 def _register_device_scene():
     import jax
-    arr_fields = SceneBuffers._DEVICE_FIELDS
+    arr_fields = SceneBuffers._DEVICE_FIELDS + [
+        "ml_verts", "ml_local_tris"]
     static_fields = ("node_depth", "num_vertices", "num_meshlets",
                      "num_primitives", "num_instances", "num_nodes",
                      "num_textures")
