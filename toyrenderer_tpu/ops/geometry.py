@@ -12,6 +12,7 @@ meshlet->triangle expansion is one dense gather producing fixed-shape
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from toyrenderer_tpu.mathlib.transforms import adjugate3, compose_trs
@@ -77,10 +78,27 @@ def meshlet_clip_triangles(scene, inst_world, view_proj,
     world = inst_world[pair_inst]                    # (Tp, 4, 4)
     mvp = jnp.einsum('ij,tjk->tik', view_proj, world)  # (Tp, 4, 4)
 
-    obj = scene.positions[tris]                      # (Tp, 96, 3, 3)
-    obj_h = jnp.concatenate(
-        [obj, jnp.ones_like(obj[..., :1])], axis=-1)  # (Tp, 96, 3, 4)
-    clip = jnp.einsum('tik,tmvk->tmvi', mvp, obj_h)  # (Tp, 96, 3, 4)
+    if getattr(scene, 'ml_verts', None) is not None:
+        # meshlet-window fetch (see gbuffer.pack_resolve_records): one
+        # contiguous 64-vertex block per pair + exact one-hot assembly
+        # replaces (Tp, 96, 3) latency-bound random position gathers;
+        # transforming at window rate is also 4.5x fewer MACs
+        win = scene.ml_verts[pair_meshlet]           # (Tp, 64, 8)
+        lt = scene.ml_local_tris[pair_meshlet]       # (Tp, 96, 3)
+        wpos = win[..., 0:3]
+        wpos_h = jnp.concatenate(
+            [wpos, jnp.ones_like(wpos[..., :1])], -1)
+        clip_w = jnp.einsum('tik,tvk->tvi', mvp, wpos_h)  # (Tp, 64, 4)
+        oh = (lt[..., None]
+              == jnp.arange(win.shape[1], dtype=lt.dtype)
+              ).astype(clip_w.dtype)                 # (Tp, 96, 3, 64)
+        clip = jnp.einsum('tmvk,tkc->tmvc', oh, clip_w,
+                          precision=jax.lax.Precision.HIGHEST)
+    else:
+        obj = scene.positions[tris]                  # (Tp, 96, 3, 3)
+        obj_h = jnp.concatenate(
+            [obj, jnp.ones_like(obj[..., :1])], axis=-1)
+        clip = jnp.einsum('tik,tmvk->tmvi', mvp, obj_h)  # (Tp, 96, 3, 4)
 
     rep = lambda x: jnp.repeat(x, mt, axis=0)
     return dict(
