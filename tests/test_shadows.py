@@ -189,3 +189,54 @@ def test_shadow_gdir_strip_sampling_consistent():
     # same scene, tiny cone: disagreement limited to penumbra noise
     frac = (np.asarray(c) != np.asarray(d)).mean()
     assert frac < 0.05, frac
+
+
+def test_cached_sun_map_matches_uncached():
+    """cache_sun_map (the default) must be invisible: a camera-orbiting
+    sequence with a static sun renders EXACTLY like the per-frame
+    re-raster, and a sun move mid-sequence invalidates the cache."""
+    import jax.numpy as jnp
+    from toyrenderer_tpu.scene import load_scene
+    from toyrenderer_tpu.engine import RenderSettings, init_carry, View
+    from toyrenderer_tpu.engine.frame import (make_render_fn,
+                                              default_frame_inputs)
+    from toyrenderer_tpu.ops.geometry import static_meshlet_pairs
+
+    s = load_scene("resources/cornell.gltf", use_cache=False)
+    d = s.to_device()
+    pi, pm = (jnp.asarray(x) for x in static_meshlet_pairs(s))
+
+    def run(cached):
+        st = RenderSettings(width=96, height=64, enable_shadows=True,
+                            shadow_technique='map',
+                            shadow_map_resolution=256,
+                            manual_exposure=0.02, cache_sun_map=cached)
+        view = View.from_scene(s, st.width, st.height)
+        view.enable_jitter = False
+        carry = init_carry(d, st)
+        render = make_render_fn(st, donate_carry=False)
+        imgs = []
+        for i in range(4):
+            mats = view.matrices()
+            fi = default_frame_inputs(s, mats)
+            if i >= 2:
+                # move the sun mid-sequence: rebuild its view-proj
+                from toyrenderer_tpu.engine.frame import _sun_view_proj
+                class _S:  # shifted sun
+                    sun_direction = np.asarray([0.4, -1.0, 0.25])
+                    world_aabb = s.world_aabb
+                fi['sun_direction'] = jnp.asarray(
+                    _S.sun_direction / np.linalg.norm(_S.sun_direction),
+                    jnp.float32)
+                fi['sun_view_proj'] = jnp.asarray(_sun_view_proj(_S))
+            img, carry, _ = render(d, pi, pm, fi, carry)
+            view.rotate_yaw_pitch(0.1, 0.0)
+            imgs.append(np.asarray(img))
+        return imgs
+
+    a = run(True)
+    b = run(False)
+    for i, (x, y) in enumerate(zip(a, b)):
+        assert np.array_equal(x, y), f"frame {i} differs with cache"
+    # the sun move must actually change the shadows
+    assert np.abs(a[1].astype(int) - a[2].astype(int)).mean() > 0.5

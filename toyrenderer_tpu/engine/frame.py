@@ -67,6 +67,9 @@ class RenderSettings:
     gi_update_phases: int = 1             # probes update in P/N blocks
     gi_sample_scale: int = 2              # probe-sampling downscale when
     #                                       gi_half_res (2 = half res)
+    cache_sun_map: bool = True            # sun map re-renders only when
+    #   the sun or an instance transform changes (it is camera-
+    #   independent); the reference re-rasterizes every frame
     gi_vis_scale: int = 2                 # EXTRA downscale of the per-
     #   corner Chebyshev visibility factor inside the probe sampler (the
     #   8 distance gathers are the measured sampling whale); relative to
@@ -171,6 +174,16 @@ def init_carry(scene, settings: RenderSettings, ddgi_volume=None
         carry['shadow_history'] = jnp.ones(
             (settings.height, settings.width), jnp.float32)
         carry['shadow_valid'] = jnp.asarray(0.0, jnp.float32)
+    uses_sun_map = (
+        (settings.enable_shadows and settings.shadow_technique == 'map')
+        or (settings.enable_gi and settings.gi_sun_technique in
+            ('map', 'auto')
+            and not (settings.enable_shadows
+                     and settings.shadow_technique == 'rt')))
+    if settings.cache_sun_map and uses_sun_map:
+        s = settings.shadow_map_resolution
+        carry['sun_map_depth'] = jnp.zeros((s, s), jnp.float32)
+        carry['prev_sun_view_proj'] = jnp.zeros((4, 4), jnp.float32)
     if settings.enable_gi:
         from toyrenderer_tpu.ops.ddgi import init_probes
         assert ddgi_volume is not None, "enable_gi requires a ddgi_volume"
@@ -463,6 +476,7 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         or (settings.gi_sun_technique == 'auto' and not needs_rays))
     sm_quads = None
     sun_vis_fn = None
+    shadow_carry = {}
     if ((settings.enable_shadows and settings.shadow_technique == 'map')
             or gi_sun_map):
         from toyrenderer_tpu.ops import shadowmap as sm_mod
@@ -474,10 +488,32 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                    if (rt_static is not None
                        and getattr(rt_static, 'n_mask_pairs', 0) > 0
                        and mask_pair_inst is not None) else None)
-        sm_depth = sm_mod.render_shadow_map(
-            scene, inst_world, rt_pi, rt_pm,
-            frame_inputs['sun_view_proj'], sm_cfg, use_pallas,
-            tri_keep=sm_keep)
+        # the sun map depends only on the light + world transforms —
+        # NOT the camera — so it lives in the carry and re-renders only
+        # when the sun moves or any instance transform changes (the
+        # reference re-rasterizes per frame because that's nearly free
+        # on a GPU; here the 2048^2 raster is a measured ~60-80 ms of
+        # the all-on frame, and sun/scene are static in the common case)
+        sun_vp = frame_inputs['sun_view_proj']
+        if settings.cache_sun_map and 'sun_map_depth' in carry:
+            moved = jnp.any(sun_vp != carry['prev_sun_view_proj'])
+            moved = moved | jnp.any(inst_world != prev_inst_world)
+            moved = moved | (carry['frame_index'] == 0)
+
+            def _render(_):
+                return sm_mod.render_shadow_map(
+                    scene, inst_world, rt_pi, rt_pm, sun_vp, sm_cfg,
+                    use_pallas, tri_keep=sm_keep)
+
+            sm_depth = jax.lax.cond(
+                moved, _render, lambda _: carry['sun_map_depth'],
+                operand=None)
+            shadow_carry['sun_map_depth'] = sm_depth
+            shadow_carry['prev_sun_view_proj'] = sun_vp
+        else:
+            sm_depth = sm_mod.render_shadow_map(
+                scene, inst_world, rt_pi, rt_pm, sun_vp, sm_cfg,
+                use_pallas, tri_keep=sm_keep)
         sm_quads = sm_mod.quad_expand_map(sm_depth)
         if gi_sun_map:
             sun_vis_fn = lambda pts: sm_mod.sample_shadow_map_points(  # noqa: E731
@@ -487,7 +523,6 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     # -- ShadowMask (denoised; technique: rasterized sun depth map by
     #    default — the TPU-native path — or BVH ray traced) -----------------
     shadow_mask = None
-    shadow_carry = {}
     if settings.enable_shadows:
         if settings.shadow_technique == 'map':
             from toyrenderer_tpu.ops import shadowmap as sm_mod
@@ -504,7 +539,7 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         shadow_mask, shadow_hist = denoise_mod.denoise_shadow(
             raw, gb['motion'], carry['shadow_history'],
             carry['shadow_valid'], depth, carry['prev_depth'])
-        shadow_carry = dict(
+        shadow_carry.update(
             shadow_history=shadow_hist,
             shadow_valid=jnp.asarray(1.0, jnp.float32))
 

@@ -1,0 +1,123 @@
+"""Standalone fused-fill microbenchmark on the real frame workload.
+
+Reproduces the deferred frame's early-phase raster inputs (courtyard,
+culled pair list, 1080p) and times bin_pairs_stream / pack_resolve_records
+/ fill_resolve_stream in isolation with honest readback fences — the
+iteration harness for fill-kernel variants (the fill is the largest
+single pass in the all-on frame: 80.5 ms of 1080p courtyard device time
+at chunk 32).
+
+Usage:
+  python -m toyrenderer_tpu.tools.fillbench [--chunk 32] [--scene ...]
+      [--reps 3] [--width 1920 --height 1080]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), "..", "..",
+                                   ".jax_cache"))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--scene", default="resources/courtyard.glb")
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--chunk", type=int, default=0,
+                   help="raster chunk override (0 = settings default)")
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--platform", default=None)
+    args = p.parse_args(argv)
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from toyrenderer_tpu.engine import RenderSettings, View
+    from toyrenderer_tpu.engine.frame import default_frame_inputs
+    from toyrenderer_tpu.ops import geometry as geo_mod
+    from toyrenderer_tpu.ops import raster as raster_mod
+    from toyrenderer_tpu.ops.gbuffer import pack_resolve_records
+    from toyrenderer_tpu.ops.geometry import static_meshlet_pairs
+    from toyrenderer_tpu.scene import load_scene
+
+    scene_host = load_scene(args.scene)
+    scene = scene_host.to_device()
+    mk_i, mk_m = static_meshlet_pairs(scene_host, 'mask')
+    has_mask = len(mk_i) > 0
+    pi, pm = static_meshlet_pairs(scene_host,
+                                  'not_mask' if has_mask else 'all')
+    cap = max(int(len(pi) * 0.6), 256)
+    pi, pm = jnp.asarray(pi[:cap]), jnp.asarray(pm[:cap])
+
+    st = RenderSettings(width=args.width, height=args.height,
+                        **({"raster_chunk": args.chunk} if args.chunk
+                           else {}))
+    cfg = st.raster_config()
+    view = View.from_scene(scene_host, st.width, st.height)
+    fi = default_frame_inputs(scene_host, view.matrices())
+
+    interpret = jax.default_backend() not in ('tpu', 'axon')
+
+    @jax.jit
+    def prep(scene, fi):
+        world = geo_mod.node_world_matrices(
+            scene, fi['node_translation'], fi['node_rotation'],
+            fi['node_scale'])
+        iw, ia = geo_mod.instance_transforms(scene, world)
+        g = geo_mod.meshlet_clip_triangles(scene, iw, fi['view_proj'],
+                                           pi, pm)
+        setup = raster_mod.setup_triangles(g, cfg)
+        records = pack_resolve_records(
+            setup, scene, iw, ia, iw, fi['prev_view_proj_nojitter'])
+        return setup, records
+
+    @jax.jit
+    def bins_of(setup):
+        return raster_mod.bin_pairs_stream(setup, cfg)
+
+    def fill_fn(setup, records, bins):
+        from toyrenderer_tpu.ops.raster_pallas import fill_resolve_stream
+        return fill_resolve_stream(setup, records, bins, cfg,
+                                   interpret=interpret)
+
+    fill_jit = jax.jit(fill_fn)
+
+    def force(x):
+        return float(np.asarray(jax.tree.leaves(x)[0]).reshape(-1)[0])
+
+    def bench(label, f, *a):
+        out = f(*a)
+        force(out)
+        ts = []
+        for _ in range(args.reps):
+            t0 = time.time()
+            out = f(*a)
+            force(out)
+            ts.append(time.time() - t0)
+        print(f"{label:<28} {min(ts)*1e3:9.2f} ms")
+        return out
+
+    setup, records = bench("prep(setup+records)", prep, scene, fi)
+    bins = bench("bin_pairs_stream", bins_of, setup)
+    npairs = int(np.asarray(jnp.sum(bins['counts'])))
+    nbig = int(np.asarray(jnp.sum((bins['big_list'] >= 0)
+                                  .astype(jnp.int32))))
+    nvalid = int(np.asarray(jnp.sum(setup['valid'].astype(jnp.int32))))
+    print(f"workload: {nvalid} valid tris, {npairs} binned pairs, "
+          f"{nbig} big, chunk={cfg.chunk}, tiles={cfg.num_tiles}")
+    out = bench("fill_resolve_stream", fill_jit, setup, records, bins)
+    depth = np.asarray(out[0])
+    print(f"coverage: {(np.asarray(out[1]) >= 0).mean():.3f}  "
+          f"depth mean {depth.mean():.4f}")
+
+
+if __name__ == "__main__":
+    main()
