@@ -273,6 +273,8 @@ def _fill_resolve_stream_kernel(
         bigcount_ref,        # prefetch (1,) i32 — 1D only: Mosaic pads
         #                      SMEM minor dims to 128 (a (tiles, 2) table
         #                      would cost 64x its size of the 1MB budget)
+        bighit_ref,          # prefetch (tiles,) i32: 1 if any big tri's
+        #                      bbox intersects the tile (gates big loop)
         comb_ref,            # (1, C, 16+R) streamed pair records
         bigcomb_ref,         # (B, 16+R) big-triangle records (resident)
         init_z_ref,          # (TH, TW) f32 (block at the tile's position)
@@ -420,14 +422,17 @@ def _fill_resolve_stream_kernel(
 
     @pl.when(last)
     def _():
-        # big triangles: every tile tests the resident list
-        def big_body(ci, halves):
-            base = pl.multiple_of(ci * c, c)
-            return raster_rows(
-                lambda r0: bigcomb_ref[pl.ds(base + r0, g), :16],
-                base, big_count, k_cap, halves)
-        write_halves(jax.lax.fori_loop(
-            0, (big_count + c - 1) // c, big_body, read_halves()))
+        # big triangles: only tiles their bboxes intersect test the
+        # resident list (bighit prefetch)
+        @pl.when(bighit_ref[tile] > 0)
+        def _():
+            def big_body(ci, halves):
+                base = pl.multiple_of(ci * c, c)
+                return raster_rows(
+                    lambda r0: bigcomb_ref[pl.ds(base + r0, g), :16],
+                    base, big_count, k_cap, halves)
+            write_halves(jax.lax.fori_loop(
+                0, (big_count + c - 1) // c, big_body, read_halves()))
 
         # one-hot MXU record fetch, count-blocked and bit-faithful:
         #   - MXU matmuls run in bf16 regardless of f32 inputs, which
@@ -464,8 +469,11 @@ def _fill_resolve_stream_kernel(
         fetch_blocks(lambda b, s: rec_scr[pl.ds(b * s, s), :],
                      (jnp.minimum(count, k_cap) + kb - 1) // kb, kb, 0)
         bb = 128 if b_cap % 128 == 0 else b_cap
-        fetch_blocks(lambda b, s: bigcomb_ref[pl.ds(b * s, s), 16:],
-                     (big_count + bb - 1) // bb, bb, k_cap)
+
+        @pl.when(bighit_ref[tile] > 0)
+        def _():
+            fetch_blocks(lambda b, s: bigcomb_ref[pl.ds(b * s, s), 16:],
+                         (big_count + bb - 1) // bb, bb, k_cap)
 
         # --- in-VMEM interpolant resolve (gbuffer.resolve_interpolants
         # parity — the XLA function is the tested reference).  All math
@@ -538,16 +546,16 @@ def _fill_resolve_stream_kernel(
 
 def _fill_resolve_stream_kernel_peel(
         chunk_tile_ref, chunk_base_ref, count_ref, bigcount_ref,
-        comb_ref, bigcomb_ref, init_z_ref, init_id_ref, init_rec_ref,
-        peel_ref, z_out, id_out, rec_out, slot_scr, rec_scr, fet_scr,
-        **kw):
+        bighit_ref, comb_ref, bigcomb_ref, init_z_ref, init_id_ref,
+        init_rec_ref, peel_ref, z_out, id_out, rec_out, slot_scr,
+        rec_scr, fet_scr, **kw):
     """Depth-peeling entry: same kernel with the extra peel-bound input
     (positional ref order differs, so it needs its own signature)."""
     _fill_resolve_stream_kernel(
         chunk_tile_ref, chunk_base_ref, count_ref, bigcount_ref,
-        comb_ref, bigcomb_ref, init_z_ref, init_id_ref, init_rec_ref,
-        z_out, id_out, rec_out, slot_scr, rec_scr, fet_scr,
-        peel_ref=peel_ref, **kw)
+        bighit_ref, comb_ref, bigcomb_ref, init_z_ref, init_id_ref,
+        init_rec_ref, z_out, id_out, rec_out, slot_scr, rec_scr,
+        fet_scr, peel_ref=peel_ref, **kw)
 
 
 def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
@@ -599,9 +607,24 @@ def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
     # tile).  The global chunk budget clamps cumulatively (overflow
     # drops pairs — bounded-amplification semantics, gpuculling.hlsl
     # overflow parity).
-    has_big = jnp.any(big_list >= 0)
-    want = jnp.maximum(-(-counts // c),
-                       jnp.where(has_big, 1, 0))   # (tiles,)
+    # per-TILE big-triangle hit from the setup's tile bboxes: a tile
+    # only needs its mandatory visit (and the kernel's big loop) when
+    # some big triangle's bbox intersects it — the old any-big flag
+    # forced one chunk + a big pass on EVERY tile, which made the
+    # sparse fills (late phase, masked peels) pay the full 1020-tile
+    # floor for a handful of banners
+    bvalid = big_list >= 0
+    bl = jnp.maximum(big_list, 0)
+    btx = jnp.arange(cfg.tiles_x, dtype=jnp.int32)
+    bty = jnp.arange(cfg.tiles_y, dtype=jnp.int32)
+    hit_x = ((btx[None, :] >= setup['tx0'][bl][:, None])
+             & (btx[None, :] <= setup['tx1'][bl][:, None]))  # (B, TX)
+    hit_y = ((bty[None, :] >= setup['ty0'][bl][:, None])
+             & (bty[None, :] <= setup['ty1'][bl][:, None]))  # (B, TY)
+    bighit = jnp.any(hit_y[:, :, None] & hit_x[:, None, :]
+                     & bvalid[:, None, None], axis=0)
+    bighit = bighit.reshape(-1).astype(jnp.int32)  # (tiles,)
+    want = jnp.maximum(-(-counts // c), bighit)    # (tiles,)
     before = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(want)])[:-1]
     n_chunks = jnp.clip(ch_cap - before, 0, want)  # (tiles,) >= 0
@@ -657,14 +680,14 @@ def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
         peel_depth = pad_image(peel_depth, cfg)
 
     tx_ = cfg.tiles_x
-    by_tile = lambda j, ct, cb, c_, b_: (ct[j] // tx_, ct[j] % tx_)  # noqa: E731,E501
-    by_tile3 = lambda j, ct, cb, c_, b_: (0, ct[j] // tx_, ct[j] % tx_)  # noqa: E731,E501
+    by_tile = lambda j, ct, cb, c_, b_, bh: (ct[j] // tx_, ct[j] % tx_)  # noqa: E731,E501
+    by_tile3 = lambda j, ct, cb, c_, b_, bh: (0, ct[j] // tx_, ct[j] % tx_)  # noqa: E731,E501
     in_specs = [
         pl.BlockSpec((1, c, REC + r),
-                     lambda j, ct, cb, c_, b_: (j, 0, 0),
+                     lambda j, ct, cb, c_, b_, bh: (j, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((cfg.max_big_tris, REC + r),
-                     lambda j, ct, cb, c_, b_: (0, 0),
+                     lambda j, ct, cb, c_, b_, bh: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((th, tw), by_tile, memory_space=pltpu.VMEM),
         pl.BlockSpec((th, tw), by_tile, memory_space=pltpu.VMEM),
@@ -675,7 +698,7 @@ def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
         in_specs.append(
             pl.BlockSpec((th, tw), by_tile, memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(ch_cap,),
         in_specs=in_specs,
         out_specs=[
@@ -690,7 +713,8 @@ def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
     )
     kernel = _fill_resolve_stream_kernel
     inputs = [chunk_tile, chunk_base[:-1], counts_eff, big_count,
-              comb_padded, big_comb, init_z, init_id, init_rec]
+              bighit, comb_padded, big_comb, init_z, init_id,
+              init_rec]
     if peel_depth is not None:
         kernel = _fill_resolve_stream_kernel_peel
         inputs.append(peel_depth)
@@ -707,7 +731,7 @@ def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
         # init planes alias the outputs: tiles no chunk visits keep their
         # init content without any work (indices count the flattened
         # inputs INCLUDING the scalar-prefetch operands)
-        input_output_aliases={6: 0, 7: 1, 8: 2},
+        input_output_aliases={7: 0, 8: 1, 9: 2},
     )(*inputs)
     if padded_io:
         return z, tid, rec

@@ -32,6 +32,9 @@ def main(argv=None):
                    help="raster chunk override (0 = settings default)")
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--platform", default=None)
+    p.add_argument("--trace", action="store_true",
+                   help="dump an xplane trace of one rep of each stage "
+                        "and print the per-op attribution")
     args = p.parse_args(argv)
 
     import jax
@@ -107,6 +110,20 @@ def main(argv=None):
 
     setup, records = bench("prep(setup+records)", prep, scene, fi)
     bins = bench("bin_pairs_stream", bins_of, setup)
+    if args.trace:
+        import jax.profiler
+        tdir = "/tmp/fillbench_trace"
+        with jax.profiler.trace(tdir):
+            force(prep(scene, fi))
+            force(bins_of(setup))
+        from toyrenderer_tpu.tools.passes import aggregate_trace
+        os.environ.setdefault('PASSES_DETAIL', 'GBufferResolve')
+        table = aggregate_trace(tdir, 1)
+        for k, v in sorted(table.items(),
+                           key=lambda kv: -(kv[1] if isinstance(kv[1],
+                                                                float)
+                                            else 0)):
+            print(f"  {k}: {v}")
     npairs = int(np.asarray(jnp.sum(bins['counts'])))
     nbig = int(np.asarray(jnp.sum((bins['big_list'] >= 0)
                                   .astype(jnp.int32))))
