@@ -120,7 +120,36 @@ def aggregate_trace(trace_dir: str, frames: int) -> dict:
                 else:
                     nm = emd.get(ev['metadata_id'], {}).get('name', '?')
                     unattributed[nm[:200]] += dur
+    # device busy vs idle: union of op intervals on each device line —
+    # wall-vs-attributed gaps are either overlapped async copies (fine)
+    # or real dispatch stalls (not fine); this tells them apart
+    busy_ps = 0
+    span_ps = 0
+    for p in dev:
+        for line in p['lines']:
+            lname = line['name'].lower()
+            if 'step' in lname or 'module' in lname:
+                continue
+            iv = sorted((ev['offset_ps'],
+                         ev['offset_ps'] + ev['duration_ps'])
+                        for ev in line['events'])
+            if not iv:
+                continue
+            merged_busy = 0
+            cur_s, cur_e = iv[0]
+            for s, e in iv[1:]:
+                if s > cur_e:
+                    merged_busy += cur_e - cur_s
+                    cur_s, cur_e = s, e
+                else:
+                    cur_e = max(cur_e, e)
+            merged_busy += cur_e - cur_s
+            busy_ps += merged_busy
+            span_ps += iv[-1][1] - iv[0][0]
+
     out = {k: v / 1e9 / frames for k, v in by_pass.items()}
+    out['_busy'] = busy_ps / 1e9 / frames
+    out['_span'] = span_ps / 1e9 / frames
     out['_unattributed'] = sum(unattributed.values()) / 1e9 / frames
     out['_unattributed_top'] = {
         k: round(v / 1e9 / frames, 3)
@@ -253,6 +282,8 @@ def main(argv=None):
           f"{table['_unattributed']:8.3f}   "
           f"{table['_unattributed_top']}")
     print(f"{'TOTAL device':<{width}} {table['_total']:8.3f}")
+    print(f"{'BUSY (union)':<{width}} {table['_busy']:8.3f}   "
+          f"span {table['_span']:.3f}")
     if '_detail' in table:
         for lab, rows in table['_detail'].items():
             print(f"[detail {lab}]")
