@@ -479,3 +479,77 @@ def test_gi_dedicated_tree_matches_shared():
     assert np.isfinite(lod_tree).all()
     # diffuse GI through simplified geometry: small mean image delta
     assert np.abs(shared - lod_tree).mean() < 6.0
+
+
+def test_masked_compact_matches_dense():
+    """masked_resolve_compact with full capacity must reproduce the dense
+    per-layer resolve exactly (same records -> interpolants -> texturing
+    math, just routed through quad compaction + scatter), and small
+    capacity must still render the covered quads identically."""
+    import tempfile
+    from toyrenderer_tpu.tools.gen_scene import GlbBuilder, quad_card
+
+    g = GlbBuilder(compress=False)
+    img_f = np.zeros((64, 64, 4), np.uint8)
+    img_f[:, :, 1] = 255
+    img_f[:, :, 3] = 255
+    img_f[:, 32:, 3] = 0
+    tf = g.add_texture(img_f)
+    img_b = np.zeros((64, 64, 4), np.uint8)
+    img_b[:, :, 0] = 255
+    img_b[:, :, 3] = 255
+    tb = g.add_texture(img_b)
+    mf = g.add_material("front", base_tex=tf, alpha_mode="MASK",
+                        cutoff=0.5, double_sided=True)
+    mb = g.add_material("back", base_tex=tb, alpha_mode="MASK",
+                        cutoff=0.5, double_sided=True)
+    mg = g.add_material("bg", base_color=(0.02, 0.02, 0.02, 1.0))
+    qg = g.add_mesh("qg", *quad_card(20.0, 20.0), mg)
+    qf = g.add_mesh("qf", *quad_card(2.0, 2.0), mf)
+    qb = g.add_mesh("qb", *quad_card(2.0, 2.0), mb)
+    g.add_node("bg", mesh=qg, t=(0, -10, -5.0))
+    g.add_node("front", mesh=qf, t=(0, -1, 0))
+    g.add_node("back", mesh=qb, t=(0, -1, -1.0))
+    cameras = [{"type": "perspective",
+                "perspective": {"yfov": 1.0, "znear": 0.05}}]
+    g.add_node("cam", camera=0, t=(0, 0, 2.5))
+    lights = [{"type": "directional", "color": [1, 1, 1],
+               "intensity": 3.0}]
+    g.add_node("sun", light=0, r=[-0.3, 0.1, 0.0,
+                                  float(np.sqrt(1 - 0.09 - 0.01))])
+    with tempfile.TemporaryDirectory() as td:
+        path = td + "/stack.glb"
+        g.finish(path, cameras, lights)
+        s = load_scene(path, use_cache=False)
+    d = s.to_device()
+    pi, pm = static_meshlet_pairs(s, 'not_mask')
+    mi, mm = static_meshlet_pairs(s, 'mask')
+    view = View.from_scene(s, 128, 128)
+    view.enable_jitter = False
+    fi = default_frame_inputs(s, view.matrices())
+
+    def run(frac):
+        st = RenderSettings(width=128, height=128, manual_exposure=0.3,
+                            alpha_layers=2, max_tris_per_tile=64,
+                            max_big_tris=64, tile_batch=4,
+                            masked_compact_frac=frac)
+        img, _, _ = make_render_fn(st)(
+            d, jnp.asarray(pi), jnp.asarray(pm), fi, init_carry(d, st),
+            mask_pair_inst=jnp.asarray(mi),
+            mask_pair_meshlet=jnp.asarray(mm))
+        return np.asarray(img).astype(int)
+
+    dense = run(0.0)
+    compact_full = run(1.0)            # cap = every screen quad
+    assert np.array_equal(dense, compact_full)
+    # partial capacity that still fits this scene's masked coverage
+    # (the two 2-unit quads fill ~2600 of the 4096 screen quads at
+    # 128x128): exercises cap < num_quads without overflow
+    compact_part = run(0.8)
+    assert np.array_equal(dense, compact_part)
+    # undersized capacity must degrade gracefully (drops fragments,
+    # never corrupts): finite image, and pixels outside the masked
+    # quads' footprint identical to dense
+    compact_tiny = run(0.05)
+    assert np.isfinite(compact_tiny).all()
+    assert np.array_equal(dense[:, :10], compact_tiny[:, :10])

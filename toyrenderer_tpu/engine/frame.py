@@ -67,6 +67,17 @@ class RenderSettings:
     gi_update_phases: int = 1             # probes update in P/N blocks
     gi_sample_scale: int = 2              # probe-sampling downscale when
     #                                       gi_half_res (2 = half res)
+    masked_compact_frac: float = 0.0      # masked-peel resolve compaction:
+    #   fraction of screen 2x2 quads textured per peel layer (hit quads
+    #   compact to a small image; overflow drops — bounded amplification).
+    #   0 (default) = dense full-screen resolve per layer.  Worth turning
+    #   on when masked-fragment screen coverage is well under the budget
+    #   (compaction pays 4 record rows per covered quad vs 1 texel row
+    #   per screen quad dense, so break-even is ~25% coverage)
+    pack_gbuffer: bool = False            # True = the packed 4xu32
+    #   GBuffer (reference parity) is the ONLY inter-pass medium;
+    #   False (default) also emits float shading planes so the fused
+    #   jit skips the pack/unpack round trip (~9.6 ms at 1080p)
     cache_sun_map: bool = True            # sun map re-renders only when
     #   the sun or an instance transform changes (it is camera-
     #   independent); the reference re-rasterizes every frame
@@ -327,7 +338,8 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                          cfg, atlas=atlas,
                          num_textures=scene.num_textures,
                          quad_taps=settings.texture_quad_taps,
-                         aniso=settings.texture_aniso)
+                         aniso=settings.texture_aniso,
+                           emit_planes=not settings.pack_gbuffer)
 
     # -- Alpha-masked set (second base-pass set, basepass.hlsl
     #    ALPHA_MASK_MODE parity): depth-peeled `alpha_layers` times,
@@ -374,18 +386,43 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                 depth_m, tid_m = raster_mod.fill_visibility(
                     setup_m, table_m, big_m, cfg, peel_depth=peel)
                 rec_m = records_m
-            gb_m = resolve_gbuffer(rec_m, depth_m, tid_m,
-                                   frame_inputs['jitter'], cfg,
-                                   atlas=atlas,
-                                   num_textures=scene.num_textures,
-                                   quad_taps=settings.texture_quad_taps,
-                                   aniso=settings.texture_aniso)
+            h_, w_ = depth_m.shape
+            compact = (settings.masked_compact_frac > 0
+                       and records_m is not None
+                       and h_ % 2 == 0 and w_ % 2 == 0)
+            if compact:
+                from toyrenderer_tpu.ops.gbuffer import (
+                    masked_resolve_compact)
+                cap_q = max(int((h_ // 2) * (w_ // 2)
+                                * settings.masked_compact_frac), 256)
+                gb_m = masked_resolve_compact(
+                    records_m, depth_m, tid_m, frame_inputs['jitter'],
+                    cfg, cap_q, atlas=atlas,
+                    num_textures=scene.num_textures,
+                    quad_taps=settings.texture_quad_taps,
+                    aniso=settings.texture_aniso,
+                    emit_planes=not settings.pack_gbuffer)
+            else:
+                gb_m = resolve_gbuffer(
+                    rec_m, depth_m, tid_m,
+                    frame_inputs['jitter'], cfg,
+                    atlas=atlas,
+                    num_textures=scene.num_textures,
+                    quad_taps=settings.texture_quad_taps,
+                    aniso=settings.texture_aniso,
+                    emit_planes=not settings.pack_gbuffer)
             passes = ((gb_m['alpha'] >= gb_m['alpha_cutoff'])
                       & (depth_m > depth) & (depth_m > 0.0) & ~chosen)
-            for k in ('gbuffer0', 'gbuffer1', 'gbuffer2', 'gbuffer3'):
-                gb[k] = jnp.where(passes, gb_m[k], gb[k])
-            for k in ('motion', 'uv'):
-                gb[k] = jnp.where(passes[..., None], gb_m[k], gb[k])
+            if 'covered' in gb_m:
+                passes = passes & gb_m['covered']
+            for k in ('gbuffer0', 'gbuffer1', 'gbuffer2', 'gbuffer3',
+                      'rough_f', 'metal_f'):
+                if k in gb:
+                    gb[k] = jnp.where(passes, gb_m[k], gb[k])
+            for k in ('motion', 'uv', 'albedo_f', 'normal_f',
+                      'emissive_f'):
+                if k in gb:
+                    gb[k] = jnp.where(passes[..., None], gb_m[k], gb[k])
             depth = jnp.where(passes, depth_m, depth)
             tri_id = jnp.where(passes, tid_m, tri_id)   # ids index the
             # MASKED setup for those pixels; aux-only (shading reads the
@@ -689,7 +726,6 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     #    front, so stacked glass sorts correctly) -------------------------
     if (settings.enable_transparency and trans_pair_inst is not None
             and trans_pair_inst.shape[0] > 0):
-        from toyrenderer_tpu.ops.packing import unpack_rgba8_u32
         geo_t = geo_mod.meshlet_clip_triangles(
             scene, inst_world, frame_inputs['view_proj'],
             trans_pair_inst, trans_pair_meshlet)
@@ -729,7 +765,8 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                                    frame_inputs['jitter'], cfg,
                                    atlas=atlas,
                                    num_textures=scene.num_textures,
-                                   aniso=settings.texture_aniso)
+                                   aniso=settings.texture_aniso,
+                           emit_planes=not settings.pack_gbuffer)
             hdr_t = deferred_lighting(
                 gb_t, frame_inputs['cam_pos'],
                 frame_inputs['inv_view_proj'],
@@ -738,7 +775,7 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                 gi_irradiance=gi_irradiance,
                 sky_turbidity=settings.sky_turbidity,
                 ambient_factor=settings.ambient_factor, sky_fn=sky_fn)
-            alpha_t = unpack_rgba8_u32(gb_t['gbuffer0'])[..., 3]
+            alpha_t = gb_t['alpha']
             layers.append((depth_t, hdr_t, alpha_t))
             peel = depth_t
         for depth_t, hdr_t, alpha_t in reversed(layers):

@@ -167,32 +167,42 @@ I_PREV = slice(28, 31)   # previous-frame clip x, y, w
 I_H0 = 31                # texture statics B (h0)
 
 
-def resolve_interpolants(records, depth, tri_id, cfg):
+def resolve_interpolants(records, depth, tri_id, cfg, pixel_xy=None,
+                         screen_wh=None):
     """Per-pixel barycentric resolve: (T, 64) records + visibility buffer
     -> (INTERP_C, H, W) interpolant planes (see layout above).
 
     This is the XLA reference for the Pallas kernel's in-VMEM epilogue;
     tests assert the two match.
+
+    pixel_xy/screen_wh: compacted images (masked_resolve_compact) carry
+    pixels from arbitrary screen locations — pass their true pixel
+    centers and the real screen size (edge equations are normalized to
+    screen units).
     """
     h, w = depth.shape
+    sw, sh = (w, h) if screen_wh is None else screen_wh
     tid = jnp.maximum(tri_id, 0)
 
     if records.ndim == 3:
         rec = records          # (H, W, R) pre-fetched
     else:
         rec = records[tid]     # (T, R) -> per-pixel gather (CPU path)
-    px = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
-    py = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5
-    pxn = px / w
-    pyn = py / h
+    if pixel_xy is None:
+        px = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
+        py = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5
+    else:
+        px, py = pixel_xy
+    pxn = px / sw
+    pyn = py / sh
 
     e = rec[..., 0:9].reshape(h, w, 3, 3)
     uvs3 = rec[..., 21:27].reshape(h, w, 3, 2)
     pos3 = rec[..., 49:58].reshape(h, w, 3, 3)
 
     def bary_at(dpx, dpy):
-        l = (e[..., 0] * (pxn + dpx / w)[..., None]
-             + e[..., 1] * (pyn + dpy / h)[..., None] + e[..., 2])
+        l = (e[..., 0] * (pxn + dpx / sw)[..., None]
+             + e[..., 1] * (pyn + dpy / sh)[..., None] + e[..., 2])
         lw = l * rec[..., 9:12]
         d = jnp.sum(lw, -1, keepdims=True)
         return lw / jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)
@@ -247,7 +257,8 @@ def resolve_interpolants(records, depth, tri_id, cfg):
 
 def finish_gbuffer(interp, depth, tri_id, jitter, cfg, atlas=None,
                    num_textures: int = 0, quad_taps: bool = False,
-                   aniso: int = 1):
+                   aniso: int = 1, emit_planes: bool = True,
+                   pixel_xy=None, screen_wh=None):
     """Interpolant planes (INTERP_C, H, W) -> textured, packed GBuffer.
 
     jitter: (2,) current sub-pixel jitter in pixels (for unjittered motion
@@ -256,11 +267,18 @@ def finish_gbuffer(interp, depth, tri_id, jitter, cfg, atlas=None,
     material texturing with analytic-derivative mip selection and emits
     'tex_feedback' (per-texture min desired mip, the sampler-feedback
     equivalent).
+    pixel_xy/screen_wh: compacted images (masked_resolve_compact) carry
+    pixels from arbitrary screen locations — their true pixel centers and
+    the real screen size (motion vectors are in screen units).
     """
     h, w = depth.shape
+    sw, sh = (w, h) if screen_wh is None else screen_wh
     hit = tri_id >= 0
-    px = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
-    py = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5
+    if pixel_xy is None:
+        px = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
+        py = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5
+    else:
+        px, py = pixel_xy
 
     def ch(sl):
         """Plane group -> channel-last (H, W, k) view (fuses: a transpose
@@ -273,8 +291,8 @@ def finish_gbuffer(interp, depth, tri_id, jitter, cfg, atlas=None,
     pw_safe = jnp.where(jnp.abs(prev_xyw[..., 2:3]) < 1e-8, 1e-8,
                         prev_xyw[..., 2:3])
     prev_ndc = prev_xyw[..., :2] / pw_safe
-    prev_px = jnp.stack([(prev_ndc[..., 0] * 0.5 + 0.5) * w,
-                         (0.5 - prev_ndc[..., 1] * 0.5) * h], -1)
+    prev_px = jnp.stack([(prev_ndc[..., 0] * 0.5 + 0.5) * sw,
+                         (0.5 - prev_ndc[..., 1] * 0.5) * sh], -1)
     cur_px = jnp.stack([px - jitter[0], py - jitter[1]], -1)
     motion = jnp.where((hit & (prev_xyw[..., 2] > 0))[..., None],
                        cur_px - prev_px, 0.0)
@@ -355,6 +373,20 @@ def finish_gbuffer(interp, depth, tri_id, jitter, cfg, atlas=None,
         depth=depth,
         uv=jnp.where(hit[..., None], uv, 0.0),
     )
+    if emit_planes:
+        # float shading planes alongside the packed channels: inside the
+        # single frame jit, consumers prefer these (unpack_gbuffer), so
+        # XLA dead-code-eliminates the pack/unpack round trip (~9.6 ms
+        # of u32 bit ops at 1080p) unless parity mode (pack_gbuffer)
+        # keeps the packed form as the only medium — the reference
+        # stores GBufferA as RGBA32_UINT because its passes are separate
+        # dispatches; one fused program has no such boundary
+        h3 = hit[..., None]
+        out['albedo_f'] = jnp.where(h3, base_color[..., :3], 0.0)
+        out['normal_f'] = jnp.where(h3, n_w, 0.0)
+        out['emissive_f'] = jnp.where(h3, emissive, 0.0)
+        out['rough_f'] = jnp.where(hit, rough, 0.0)
+        out['metal_f'] = jnp.where(hit, metal, 0.0)
     if tex_feedback is not None:
         out['tex_feedback'] = tex_feedback
         out['tex_desired_mip'] = desired_plane
@@ -365,7 +397,7 @@ def finish_gbuffer(interp, depth, tri_id, jitter, cfg, atlas=None,
 
 def resolve_gbuffer(records, depth, tri_id, jitter, cfg, atlas=None,
                     num_textures: int = 0, quad_taps: bool = False,
-                    aniso: int = 1):
+                    aniso: int = 1, emit_planes: bool = True):
     """Per-pixel resolve + GBuffer pack from either input form:
       * (T, 64) raw records + visibility buffer -> resolve_interpolants
         then finish_gbuffer (the XLA path), or
@@ -377,11 +409,116 @@ def resolve_gbuffer(records, depth, tri_id, jitter, cfg, atlas=None,
         interp = resolve_interpolants(records, depth, tri_id, cfg)
     return finish_gbuffer(interp, depth, tri_id, jitter, cfg, atlas=atlas,
                           num_textures=num_textures, quad_taps=quad_taps,
-                          aniso=aniso)
+                          aniso=aniso, emit_planes=emit_planes)
+
+
+# float plane keys merged across base-pass phases alongside the packed
+# channels (frame.py masked-peel merge)
+PLANE_KEYS = ('albedo_f', 'normal_f', 'emissive_f', 'rough_f', 'metal_f')
+
+
+def masked_resolve_compact(records, depth, tri_id, jitter, cfg, cap_quads,
+                           atlas=None, num_textures: int = 0,
+                           quad_taps: bool = False, aniso: int = 1,
+                           emit_planes: bool = True):
+    """Sparse-coverage resolve: texture + shade ONLY the 2x2 pixel quads
+    that contain a drawn fragment, then scatter back to full-res planes.
+
+    The masked peel layers (foliage/banners — basepass.hlsl
+    ALPHA_MASK_MODE) cover a small screen fraction, but the dense resolve
+    pays full-screen desc/texel gathers + filtering per layer (~7 ms each
+    at 1080p).  This compacts hit quads to a (2, 2*cap) image (quads stay
+    2x2-aligned so the quad-shared sampler works unchanged), resolves
+    records -> interpolants -> textured GBuffer with the exact same math
+    (true pixel centers via pixel_xy/screen_wh), and scatters back.
+
+    Quads beyond cap_quads drop their fragments — bounded-amplification
+    semantics like every other capacity here.  The returned 'covered'
+    (H, W) bool marks pixels whose quad WAS compacted; callers AND it
+    into the peel accept mask so dropped quads fail the alpha test
+    instead of reading scattered zeros.
+    """
+    H, W = depth.shape
+    assert H % 2 == 0 and W % 2 == 0
+    hq, wq = H // 2, W // 2
+    q = hq * wq
+    cap = int(min(cap_quads, q))
+
+    hitq = (tri_id >= 0).reshape(hq, 2, wq, 2).any(axis=(1, 3))
+    key = jnp.where(hitq.reshape(-1), jnp.arange(q, dtype=jnp.int32),
+                    jnp.int32(q))
+    order = jax.lax.sort(key)[:cap]                    # hit-first quad ids
+    okq = order < q
+    oq = jnp.where(okq, order, 0)
+    qy = oq // wq
+    qx = oq % wq
+    d2 = jnp.arange(2, dtype=jnp.int32)
+    py_i = 2 * qy[:, None, None] + d2[None, :, None]   # (cap, 2, 1)
+    px_i = 2 * qx[:, None, None] + d2[None, None, :]   # (cap, 1, 2)
+    flat = (py_i * W + px_i).reshape(cap, 2, 2)
+    flat_v = flat.reshape(-1)
+
+    def to_img(x):
+        """Full-res (H, W[, n]) -> compacted (2, 2*cap[, n]); quad k sits
+        at columns [2k, 2k+1] so 2x2 structure survives."""
+        rest = x.shape[2:]
+        v = x.reshape(H * W, *rest)[flat_v].reshape(cap, 2, 2, *rest)
+        return jnp.moveaxis(v, 1, 0).reshape(2, 2 * cap, *rest)
+
+    depth_c = to_img(depth)
+    tid_c = to_img(tri_id)
+    ok_img = jnp.moveaxis(jnp.broadcast_to(
+        okq[:, None, None], (cap, 2, 2)), 1, 0).reshape(2, 2 * cap)
+    tid_c = jnp.where(ok_img, tid_c, -1)
+    pxc = jnp.moveaxis(jnp.broadcast_to(
+        px_i, (cap, 2, 2)), 1, 0).reshape(2, 2 * cap).astype(jnp.float32)
+    pyc = jnp.moveaxis(jnp.broadcast_to(
+        py_i, (cap, 2, 2)), 1, 0).reshape(2, 2 * cap).astype(jnp.float32)
+    pix = (pxc + 0.5, pyc + 0.5)
+
+    interp_c = resolve_interpolants(records, depth_c, tid_c, cfg,
+                                    pixel_xy=pix, screen_wh=(W, H))
+    gb_c = finish_gbuffer(interp_c, depth_c, tid_c, jitter, cfg,
+                          atlas=atlas, num_textures=num_textures,
+                          quad_taps=quad_taps, aniso=aniso,
+                          emit_planes=emit_planes, pixel_xy=pix,
+                          screen_wh=(W, H))
+
+    # scatter back; invalid slots route to index H*W and drop (quad 0
+    # would otherwise be overwritten by the padding slots)
+    idxs = jnp.where(jnp.broadcast_to(okq[:, None, None],
+                                      (cap, 2, 2)).reshape(-1),
+                     flat_v, jnp.int32(H * W))
+
+    def scat(img):
+        rest = img.shape[2:]
+        v = jnp.moveaxis(img.reshape(2, cap, 2, *rest), 0, 1)
+        v = v.reshape(cap * 4, *rest)
+        out = jnp.zeros((H * W, *rest), img.dtype)
+        return out.reshape(H, W, *rest) if cap == 0 else \
+            out.at[idxs].set(v, mode='drop').reshape(H, W, *rest)
+
+    out = {}
+    for k, v in gb_c.items():
+        if k in ('tex_feedback', 'vt_tile_feedback'):
+            out[k] = v                       # per-texture reductions
+        elif k == 'depth':
+            out[k] = depth                   # full-res input, unchanged
+        else:
+            out[k] = scat(v)
+    out['covered'] = scat(ok_img)
+    return out
 
 
 def unpack_gbuffer(gb: dict):
-    """GBuffer channels -> shading inputs (lightingcommon.hlsli unpack)."""
+    """GBuffer channels -> shading inputs (lightingcommon.hlsli unpack).
+    Prefers the full-precision float planes when present (the fused-jit
+    fast path); falls back to unpacking the reference-parity packed
+    channels (pack_gbuffer mode / snapshot replay)."""
+    if 'albedo_f' in gb:
+        return dict(albedo=gb['albedo_f'], normal=gb['normal_f'],
+                    emissive=gb['emissive_f'], roughness=gb['rough_f'],
+                    metallic=gb['metal_f'], depth=gb['depth'])
     albedo = P.unpack_rgba8_u32(gb['gbuffer0'])
     normal = P.unpack_normal_oct_u32(gb['gbuffer1'])
     emissive = P.unpack_rgb9e5_u32(gb['gbuffer2'])

@@ -649,13 +649,22 @@ def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
     chunk_tile = jnp.where(jj < total_chunks, chunk_tile,
                            last_tile).astype(jnp.int32)
 
-    # chunk-aligned pair records: two gathers over the static pair budget
-    pp = jnp.arange(ch_cap * c, dtype=jnp.int32)
-    p_tile = chunk_tile[pp // c]
-    local = pp - chunk_base[p_tile] * c
-    valid = local < counts_eff[p_tile]
-    src = jnp.clip(offs[p_tile] + local, 0, vals_s.shape[0] - 1)
-    rows = jnp.clip(vals_s[jnp.where(valid, src, 0)], 0, t - 1)
+    # chunk-aligned pair records.  Scalar gathers are latency-bound per
+    # ROW, so everything chunk-invariant is fetched at CHUNK rate
+    # (ch_cap rows) and broadcast across the c lanes — only the two
+    # genuinely per-pair indirections (vals_s, comb) stay at pair rate.
+    # The old pair-rate form cost ~2 ms per 4B-gather per fill at the
+    # courtyard's 347k-pair budget (5 gathers -> ~10 ms/frame).
+    lane = jnp.arange(c, dtype=jnp.int32)[None, :]
+    cb_t = chunk_base[chunk_tile]                  # (ch_cap,)
+    ce_t = counts_eff[chunk_tile]
+    of_t = offs[chunk_tile]
+    base_local = (jnp.arange(ch_cap, dtype=jnp.int32) - cb_t) * c
+    local = base_local[:, None] + lane             # (ch_cap, c)
+    valid = local < ce_t[:, None]
+    src = jnp.clip(of_t[:, None] + local, 0, vals_s.shape[0] - 1)
+    rows = jnp.clip(vals_s[jnp.where(valid, src, 0).reshape(-1)],
+                    0, t - 1)
     comb_padded = comb[rows].reshape(ch_cap, c, REC + r)
 
     big_safe = jnp.maximum(big_list, 0)
