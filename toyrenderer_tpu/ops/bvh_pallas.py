@@ -458,10 +458,17 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
                                 best_t[sl][None]))
                 okc = (tmax >= tmin) & active[sl][None]
                 acc = okc if acc is None else (acc | okc)
-            want_bits = jnp.int32(0)
-            for k in range(ARITY):
-                want_bits = want_bits | (
-                    jnp.any(acc[k]).astype(jnp.int32) << k)
+            # ONE vector->scalar sync for all ARITY hit-any bits: each
+            # child's mask becomes its power-of-two, a per-vreg max
+            # folds sublanes/lanes, and the cross-child sum of DISTINCT
+            # powers is exactly the bitwise OR.  The per-child jnp.any
+            # formulation paid ARITY cross-lane reductions + scalar
+            # syncs per visit — the dominant share of the measured
+            # ~4.3 us/visit.
+            kbit = jnp.int32(1) << jax.lax.broadcasted_iota(
+                jnp.int32, (ARITY, 1, 1), 0)
+            bits3 = jnp.where(acc, kbit, 0)          # (ARITY, CH, 128)
+            want_bits = jnp.sum(jnp.max(jnp.max(bits3, axis=1), axis=1))
             new_sp = sp - 1 if leaf_hbm else sp      # pop (peeked) entry
             if explicit_refs:
                 # SAH node: children pre-sorted ascending along the
@@ -792,10 +799,12 @@ def _traverse_kernel_gdir(ray_ref,        # (1, 5*SUB, 128) o/t_cap/live
                                 best_t[sl][None]))
                 okc = (tmax >= tmin) & active[sl][None]
                 acc = okc if acc is None else (acc | okc)
-            want_bits = jnp.int32(0)
-            for k in range(ARITY):
-                want_bits = want_bits | (
-                    jnp.any(acc[k]).astype(jnp.int32) << k)
+            # single-sync OR-reduction of the per-child hit-any bits —
+            # see _traverse_kernel.visit_internal for the rationale
+            kbit = jnp.int32(1) << jax.lax.broadcasted_iota(
+                jnp.int32, (ARITY, 1, 1), 0)
+            bits3 = jnp.where(acc, kbit, 0)          # (ARITY, CH, 128)
+            want_bits = jnp.sum(jnp.max(jnp.max(bits3, axis=1), axis=1))
             new_sp = sp - 1 if leaf_hbm else sp      # pop (peeked) entry
             if explicit_refs:
                 refs = [row[0, 48 + k] for k in range(ARITY)]
