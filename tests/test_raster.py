@@ -292,3 +292,54 @@ def test_depth_peeling_extracts_next_layer():
     np.testing.assert_array_equal(np.asarray(ids1), id1)
     np.testing.assert_allclose(np.asarray(zs1)[both], z1[both],
                                rtol=1e-6, atol=1e-7)
+
+
+def test_fill_resolve_stream_wide_tiles():
+    """(8, 256) tiles with an (8, 1) slot grid must produce the same
+    visibility as the default (16, 128)/(4, 2) config — same 2048-px tile
+    area and 64x256-px slot footprint, half the epilogue matmul issues."""
+    import jax.numpy as jnp
+    import numpy as np
+    from toyrenderer_tpu.scene import load_scene
+    from toyrenderer_tpu.ops.geometry import (
+        static_meshlet_pairs, node_world_matrices, instance_transforms,
+        meshlet_clip_triangles)
+    from toyrenderer_tpu.ops import raster as R
+    from toyrenderer_tpu.ops.gbuffer import pack_resolve_records
+    from toyrenderer_tpu.ops.raster_pallas import fill_resolve_stream
+    from toyrenderer_tpu.engine import View
+
+    s = load_scene("resources/cornell.gltf", use_cache=False)
+    d = s.to_device()
+    pi, pm = static_meshlet_pairs(s)
+    pi, pm = jnp.asarray(pi), jnp.asarray(pm)
+    w, h = 448, 256
+    view = View.from_scene(s, w, h)
+    mats = view.matrices()
+    world = node_world_matrices(
+        d, jnp.asarray(s.node_translation), jnp.asarray(s.node_rotation),
+        jnp.asarray(s.node_scale))
+    inst_world, inst_adj = instance_transforms(d, world)
+    geo = meshlet_clip_triangles(
+        d, inst_world, jnp.asarray(mats['view_proj']), pi, pm)
+
+    outs = []
+    for kw in (dict(),
+               dict(tile_h=8, tile_w=256, bin_slots_y=8, bin_slots_x=1)):
+        cfg = R.RasterConfig(width=w, height=h, max_tris_per_tile=128,
+                             max_big_tris=64, **kw)
+        setup = R.setup_triangles(geo, cfg)
+        records = pack_resolve_records(
+            setup, d, inst_world, inst_adj, inst_world,
+            jnp.asarray(mats['prev_view_proj_nojitter']))
+        bins = R.bin_pairs_stream(setup, cfg)
+        z, tid, rec = fill_resolve_stream(setup, records, bins, cfg,
+                                          interpret=True)
+        outs.append((np.asarray(z), np.asarray(tid), np.asarray(rec)))
+    (z0, id0, r0), (z1, id1, r1) = outs
+    assert (id0 >= 0).mean() > 0.5
+    np.testing.assert_array_equal(id0, id1)
+    np.testing.assert_allclose(z0, z1, rtol=1e-6, atol=1e-7)
+    cov = id0 >= 0
+    np.testing.assert_allclose(r0[:, cov], r1[:, cov], rtol=2e-3,
+                               atol=2e-3)

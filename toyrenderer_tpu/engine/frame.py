@@ -135,6 +135,13 @@ class RenderSettings:
     tile_batch: int = 32
     tile_h: int = 16                      # fill-tile height (8 = native
     #   VPU vreg rows: half the per-pair edge-eval cost, ~40% more pairs)
+    tile_w: int = 128                     # fill-tile width (lane multiple).
+    #   (8, 256) keeps the 2048-px tile area of (16, 128) — same binned
+    #   pair count — while HALVING the resolve epilogue's one-hot matmul
+    #   issues (one per row per 128-slot block); pair bin_slots_y=8,
+    #   bin_slots_x=1 preserves the 64x256-px slot-grid footprint
+    bin_slots_y: int = 4                  # static per-triangle slot grid
+    bin_slots_x: int = 2
     pair_capacity: int | None = None      # global (tile, tri) pair budget
     #   for the streamed fill (None = triangle count); bounds the chunk
     #   grid and the scalar-prefetch SMEM footprint
@@ -154,6 +161,8 @@ class RenderSettings:
             max_tris_per_tile=self.max_tris_per_tile,
             chunk=self.raster_chunk, max_big_tris=self.max_big_tris,
             tile_batch=self.tile_batch, tile_h=self.tile_h,
+            tile_w=self.tile_w, bin_slots_y=self.bin_slots_y,
+            bin_slots_x=self.bin_slots_x,
             pair_capacity=self.pair_capacity)
 
 

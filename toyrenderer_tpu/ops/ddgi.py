@@ -116,12 +116,21 @@ def _fibonacci_sphere(n: int):
                      np.cos(phi)], -1).astype(np.float32)
 
 
-CONE_DIRS = 16                  # dirs per traversal cone
-CONE_BRICK = 256                # probes per traversal brick
+import os as _os
+
+CONE_DIRS = int(_os.environ.get('TR_CONE_DIRS', '16'))
+#   dirs per traversal cone
+CONE_BRICK = int(_os.environ.get('TR_CONE_BRICK', '256'))
+#   probes per traversal brick
 #   together one 4096-ray packet = 16 similar directions x 256 probes:
 #   both origin AND direction coherence for the Pallas packet kernel
 #   (direction-major packets span the whole probe grid along ONE
-#   direction and traverse a scene-wide slab; measured ~2.6x slower)
+#   direction and traverse a scene-wide slab; measured ~2.6x slower).
+#   NOTE a small grid makes brick=256 span most of the VOLUME (courtyard:
+#   360 probes) — the packet's collective frustum is then the whole
+#   scene and visits/packet explode; tighter bricks (64/32 probes x
+#   64/128 dirs) trade direction coherence for origin locality.
+#   Env knobs (TR_CONE_DIRS/TR_CONE_BRICK) exist for rtbench A/Bs.
 
 
 def _cone_order(r: int) -> np.ndarray:

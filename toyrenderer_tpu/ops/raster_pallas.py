@@ -107,7 +107,7 @@ def _fill_kernel(counts_ref,            # scalar prefetch: (tiles,) i32
 
                     def colm(f, rg=rg):
                         return rg[:, f:f + 1][:, :, None]
-                    idp = colm(15) * jnp.ones((1, 8, 128))
+                    idp = colm(15) * jnp.ones((1, 8, tw))
                     l0 = colm(0) * pxh + colm(1) * pyh + colm(2)
                     l1 = colm(3) * pxh + colm(4) * pyh + colm(5)
                     l2 = colm(6) * pxh + colm(7) * pyh + colm(8)
@@ -372,7 +372,7 @@ def _fill_resolve_stream_kernel(
 
             def colm(f):
                 return rg[:, f:f + 1][:, :, None]      # (g, 1, 1)
-            idp = colm(15) * jnp.ones((1, 8, 128))
+            idp = colm(15) * jnp.ones((1, 8, tw))
             out = []
             for h in range(nh):
                 sl = _sl(h)
