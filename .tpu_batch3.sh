@@ -20,6 +20,11 @@ BENCH_ALLON=0 BENCH_RT=0 BENCH_MASKED_COMPACT=0.15 timeout 3000 \
   python -u bench.py > $LOG/def_mcompact.log 2>&1
 tail -1 $LOG/def_mcompact.log
 
+echo "[batch3] 3b/5 deferred bin slots 2x2"
+BENCH_ALLON=0 BENCH_RT=0 BENCH_BIN_SLOTS=2x2 timeout 3000 \
+  python -u bench.py > $LOG/def_slots22.log 2>&1
+tail -1 $LOG/def_slots22.log
+
 echo "[batch3] 4/5 passes GI drill (all-on)"
 PASSES_DETAIL='GI(DDGI)' timeout 4200 python -u -m \
   toyrenderer_tpu.tools.passes --scene resources/courtyard.glb \

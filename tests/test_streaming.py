@@ -211,8 +211,9 @@ def test_tile_manager_scales_to_4k_pool():
     dt = (time.time() - t0) / 12
     # generous wall-clock bound: the quadratic-bookkeeping regression
     # this guards measured >1 s/update; CI machines under parallel load
-    # were flaking the tighter 0.25 s bound
-    assert dt < 0.6, f"update too slow: {dt*1e3:.1f} ms"
+    # flaked the tighter 0.25 s and then the 0.6 s bound (608 ms seen
+    # with a TPU batch + full suite sharing the host)
+    assert dt < 0.9, f"update too slow: {dt*1e3:.1f} ms"
     # defrag + eviction churn kept the table consistent: every entry
     # either points at a resident slot or a pinned fallback
     resident = m.table_slot >= 0

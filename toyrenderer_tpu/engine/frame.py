@@ -953,6 +953,121 @@ def _gbuffer_two_phase(scene, inst_world, inst_adj, prev_inst_world,
     return records, depth, tri_id, cull_aux, new_hzb
 
 
+# --- packed frame inputs --------------------------------------------------
+#
+# The per-frame dynamic inputs are ~14 tiny arrays.  Uploading them one by
+# one costs one host->device transfer RPC EACH — through the remote-TPU
+# tunnel that measured ~50 ms of device idle PER FRAME (the device finishes
+# the previous frame before the host has finished feeding the next one).
+# The fix: every small dynamic field packs into ONE flat f32 vector on the
+# host (one transfer), sliced back apart INSIDE the jit (free: XLA folds
+# the slices into the consumers).  Node TRS arrays stay separate (shape
+# depends on the scene) but are cached device-side by object identity —
+# the rest pose uploads once; animation hands in fresh arrays per frame.
+
+_FI_PACK = (
+    ('sky_params', (10, 3)),
+    ('view_proj', (4, 4)),
+    ('view_proj_nojitter', (4, 4)),
+    ('prev_view_proj_nojitter', (4, 4)),
+    ('inv_view_proj', (4, 4)),
+    ('cam_pos', (3,)),
+    ('cull_frustum_planes', (5, 4)),
+    ('cull_cam_pos', (3,)),
+    ('proj_scale_px', ()),
+    ('jitter', (2,)),
+    ('sun_direction', (3,)),
+    ('sun_color', (3,)),
+    ('sun_intensity', ()),
+    ('sun_view_proj', (4, 4)),
+)
+_FI_NODES = ('node_translation', 'node_rotation', 'node_scale')
+_FI_SIZES = [int(np.prod(s)) if s else 1 for _, s in _FI_PACK]
+_FI_TOTAL = sum(_FI_SIZES)
+
+_node_dev_cache: dict = {}
+
+
+def _dev_cached(key: str, v):
+    """Device array for a host array, cached by object identity (keeps a
+    reference to the source so ids cannot alias after gc)."""
+    import jax as _jax
+    if isinstance(v, _jax.Array):
+        return v
+    ck = (key, id(v))
+    hit = _node_dev_cache.get(ck)
+    if hit is not None and hit[0] is v:
+        return hit[1]
+    if len(_node_dev_cache) > 64:
+        _node_dev_cache.clear()
+    dev = jnp.asarray(v)
+    _node_dev_cache[ck] = (v, dev)
+    return dev
+
+
+def pack_frame_inputs(fi: dict) -> dict:
+    """Host-side: collapse the small dynamic fields of a frame_inputs
+    dict into one f32 vector (single transfer).  Unknown extra keys pass
+    through untouched; node TRS fields use the identity cache."""
+    vec = np.empty(_FI_TOTAL, np.float32)
+    off = 0
+    for (name, shape), size in zip(_FI_PACK, _FI_SIZES):
+        v = np.asarray(fi[name], np.float32)
+        vec[off:off + size] = v.reshape(-1)
+        off += size
+    out = {'fi_vec': jnp.asarray(vec)}
+    for k in _FI_NODES:
+        out[k] = _dev_cached(k, fi[k])
+    known = {n for n, _ in _FI_PACK} | set(_FI_NODES)
+    for k, v in fi.items():
+        if k not in known:
+            out[k] = v
+    return out
+
+
+def unpack_frame_inputs(packed: dict) -> dict:
+    """Traced inverse of pack_frame_inputs (slicing is free under XLA)."""
+    vec = packed['fi_vec']
+    fi = {k: v for k, v in packed.items() if k != 'fi_vec'}
+    off = 0
+    for (name, shape), size in zip(_FI_PACK, _FI_SIZES):
+        v = vec[off:off + size]
+        fi[name] = v.reshape(shape) if shape else v[0]
+        off += size
+    return fi
+
+
+def _render_frame_packed(scene, pair_inst, pair_meshlet, packed_fi,
+                         carry, **kw):
+    return render_frame(scene, pair_inst, pair_meshlet,
+                        unpack_frame_inputs(packed_fi), carry, **kw)
+
+
+class _RenderFn:
+    """Callable around the jitted frame: packs legacy frame_inputs dicts
+    on the way in (one transfer instead of ~17); exposes .lower() for the
+    shell's AOT prewarm."""
+
+    def __init__(self, jitted):
+        self._jitted = jitted
+
+    @staticmethod
+    def _prep(frame_inputs):
+        if 'fi_vec' in frame_inputs:
+            return frame_inputs
+        return pack_frame_inputs(frame_inputs)
+
+    def __call__(self, scene, pair_inst, pair_meshlet, frame_inputs,
+                 carry, **kw):
+        return self._jitted(scene, pair_inst, pair_meshlet,
+                            self._prep(frame_inputs), carry, **kw)
+
+    def lower(self, scene, pair_inst, pair_meshlet, frame_inputs, carry,
+              **kw):
+        return self._jitted.lower(scene, pair_inst, pair_meshlet,
+                                  self._prep(frame_inputs), carry, **kw)
+
+
 @functools.lru_cache(maxsize=32)
 def make_render_fn(settings: RenderSettings, ddgi_volume=None,
                    donate_carry: bool = True):
@@ -965,11 +1080,15 @@ def make_render_fn(settings: RenderSettings, ddgi_volume=None,
     analogue of the reference's ping-pong double buffers costing nothing.
     Callers must rebind `carry` to the returned new_carry (all tools do);
     pass donate_carry=False to keep a carry alive across calls.
+
+    Accepts frame_inputs either as the legacy per-field dict (packed
+    automatically — one host->device transfer) or pre-packed via
+    pack_frame_inputs.
     """
-    return jax.jit(
-        functools.partial(render_frame, settings=settings,
+    return _RenderFn(jax.jit(
+        functools.partial(_render_frame_packed, settings=settings,
                           ddgi_volume=ddgi_volume),
-        donate_argnums=(4,) if donate_carry else ())
+        donate_argnums=(4,) if donate_carry else ()))
 
 
 def default_frame_inputs(scene_host, view_matrices: dict,
@@ -978,29 +1097,36 @@ def default_frame_inputs(scene_host, view_matrices: dict,
 
     sky_params are the Hosek-Wilkie coefficients for this frame's sun
     elevation, evaluated host-side like the reference
-    (SkyRenderer.cpp:55-128 runs on the CPU each frame too)."""
+    (SkyRenderer.cpp:55-128 runs on the CPU each frame too).
+
+    Values are HOST numpy arrays: make_render_fn's wrapper packs the
+    small dynamic fields into one device transfer per frame (an eager
+    jnp.asarray per field costs one tunnel RPC each on the remote-TPU
+    backend — measured ~50 ms/frame of device idle)."""
     from toyrenderer_tpu.ops.sky import hosek_sky_params
+    f32 = np.float32
     sun = np.asarray(scene_host.sun_direction, dtype=float)
     return dict(
-        sky_params=jnp.asarray(hosek_sky_params(sky_turbidity, -sun)),
-        view_proj=jnp.asarray(view_matrices['view_proj']),
-        view_proj_nojitter=jnp.asarray(view_matrices['view_proj_nojitter']),
-        prev_view_proj_nojitter=jnp.asarray(
-            view_matrices['prev_view_proj_nojitter']),
-        inv_view_proj=jnp.asarray(view_matrices['inv_view_proj']),
-        cam_pos=jnp.asarray(view_matrices['cam_pos']),
-        cull_frustum_planes=jnp.asarray(
-            view_matrices['cull_frustum_planes']),
-        cull_cam_pos=jnp.asarray(view_matrices['cull_cam_pos']),
-        proj_scale_px=jnp.asarray(view_matrices['proj_scale_px']),
-        jitter=jnp.asarray(view_matrices['jitter']),
-        node_translation=jnp.asarray(scene_host.node_translation),
-        node_rotation=jnp.asarray(scene_host.node_rotation),
-        node_scale=jnp.asarray(scene_host.node_scale),
-        sun_direction=jnp.asarray(scene_host.sun_direction),
-        sun_color=jnp.asarray(scene_host.sun_color),
-        sun_intensity=jnp.asarray(scene_host.sun_intensity, jnp.float32),
-        sun_view_proj=jnp.asarray(_sun_view_proj(scene_host)),
+        sky_params=np.asarray(hosek_sky_params(sky_turbidity, -sun), f32),
+        view_proj=np.asarray(view_matrices['view_proj'], f32),
+        view_proj_nojitter=np.asarray(
+            view_matrices['view_proj_nojitter'], f32),
+        prev_view_proj_nojitter=np.asarray(
+            view_matrices['prev_view_proj_nojitter'], f32),
+        inv_view_proj=np.asarray(view_matrices['inv_view_proj'], f32),
+        cam_pos=np.asarray(view_matrices['cam_pos'], f32),
+        cull_frustum_planes=np.asarray(
+            view_matrices['cull_frustum_planes'], f32),
+        cull_cam_pos=np.asarray(view_matrices['cull_cam_pos'], f32),
+        proj_scale_px=np.asarray(view_matrices['proj_scale_px'], f32),
+        jitter=np.asarray(view_matrices['jitter'], f32),
+        node_translation=np.asarray(scene_host.node_translation, f32),
+        node_rotation=np.asarray(scene_host.node_rotation, f32),
+        node_scale=np.asarray(scene_host.node_scale, f32),
+        sun_direction=np.asarray(scene_host.sun_direction, f32),
+        sun_color=np.asarray(scene_host.sun_color, f32),
+        sun_intensity=np.asarray(scene_host.sun_intensity, f32),
+        sun_view_proj=np.asarray(_sun_view_proj(scene_host), f32),
     )
 
 

@@ -162,6 +162,11 @@ def frustum_planes_world(view_proj):
     frustum similarly at BasePassRenderers.cpp:557-563.)
     """
     m = view_proj
+    # numpy in -> numpy out: View.matrices() runs this on the HOST every
+    # frame; a jnp formulation dispatched ~5 eager device ops per frame
+    # (each a tunnel RPC under the remote-TPU backend — measured as real
+    # device idle between frames)
+    xp = np if isinstance(m, np.ndarray) else jnp
     rows = [
         m[3] + m[0],   # left
         m[3] - m[0],   # right
@@ -169,9 +174,9 @@ def frustum_planes_world(view_proj):
         m[3] - m[1],   # top
         m[2],          # near (reverse-Z: z' >= 0 at/inside near... z'>=0)
     ]
-    planes = jnp.stack(rows, axis=0)
-    n = jnp.linalg.norm(planes[:, :3], axis=-1, keepdims=True)
-    return planes / jnp.maximum(n, 1e-20)
+    planes = xp.stack(rows, axis=0)
+    n = xp.linalg.norm(planes[:, :3], axis=-1, keepdims=True)
+    return planes / xp.maximum(n, 1e-20)
 
 
 def sphere_inside_frustum(planes, center, radius):

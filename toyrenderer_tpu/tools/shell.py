@@ -366,13 +366,15 @@ def main(argv=None):
         if (abs(props['sun_az']) > 1e-6 or props['sun_el'] != 0.0):
             from toyrenderer_tpu.ops.shadowmap import sun_ortho_matrix
             from toyrenderer_tpu.ops.sky import hosek_sky_params
-            fi['sun_direction'] = jnp.asarray(sdir)
-            fi['sun_intensity'] = jnp.asarray(props['sun_intensity'],
-                                              jnp.float32)
-            fi['sun_view_proj'] = jnp.asarray(sun_ortho_matrix(
-                scene_host.world_aabb, sdir))
-            fi['sky_params'] = jnp.asarray(hosek_sky_params(
-                2.5, -sdir))
+            # host numpy: make_render_fn packs these into the single
+            # per-frame transfer (device values would force a readback)
+            fi['sun_direction'] = np.asarray(sdir, np.float32)
+            fi['sun_intensity'] = np.asarray(props['sun_intensity'],
+                                             np.float32)
+            fi['sun_view_proj'] = np.asarray(sun_ortho_matrix(
+                scene_host.world_aabb, sdir), np.float32)
+            fi['sky_params'] = np.asarray(hosek_sky_params(
+                2.5, -sdir), np.float32)
         t0 = time.time()
         image, carry, aux = render(scene, pi, pm, fi, carry,
                                    rt_static=get_rt_static(settings))
