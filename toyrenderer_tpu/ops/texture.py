@@ -266,11 +266,19 @@ def sample_material_maps_quad(atlas: dict, ent_id, uv, duv_dx, duv_dy,
     rows_q = atlas['tex_texels'][idx]                     # (Hq, Wq, 16)
 
     # ONE channel-packed nearest upsample carries the gathered rows AND
-    # the quad metadata back to full res (no 2D-plane repeats)
+    # the quad metadata back to full res (no 2D-plane repeats).  The
+    # rgba8 unpack happens at QUAD rate BEFORE the expansion — at full
+    # res the 16-u32 shift/mask/convert chain ran 4x redundantly on
+    # duplicated rows (measured ~6 ms/frame of Pack/Unpack fusions at
+    # 1080p x 3 sampling passes); expanding the unpacked f32 planes
+    # instead is pure streaming repeat
     meta_q = jnp.stack([x0, y0, mw.astype(f32), mh.astype(f32),
                         u_q, v_q], axis=-1)               # (Hq, Wq, 6)
     meta = _quad_expand_ch(meta_q)                        # (H, W, 6)
-    rows = _quad_expand_ch(rows_q)                        # (H, W, 16)
+    quads_q = [unpack_rgba8_u32(rows_q[..., mi * 4:(mi + 1) * 4])
+               for mi in range(4)]          # 4 x (Hq, Wq, 4, 4) f32
+    quads = [_quad_expand_ch(q.reshape(*q.shape[:2], 16))
+             .reshape(*meta.shape[:2], 4, 4) for q in quads_q]
 
     # full-res per-pixel weights INSIDE the quad's 2x2 footprint
     u_p = uv[..., 0] * meta[..., 2] - 0.5
@@ -292,7 +300,7 @@ def sample_material_maps_quad(atlas: dict, ent_id, uv, duv_dx, duv_dy,
     valid = (ent_id >= 0)[..., None]
     out = {}
     for mi, name in enumerate(('base', 'normal', 'mr', 'emissive')):
-        quad = unpack_rgba8_u32(rows[..., mi * 4:(mi + 1) * 4])
+        quad = quads[mi]
         c = ((quad[..., 0, :] * (1 - fx) + quad[..., 1, :] * fx)
              * (1 - fy)
              + (quad[..., 2, :] * (1 - fx) + quad[..., 3, :] * fx) * fy)

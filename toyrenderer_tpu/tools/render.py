@@ -243,9 +243,11 @@ def main(argv=None):
             t, r, s = player.evaluate(
                 i / 60.0, scene_host.node_translation,
                 scene_host.node_rotation, scene_host.node_scale)
-            fi['node_translation'] = jnp.asarray(t)
-            fi['node_rotation'] = jnp.asarray(r)
-            fi['node_scale'] = jnp.asarray(s)
+            # host numpy: the render-fn wrapper uploads node arrays
+            # itself (identity-cached; fresh animation arrays re-upload)
+            fi['node_translation'] = np.asarray(t, np.float32)
+            fi['node_rotation'] = np.asarray(r, np.float32)
+            fi['node_scale'] = np.asarray(s, np.float32)
         t0 = time.time()
         image, carry, aux = render(scene, pair_inst, pair_meshlet, fi,
                                    carry, trans_pair_inst=tp_i,
