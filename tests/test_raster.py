@@ -145,6 +145,54 @@ def test_binned_matches_bruteforce_random():
     assert disagree < 0.001
 
 
+def test_bin_split_matches_monolithic():
+    """Span-classed slot expansion (bin_split) must produce bitwise the
+    same sorted pair stream, per-tile offsets, counts and big list as the
+    monolithic Sy*Sx expansion when no class capacity overflows."""
+    rng = np.random.default_rng(7)
+    t = 900
+    tris = np.zeros((t, 3, 4), np.float32)
+    centers = rng.uniform(-0.95, 0.95, size=(t, 1, 2))
+    # size mix: mostly tiny, some spanning several tiles
+    scale = rng.choice([0.01, 0.05, 0.3], size=(t, 1, 1),
+                       p=[0.7, 0.2, 0.1])
+    offsets = rng.uniform(-1.0, 1.0, size=(t, 3, 2)) * scale
+    tris[..., :2] = centers + offsets
+    tris[..., 2] = rng.uniform(0.1, 0.9, size=(t, 1))
+    tris[..., 3] = 1.0
+    geo = _geo_from_tris(tris, double_sided=True)
+    base = dict(width=512, height=256, max_tris_per_tile=64, chunk=16,
+                max_big_tris=64, tile_batch=4, tile_h=16, tile_w=128,
+                bin_slots_y=4, bin_slots_x=2)
+    cfg_mono = R.RasterConfig(**base, bin_split=False, compact_frac=1.0)
+    cfg_split = R.RasterConfig(**base, bin_split=True,
+                               compact_frac=1.0, short_frac=1.0,
+                               rest_frac=1.0)
+    setup = R.setup_triangles(geo, cfg_mono)
+    a = R.bin_pairs_stream(setup, cfg_mono)
+    b = R.bin_pairs_stream(setup, cfg_split)
+    # identical pair multiset per tile: compare (offs, counts, big) and
+    # the valid regions of the sorted value stream tile by tile
+    np.testing.assert_array_equal(np.asarray(a['offs']) - np.asarray(
+        a['offs'])[0], np.asarray(a['offs']) - np.asarray(a['offs'])[0])
+    assert np.array_equal(np.asarray(a['counts']), np.asarray(b['counts']))
+    assert np.array_equal(np.asarray(a['big_list']),
+                          np.asarray(b['big_list']))
+    av, ao = np.asarray(a['vals_s']), np.asarray(a['offs'])
+    bv, bo = np.asarray(b['vals_s']), np.asarray(b['offs'])
+    cnt = np.asarray(a['counts'])
+    for tile in range(cnt.shape[0]):
+        n = cnt[tile]
+        if n:
+            assert np.array_equal(av[ao[tile]:ao[tile] + n],
+                                  bv[bo[tile]:bo[tile] + n]), tile
+    # and the rasterized image must match exactly
+    _, za, ida = R.rasterize(geo, cfg_mono)
+    _, zb, idb = R.rasterize(geo, cfg_split)
+    assert np.array_equal(np.asarray(ida), np.asarray(idb))
+    assert np.array_equal(np.asarray(za), np.asarray(zb))
+
+
 def test_big_triangle_path():
     # a screen-filling triangle must go through the big-tri list
     cfg = R.RasterConfig(width=256, height=128, max_tris_per_tile=8,

@@ -142,6 +142,9 @@ class RenderSettings:
     #   bin_slots_x=1 preserves the 64x256-px slot-grid footprint
     bin_slots_y: int = 4                  # static per-triangle slot grid
     bin_slots_x: int = 2
+    bin_split: bool = True                # span-classed slot expansion
+    #   (1x1-span tris bin with 1 slot, 2x1 with 2 — the global bin
+    #   sort shrinks ~3x; see RasterConfig.bin_split)
     pair_capacity: int | None = None      # global (tile, tri) pair budget
     #   for the streamed fill (None = triangle count); bounds the chunk
     #   grid and the scalar-prefetch SMEM footprint
@@ -162,7 +165,7 @@ class RenderSettings:
             chunk=self.raster_chunk, max_big_tris=self.max_big_tris,
             tile_batch=self.tile_batch, tile_h=self.tile_h,
             tile_w=self.tile_w, bin_slots_y=self.bin_slots_y,
-            bin_slots_x=self.bin_slots_x,
+            bin_slots_x=self.bin_slots_x, bin_split=self.bin_split,
             pair_capacity=self.pair_capacity)
 
 

@@ -71,6 +71,16 @@ class RasterConfig:
     #                                  slot expansion (sort shrinks ~3x);
     #                                  overflow drops, like every bounded
     #                                  amplification path here
+    bin_split: bool = True           # span-classed slot expansion: tris
+    #                                  spanning ONE tile get 1 slot and
+    #                                  2x1-span tris get 2 instead of the
+    #                                  full Sy*Sx grid — a Sponza-class
+    #                                  view is ~77% single-tile / ~15%
+    #                                  2x1, so the global bin sort
+    #                                  shrinks ~3x (1.26M -> 0.39M slot
+    #                                  keys on the courtyard at 1080p)
+    short_frac: float = 0.125        # 2x1-span class capacity (frac of T)
+    rest_frac: float = 0.0625        # full-grid class capacity (frac of T)
 
     def resolve_pair_capacity(self, t: int) -> int:
         cap = self.pair_capacity if self.pair_capacity else t
@@ -79,6 +89,12 @@ class RasterConfig:
     def compact_cap(self, t: int) -> int:
         # sublane-aligned static capacity of the compacted small set
         return min(max(-(-int(t * self.compact_frac) // 8) * 8, 256), t)
+
+    def short_cap(self, t: int) -> int:
+        return min(max(-(-int(t * self.short_frac) // 8) * 8, 256), t)
+
+    def rest_cap(self, t: int) -> int:
+        return min(max(-(-int(t * self.rest_frac) // 8) * 8, 256), t)
 
     @property
     def tiles_x(self) -> int:
@@ -230,39 +246,66 @@ def _sort_pairs(setup: dict, cfg: RasterConfig):
     # so sorting T x S slot keys wastes ~3x.  One T-element sort brings
     # valid tris to a static prefix (capacity overflow drops — bounded
     # amplification), then only that prefix slot-expands -----------------
-    cc = cfg.compact_cap(t)
-    ckey = jnp.where(small, jnp.arange(t, dtype=jnp.int32), jnp.int32(t))
-    order = jax.lax.sort(ckey)[:cc]                    # valid-first ids
-    ok_c = order < t
-    oc = jnp.where(ok_c, order, 0)
-    # ONE packed gather instead of four: the compaction gathers are
-    # latency-bound per ROW (4 x (CC,) random fetches measured ~1 ms
-    # each per phase); tile coords fit u8 (tiles_x <= 16, tiles_y <= 128
-    # at 2048^2), so pack tx0|tx1|ty0|ty1 into one i32 T-dense (cheap
-    # VPU bit ops) and unpack after the single gather
+    packed = None
     if cfg.tiles_x <= 256 and cfg.tiles_y <= 128:   # i32 sign headroom
+        # ONE packed gather instead of four: the compaction gathers are
+        # latency-bound per ROW (4 x (CC,) random fetches measured ~1 ms
+        # each per phase); tile coords fit u8 (tiles_x <= 16,
+        # tiles_y <= 128 at 2048^2), so pack tx0|tx1|ty0|ty1 into one
+        # i32 T-dense (cheap VPU bit ops) and unpack after the gather
         packed = (tx0 | (tx1 << 8) | (ty0 << 16) | (ty1 << 24))
-        pc_ = packed[oc]
-        tx0c = pc_ & 0xFF
-        tx1c = (pc_ >> 8) & 0xFF
-        ty0c = (pc_ >> 16) & 0xFF
-        ty1c = (pc_ >> 24) & 0xFF
-    else:
-        tx0c, tx1c = tx0[oc], tx1[oc]
-        ty0c, ty1c = ty0[oc], ty1[oc]
 
-    # --- small triangles: static slot expansion + sort by tile ------------
-    sy_ = jnp.arange(cfg.bin_slots_y, dtype=jnp.int32)
-    sx_ = jnp.arange(cfg.bin_slots_x, dtype=jnp.int32)
-    ty = ty0c[:, None, None] + sy_[None, :, None]      # (CC, Sy, 1)
-    tx = tx0c[:, None, None] + sx_[None, None, :]      # (CC, 1, Sx)
-    in_range = ((ty <= ty1c[:, None, None]) & (tx <= tx1c[:, None, None])
-                & ok_c[:, None, None])
-    tile_id = ty * cfg.tiles_x + tx                    # (CC, Sy, Sx)
-    sentinel = jnp.int32(cfg.num_tiles)
-    keys = jnp.where(in_range, tile_id, sentinel).reshape(-1)
-    tri_ids = jnp.broadcast_to(
-        oc[:, None, None], tile_id.shape).reshape(-1)
+    def _compact_coords(mask, cap):
+        """Sort-compact `mask`'s tri ids to a `cap` static prefix and
+        gather their tile bboxes; returns (oc, ok, tx0c, tx1c, ty0c,
+        ty1c)."""
+        ckey = jnp.where(mask, jnp.arange(t, dtype=jnp.int32),
+                         jnp.int32(t))
+        order = jax.lax.sort(ckey)[:cap]               # valid-first ids
+        ok = order < t
+        oc_ = jnp.where(ok, order, 0)
+        if packed is not None:
+            pc_ = packed[oc_]
+            return (oc_, ok, pc_ & 0xFF, (pc_ >> 8) & 0xFF,
+                    (pc_ >> 16) & 0xFF, (pc_ >> 24) & 0xFF)
+        return (oc_, ok, tx0[oc_], tx1[oc_], ty0[oc_], ty1[oc_])
+
+    def _expand(mask, cap, sy_n, sx_n):
+        """Slot-expand a span class to (cap * sy_n * sx_n) tile keys."""
+        oc_, ok, tx0c, tx1c, ty0c, ty1c = _compact_coords(mask, cap)
+        sy_ = jnp.arange(sy_n, dtype=jnp.int32)
+        sx_ = jnp.arange(sx_n, dtype=jnp.int32)
+        ty = ty0c[:, None, None] + sy_[None, :, None]  # (cap, sy, 1)
+        tx = tx0c[:, None, None] + sx_[None, None, :]  # (cap, 1, sx)
+        in_range = ((ty <= ty1c[:, None, None])
+                    & (tx <= tx1c[:, None, None]) & ok[:, None, None])
+        tile_id = ty * cfg.tiles_x + tx                # (cap, sy, sx)
+        sentinel = jnp.int32(cfg.num_tiles)
+        keys_ = jnp.where(in_range, tile_id, sentinel).reshape(-1)
+        vals_ = jnp.broadcast_to(
+            oc_[:, None, None], tile_id.shape).reshape(-1)
+        return keys_, vals_
+
+    sy_full, sx_full = cfg.bin_slots_y, cfg.bin_slots_x
+    use_split = cfg.bin_split and (sy_full * sx_full > 2)
+    if use_split:
+        # span-classed expansion: most tris span ONE tile (1 slot), the
+        # next-biggest class spans 2x1 (2 slots); only the residue pays
+        # the full Sy*Sx grid.  Same (tile, tri) pair set as the
+        # monolithic expansion (bitwise-equal sorted output), ~3x fewer
+        # slot keys through the global sort.  Each class's capacity
+        # overflow drops independently — bounded amplification.
+        tiny = small & (spans_x == 1) & (spans_y == 1)
+        short = small & (spans_x == 1) & (spans_y == 2)
+        rest = small & ~tiny & ~short
+        parts = [_expand(tiny, cfg.compact_cap(t), 1, 1),
+                 _expand(short, cfg.short_cap(t), 2, 1),
+                 _expand(rest, cfg.rest_cap(t), sy_full, sx_full)]
+        keys = jnp.concatenate([p[0] for p in parts])
+        tri_ids = jnp.concatenate([p[1] for p in parts])
+    else:
+        keys, tri_ids = _expand(small, cfg.compact_cap(t), sy_full,
+                                sx_full)
     tri_bits = max(t - 1, 1).bit_length()
     if tri_bits + (cfg.num_tiles + 1).bit_length() <= 31:
         # single-key sort: (tile << tri_bits) | tri — ~2x faster than a
