@@ -94,7 +94,10 @@ def main(argv=None):
     fill_jit = jax.jit(fill_fn)
 
     def force(x):
-        return float(np.asarray(jax.tree.leaves(x)[0]).reshape(-1)[0])
+        # device-side reduction fence: transferring a full leaf through
+        # the axon tunnel inside the timed region costs tens of ms
+        leaf = jax.tree.leaves(x)[0]
+        return float(np.asarray(jnp.sum(leaf.astype(jnp.float32))))
 
     def bench(label, f, *a):
         out = f(*a)

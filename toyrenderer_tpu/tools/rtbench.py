@@ -213,18 +213,24 @@ def main(argv=None):
         tp = f if f is not None else (
             lambda b, o, d, ah: traverse_pallas(b, o, d, t_max=1e4,
                                                 any_hit=ah, **kw))
-        fn = jax.jit(lambda b, o, d, ah=any_hit, tp=tp: tp(b, o, d, ah))
+        # the fence must transfer ONE scalar: np.asarray(res['hit'])
+        # ships the FULL 4 MB hit array through the axon tunnel inside
+        # the timed region (measured ~40 ms — it dominated every row and
+        # understated Mrays ~3x), so reduce ON DEVICE and read that
+        fn = jax.jit(lambda b, o, d, ah=any_hit, tp=tp: (
+            lambda r: (jnp.sum(r['hit'].astype(jnp.float32)), r))(
+            tp(b, o, d, ah)))
         oj, dj = jnp.asarray(o), jnp.asarray(d)
-        res = fn(tree, oj, dj)
-        float(np.asarray(res['hit']).sum())       # warm + force
+        hsum, res = fn(tree, oj, dj)
+        float(np.asarray(hsum))                   # warm + force
         ts = []
         for i in range(args.reps):
-            # perturbed inputs + host readback inside the timed region:
-            # block_until_ready through the axon tunnel is NOT a
-            # reliable completion fence (see ROADMAP gotchas)
+            # perturbed inputs + scalar readback inside the timed
+            # region: block_until_ready through the axon tunnel is NOT
+            # a reliable completion fence (see ROADMAP gotchas)
             t0 = time.time()
-            res = fn(tree, oj + 1e-5 * (i + 1), dj)
-            float(np.asarray(res['hit']).sum())
+            hsum, res = fn(tree, oj + 1e-5 * (i + 1), dj)
+            float(np.asarray(hsum))
             ts.append(time.time() - t0)
         dt = min(ts)
         mrays = len(o) / dt / 1e6
