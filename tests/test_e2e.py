@@ -425,6 +425,54 @@ def test_gi_frame_sah_gdir_interpret_matches_complete(monkeypatch):
     assert diff < 2.0, diff      # u8-scale images; tiny numeric drift only
 
 
+def test_gi_convergence_skip_freezes_and_sun_resets():
+    """GIRenderer.cpp:466-470 parity: once variability settles the whole
+    GI update is skipped (probe field bitwise-frozen, flag in aux); a
+    sun-direction change resets the counter and resumes updates."""
+    from toyrenderer_tpu.ops.bvh import build_rt_static
+    from toyrenderer_tpu.ops.ddgi import DdgiVolume
+
+    scene_host = load_scene("resources/cornell.gltf", use_cache=False)
+    scene = scene_host.to_device()
+    pi_h, pm_h = static_meshlet_pairs(scene_host)
+    pi, pm = jnp.asarray(pi_h), jnp.asarray(pm_h)
+    lo, hi = (np.asarray(x) for x in scene_host.world_aabb)
+    vol = DdgiVolume(origin=tuple(lo), spacing=tuple((hi - lo) / 3.0),
+                     counts=(4, 4, 4), rays_per_probe=32,
+                     max_ray_distance=float(np.linalg.norm(hi - lo)))
+    st = RenderSettings(width=96, height=64, enable_gi=True,
+                        manual_exposure=0.02,
+                        gi_min_var_samples=3,
+                        gi_variability_threshold=0.5)
+    rts = build_rt_static(scene_host, pi_h, pm_h)
+    view = View.from_scene(scene_host, st.width, st.height)
+    view.enable_jitter = False
+    carry = init_carry(scene, st, vol)
+    render = make_render_fn(st, vol, donate_carry=False)
+    mats = view.matrices()
+    fi = default_frame_inputs(scene_host, mats)
+    conv_at = None
+    for i in range(14):
+        prev_irr = np.asarray(carry['ddgi_irradiance'])
+        img, carry, aux = render(scene, pi, pm, fi, carry,
+                                 rt_static=rts)
+        if bool(np.asarray(aux['ddgi_converged'])):
+            conv_at = i
+            # skip ran: the probe field is bitwise-frozen this frame
+            assert np.array_equal(prev_irr,
+                                  np.asarray(carry['ddgi_irradiance']))
+            break
+    assert conv_at is not None, "volume never converged"
+    # sun change resets the counter: updates resume, field changes
+    fi2 = dict(fi)
+    sd = np.asarray(fi['sun_direction'], np.float32).copy()
+    sd[:2] = sd[:2] + 0.3
+    fi2['sun_direction'] = sd / np.linalg.norm(sd)
+    img, carry, aux = render(scene, pi, pm, fi2, carry, rt_static=rts)
+    assert not bool(np.asarray(aux['ddgi_converged']))
+    assert float(np.asarray(carry['ddgi_var_samples'])) == 1.0
+
+
 def test_gi_dedicated_tree_matches_shared():
     """A GI frame tracing probe rays through a DEDICATED GI topology
     (rt_static_gi) built over the SAME pair list must match the

@@ -64,6 +64,13 @@ class RenderSettings:
     #   after TAA)
     enable_gi: bool = False               # DDGI probe GI
     gi_max_steps: int = 64                # probe-ray traversal budget
+    gi_convergence_skip: bool = True      # skip the whole GI update once
+    #   the volume's variability EMA settles (GIRenderer.cpp:466-470
+    #   parity: `if (bIsConverged) return;`); shading keeps sampling the
+    #   frozen probe field.  Sun changes reset the counter (the
+    #   reference leaves converged probes stale there — its own TODO).
+    gi_variability_threshold: float = 0.02
+    gi_min_var_samples: int = 16          # kMinimumVariabilitySamples
     gi_update_phases: int = 1             # probes update in P/N blocks
     gi_sample_scale: int = 2              # probe-sampling downscale when
     #                                       gi_half_res (2 = half res)
@@ -597,51 +604,90 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     gi_carry = {}
     if settings.enable_gi:
         assert ddgi_volume is not None, "enable_gi requires a ddgi_volume"
-        if gi_own_tree:
-            # dedicated GI topology: probe rays are diffuse-frequency, so
-            # they trace a (usually LOD-reduced, SAH-flavored) tree built
-            # over its own pair stream — the TPU-first trade the
-            # reference's shared TLAS doesn't make.  Shade records must
-            # span the GI stream (payloads index it).
-            g_pi = gi_pair_inst if gi_pair_inst is not None else base_pi
-            g_pm = (gi_pair_meshlet if gi_pair_meshlet is not None
-                    else base_pm)
-            if (getattr(rt_static_gi, 'n_mask_pairs', 0) > 0
-                    and mask_pair_inst is not None):
-                nm = rt_static_gi.n_mask_pairs
-                g_pi = jnp.concatenate([g_pi, mask_pair_inst[:nm]])
-                g_pm = jnp.concatenate([g_pm, mask_pair_meshlet[:nm]])
-            if hasattr(rt_static_gi, 'depth_ranges'):
-                from toyrenderer_tpu.ops.bvh_sah import refit_sah
-                gi_bvh = refit_sah(rt_static_gi, inst_world)
-            else:
-                gi_bvh = bvh_mod.refit_bvh(rt_static_gi, inst_world)
-            gv0, gv1, gv2, _ = bvh_mod.world_triangles(
-                scene, inst_world, g_pi, g_pm)
-        else:
-            gi_bvh, g_pi, g_pm = bvh, rt_pi, rt_pm
-            gv0, gv1, gv2 = tv0, tv1, tv2
-        shade_rec = ddgi_mod.build_shade_records(
-            scene, g_pi, g_pm, gv0, gv1, gv2)
         to_light = -frame_inputs['sun_direction']
-        # block-phased trace with the full probe lifecycle: relocation,
-        # classification (inactive probes are ray-masked to zero cost) and
-        # variability convergence (GIRenderer.cpp:450-577, 158-190)
-        (radiance, ray_dist, ray_dirs, blk,
-         lifecycle) = ddgi_mod.trace_probe_block(
-            ddgi_volume, gi_bvh, shade_rec, carry['ddgi_irradiance'],
-            to_light, frame_inputs['sun_color'],
-            frame_inputs['sun_intensity'], carry['frame_index'],
-            sky_fn, settings.gi_update_phases,
-            max_steps=settings.gi_max_steps,
-            probe_offset=carry['ddgi_offset'],
-            probe_state=carry['ddgi_state'], sun_vis_fn=sun_vis_fn,
-            sp_mesh=sp_mesh)
-        gi_carry = ddgi_mod.update_probe_block(
-            ddgi_volume, carry, radiance, ray_dist, ray_dirs, blk,
-            first_frame=(carry['frame_index']
-                         < settings.gi_update_phases),
-            lifecycle=lifecycle)
+        # convergence skip (GIRenderer.cpp:466-470 parity — the reference
+        # early-returns the WHOLE GI render once probe variability
+        # settles): refit + shade records + probe trace + blend +
+        # lifecycle all sit under one lax.cond, so a converged volume
+        # costs zero ray/BVH work and shading samples the frozen field.
+        # A sun change resets the sample counter and resumes updates
+        # (the reference leaves converged probes stale there).
+        sun_sig = jnp.concatenate([
+            jnp.asarray(frame_inputs['sun_direction'],
+                        jnp.float32).reshape(-1)[:3],
+            jnp.asarray(frame_inputs['sun_color'],
+                        jnp.float32).reshape(-1)[:3],
+            jnp.asarray(frame_inputs['sun_intensity'],
+                        jnp.float32).reshape(-1)[:1]])
+        sun_changed = jnp.any(
+            jnp.abs(sun_sig - carry['ddgi_sun_sig']) > 1e-6)
+        var_samples = jnp.where(sun_changed, 0.0,
+                                carry['ddgi_var_samples'])
+        gi_converged = ((var_samples
+                         > float(settings.gi_min_var_samples))
+                        & (carry['ddgi_variability']
+                           < settings.gi_variability_threshold))
+        if not settings.gi_convergence_skip:
+            gi_converged = jnp.asarray(False)
+        _GI_KEYS = ('ddgi_irradiance', 'ddgi_distance', 'ddgi_offset',
+                    'ddgi_state', 'ddgi_variability')
+
+        def _gi_update(_):
+            if gi_own_tree:
+                # dedicated GI topology: probe rays are diffuse-frequency,
+                # so they trace a (usually LOD-reduced, SAH-flavored) tree
+                # built over its own pair stream — the TPU-first trade the
+                # reference's shared TLAS doesn't make.  Shade records
+                # must span the GI stream (payloads index it).
+                g_pi = gi_pair_inst if gi_pair_inst is not None else base_pi
+                g_pm = (gi_pair_meshlet if gi_pair_meshlet is not None
+                        else base_pm)
+                if (getattr(rt_static_gi, 'n_mask_pairs', 0) > 0
+                        and mask_pair_inst is not None):
+                    nm = rt_static_gi.n_mask_pairs
+                    g_pi = jnp.concatenate([g_pi, mask_pair_inst[:nm]])
+                    g_pm = jnp.concatenate([g_pm, mask_pair_meshlet[:nm]])
+                if hasattr(rt_static_gi, 'depth_ranges'):
+                    from toyrenderer_tpu.ops.bvh_sah import refit_sah
+                    gi_bvh = refit_sah(rt_static_gi, inst_world)
+                else:
+                    gi_bvh = bvh_mod.refit_bvh(rt_static_gi, inst_world)
+                gv0, gv1, gv2, _u = bvh_mod.world_triangles(
+                    scene, inst_world, g_pi, g_pm)
+            else:
+                gi_bvh, g_pi, g_pm = bvh, rt_pi, rt_pm
+                gv0, gv1, gv2 = tv0, tv1, tv2
+            shade_rec = ddgi_mod.build_shade_records(
+                scene, g_pi, g_pm, gv0, gv1, gv2)
+            # block-phased trace with the full probe lifecycle:
+            # relocation, classification (inactive probes are ray-masked
+            # to zero cost) and variability convergence
+            # (GIRenderer.cpp:450-577, 158-190)
+            (radiance, ray_dist, ray_dirs, blk,
+             lifecycle) = ddgi_mod.trace_probe_block(
+                ddgi_volume, gi_bvh, shade_rec, carry['ddgi_irradiance'],
+                to_light, frame_inputs['sun_color'],
+                frame_inputs['sun_intensity'], carry['frame_index'],
+                sky_fn, settings.gi_update_phases,
+                max_steps=settings.gi_max_steps,
+                probe_offset=carry['ddgi_offset'],
+                probe_state=carry['ddgi_state'], sun_vis_fn=sun_vis_fn,
+                sp_mesh=sp_mesh)
+            gic = ddgi_mod.update_probe_block(
+                ddgi_volume, carry, radiance, ray_dist, ray_dirs, blk,
+                first_frame=(carry['frame_index']
+                             < settings.gi_update_phases),
+                lifecycle=lifecycle)
+            return {k: gic[k] for k in _GI_KEYS}
+
+        def _gi_hold(_):
+            return {k: carry[k] for k in _GI_KEYS}
+
+        gi_carry = jax.lax.cond(gi_converged, _gi_hold, _gi_update, 0)
+        gi_carry['ddgi_var_samples'] = jnp.where(gi_converged,
+                                                 var_samples,
+                                                 var_samples + 1.0)
+        gi_carry['ddgi_sun_sig'] = sun_sig
         # per-pixel probe sampling is ~24 latency-bound gathers/pixel
         # (8 probes x irradiance+visibility+offset); irradiance is
         # low-frequency (probe spacing >> pixels), so sample at
@@ -817,6 +863,7 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     if settings.enable_gi:
         aux['ddgi_variability'] = gi_carry['ddgi_variability']
         aux['ddgi_active_probes'] = jnp.sum(gi_carry['ddgi_state'])
+        aux['ddgi_converged'] = gi_converged
     if shadow_mask is not None:
         aux['shadow'] = shadow_mask
     if ao is not None:

@@ -103,6 +103,13 @@ def init_probes(volume: DdgiVolume):
         ddgi_offset=jnp.zeros((p, 3), jnp.float32),
         ddgi_state=jnp.ones((p,), jnp.float32),
         ddgi_variability=jnp.asarray(1.0, jnp.float32),
+        # convergence-skip state (GIRenderer.cpp:466-470 skips the WHOLE
+        # GI pass once variability settles): updates since last reset,
+        # and the sun signature whose change re-triggers updates (the
+        # reference acknowledges staleness there with a TODO; the sun
+        # reset closes it)
+        ddgi_var_samples=jnp.asarray(0.0, jnp.float32),
+        ddgi_sun_sig=jnp.full((7,), jnp.inf, jnp.float32),
     )
 
 
