@@ -484,11 +484,16 @@ def masked_resolve_compact(records, depth, tri_id, jitter, cfg, cap_quads,
                           emit_planes=emit_planes, pixel_xy=pix,
                           screen_wh=(W, H))
 
-    # scatter back; invalid slots route to index H*W and drop (quad 0
-    # would otherwise be overwritten by the padding slots)
+    # scatter back; invalid slot j routes to the DISTINCT out-of-bounds
+    # index H*W+j and drops — indices stay globally unique, so the
+    # unique_indices promise holds and XLA lowers a parallel scatter
+    # (without it the TPU scatter serializes per update: measured the
+    # whole compact path at 213 ms/frame vs 85 dense)
+    pad_oob = (jnp.int32(H * W)
+               + jnp.arange(cap * 4, dtype=jnp.int32).reshape(cap, 2, 2))
     idxs = jnp.where(jnp.broadcast_to(okq[:, None, None],
-                                      (cap, 2, 2)).reshape(-1),
-                     flat_v, jnp.int32(H * W))
+                                      (cap, 2, 2)),
+                     flat, pad_oob).reshape(-1)
 
     def scat(img):
         rest = img.shape[2:]
@@ -496,7 +501,8 @@ def masked_resolve_compact(records, depth, tri_id, jitter, cfg, cap_quads,
         v = v.reshape(cap * 4, *rest)
         out = jnp.zeros((H * W, *rest), img.dtype)
         return out.reshape(H, W, *rest) if cap == 0 else \
-            out.at[idxs].set(v, mode='drop').reshape(H, W, *rest)
+            out.at[idxs].set(v, mode='drop',
+                             unique_indices=True).reshape(H, W, *rest)
 
     out = {}
     for k, v in gb_c.items():
