@@ -601,3 +601,21 @@ def test_masked_compact_matches_dense():
     compact_tiny = run(0.05)
     assert np.isfinite(compact_tiny).all()
     assert np.array_equal(dense[:, :10], compact_tiny[:, :10])
+
+    # Pallas fast path (ONE L-layer peel fill + compacted resolve,
+    # interpret mode) must agree with the dense XLA reference within
+    # u8 rounding
+    def run_pallas(frac):
+        st = RenderSettings(width=128, height=128, manual_exposure=0.3,
+                            alpha_layers=2, max_tris_per_tile=64,
+                            max_big_tris=64, tile_batch=4,
+                            masked_compact_frac=frac,
+                            use_pallas_fill=True)
+        img, _, _ = make_render_fn(st)(
+            d, jnp.asarray(pi), jnp.asarray(pm), fi, init_carry(d, st),
+            mask_pair_inst=jnp.asarray(mi),
+            mask_pair_meshlet=jnp.asarray(mm))
+        return np.asarray(img).astype(int)
+
+    pal = run_pallas(0.8)
+    assert np.abs(pal - dense).max() <= 1

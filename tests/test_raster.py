@@ -342,6 +342,48 @@ def test_depth_peeling_extracts_next_layer():
                                rtol=1e-6, atol=1e-7)
 
 
+def test_fill_peel_stream_matches_sequential_peel():
+    """The one-pass L-layer peel fill (insertion cascade) must match L
+    sequential peeled fills, including the occluder-depth seeding that
+    drops fragments behind opaque geometry."""
+    t0 = _ndc_tri([-0.9, -0.9], [0.9, -0.9], [0.0, 0.9], z=0.2)
+    t1 = _ndc_tri([-0.9, -0.9], [0.9, -0.9], [0.0, 0.9], z=0.5)
+    t2 = _ndc_tri([-0.7, -0.7], [0.7, -0.7], [0.0, 0.7], z=0.8)
+    tris = np.concatenate([t0, t1, t2])
+    cfg = R.RasterConfig(width=256, height=128, max_tris_per_tile=32,
+                         chunk=8, max_big_tris=32, tile_batch=4)
+    setup = R.setup_triangles(_geo_from_tris(tris), cfg)
+    table, counts, big = R.bin_triangles(setup, cfg)
+    z0, id0 = R.fill_visibility(setup, table, big, cfg)
+    z1, id1 = R.fill_visibility(setup, table, big, cfg, peel_depth=z0)
+
+    from toyrenderer_tpu.ops.raster_pallas import fill_peel_stream
+    bins = R.bin_pairs_stream(setup, cfg)
+    zl, il = fill_peel_stream(setup, bins, cfg, layers=2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(il[0]), np.asarray(id0))
+    np.testing.assert_array_equal(np.asarray(il[1]), np.asarray(id1))
+    m0 = np.asarray(id0) >= 0
+    np.testing.assert_allclose(np.asarray(zl[0])[m0],
+                               np.asarray(z0)[m0], rtol=1e-6, atol=1e-7)
+    m1 = np.asarray(id1) >= 0
+    np.testing.assert_allclose(np.asarray(zl[1])[m1],
+                               np.asarray(z1)[m1], rtol=1e-6, atol=1e-7)
+
+    # occluder seeding: an opaque plane between layer 0 and layer 1
+    # leaves only the nearer fragment; the farther layers report no win
+    occ = jnp.asarray(((np.asarray(z0) + np.asarray(z1)) * 0.5
+                       ).astype(np.float32))
+    zo, io = fill_peel_stream(setup, bins, cfg, layers=2,
+                              occluder_depth=occ, interpret=True)
+    io0 = np.asarray(io[0])
+    np.testing.assert_array_equal(io0[m0], np.asarray(id0)[m0])
+    both = m0 & m1
+    assert (np.asarray(io[1])[both] == -1).all()
+    # seeded depth passes through where no fragment beats it
+    np.testing.assert_allclose(np.asarray(zo[1])[both],
+                               np.asarray(occ)[both], rtol=1e-6)
+
+
 def test_fill_resolve_stream_wide_tiles():
     """(8, 256) tiles with an (8, 1) slot grid must produce the same
     visibility as the default (16, 128)/(4, 2) config — same 2048-px tile

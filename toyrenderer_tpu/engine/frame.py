@@ -263,7 +263,8 @@ def _raster_with_records(scene, geo, cfg, use_pallas, inst_world,
             setup, records, bins, cfg,
             init_depth=init_depth, init_tri_id=init_tri_id,
             init_rec=init_rec, emit_base=emit_base, padded_io=padded_io,
-            peel_depth=peel_depth)
+            peel_depth=peel_depth,
+            interpret=jax.default_backend() not in ('tpu', 'axon'))
         stats = _raster_stats(setup, bins)
         return setup, records, depth, tid, interp, stats
     table, counts, big = raster_mod.bin_triangles(setup, cfg)
@@ -388,8 +389,30 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
             else:
                 table_m, _, big_m = raster_mod.bin_triangles(setup_m,
                                                              cfg)
-        for _layer in range(max(settings.alpha_layers, 1)):
-            if sp_mesh is not None:
+        h0_, w0_ = depth.shape
+        n_layers = max(settings.alpha_layers, 1)
+        # fast path: ONE lean L-layer peel fill (insertion cascade in
+        # VMEM, no in-kernel resolve) + compacted per-layer resolve —
+        # the sequential path below pays L full fused fills and its
+        # in-kernel interpolant epilogue is dead work when the compact
+        # resolve re-derives the GBuffer from the raw records
+        peel_fast = (use_pallas and sp_mesh is None
+                     and settings.masked_compact_frac > 0
+                     and h0_ % 2 == 0 and w0_ % 2 == 0)
+        peel_layers = None
+        if peel_fast:
+            from toyrenderer_tpu.ops.raster_pallas import fill_peel_stream
+            depth_l, tid_l = fill_peel_stream(
+                setup_m, bins_m, cfg, layers=n_layers,
+                occluder_depth=depth,
+                interpret=jax.default_backend() not in ('tpu', 'axon'))
+            peel_layers = [(depth_l[i], tid_l[i])
+                           for i in range(n_layers)]
+        for _layer in range(n_layers):
+            if peel_layers is not None:
+                depth_m, tid_m = peel_layers[_layer]
+                rec_m = records_m
+            elif sp_mesh is not None:
                 (_, recs_m, depth_m, tid_m, interp_m,
                  _) = _raster_with_records(
                     scene, geo_m, cfg, use_pallas, inst_world, inst_adj,

@@ -558,6 +558,280 @@ def _fill_resolve_stream_kernel_peel(
         fet_scr, peel_ref=peel_ref, **kw)
 
 
+def _stream_layout(setup: dict, bins: dict, cfg: RasterConfig, comb,
+                   chunk: int):
+    """Chunk-grid layout shared by the streamed fill kernels: per-chunk
+    tile table (empty tiles get NO chunks; tiles a big triangle's bbox
+    touches get at least one), effective counts under the global budget,
+    and the chunk-aligned gathered pair records."""
+    t = comb.shape[0]
+    c = chunk
+    n_tiles = cfg.num_tiles
+    p_cap = cfg.resolve_pair_capacity(t)
+    ch_cap = -(-p_cap // c) + n_tiles
+
+    counts = bins['counts']                        # (tiles,) <= K
+    offs = bins['offs'][:-1].astype(jnp.int32)     # (tiles,)
+    vals_s = bins['vals_s']
+    big_list = bins['big_list']
+
+    bvalid = big_list >= 0
+    bl = jnp.maximum(big_list, 0)
+    btx = jnp.arange(cfg.tiles_x, dtype=jnp.int32)
+    bty = jnp.arange(cfg.tiles_y, dtype=jnp.int32)
+    hit_x = ((btx[None, :] >= setup['tx0'][bl][:, None])
+             & (btx[None, :] <= setup['tx1'][bl][:, None]))  # (B, TX)
+    hit_y = ((bty[None, :] >= setup['ty0'][bl][:, None])
+             & (bty[None, :] <= setup['ty1'][bl][:, None]))  # (B, TY)
+    bighit = jnp.any(hit_y[:, :, None] & hit_x[:, None, :]
+                     & bvalid[:, None, None], axis=0)
+    bighit = bighit.reshape(-1).astype(jnp.int32)  # (tiles,)
+    want = jnp.maximum(-(-counts // c), bighit)    # (tiles,)
+    before = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(want)])[:-1]
+    n_chunks = jnp.clip(ch_cap - before, 0, want)  # (tiles,) >= 0
+    counts_eff = jnp.minimum(counts, n_chunks * c)
+    chunk_base = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(n_chunks)]).astype(jnp.int32)  # (tiles+1,)
+    total_chunks = chunk_base[-1]
+
+    # padding chunks REPLAY the tile of the last real chunk so `last`
+    # fires exactly once with all state resident
+    jj = jnp.arange(ch_cap, dtype=jnp.int32)
+    chunk_tile = jnp.searchsorted(chunk_base, jj, side='right') - 1
+    last_tile = jnp.where(
+        total_chunks > 0,
+        jnp.clip(jnp.searchsorted(chunk_base,
+                                  jnp.maximum(total_chunks - 1, 0),
+                                  side='right') - 1, 0, n_tiles - 1),
+        0)
+    chunk_tile = jnp.where(jj < total_chunks, chunk_tile,
+                           last_tile).astype(jnp.int32)
+
+    # chunk-aligned pair records: chunk-invariant indices at CHUNK rate,
+    # only the two per-pair indirections (vals_s, comb) at pair rate
+    lane = jnp.arange(c, dtype=jnp.int32)[None, :]
+    cb_t = chunk_base[chunk_tile]                  # (ch_cap,)
+    ce_t = counts_eff[chunk_tile]
+    of_t = offs[chunk_tile]
+    base_local = (jnp.arange(ch_cap, dtype=jnp.int32) - cb_t) * c
+    local = base_local[:, None] + lane             # (ch_cap, c)
+    valid = local < ce_t[:, None]
+    src = jnp.clip(of_t[:, None] + local, 0, vals_s.shape[0] - 1)
+    rows = jnp.clip(vals_s[jnp.where(valid, src, 0).reshape(-1)],
+                    0, t - 1)
+    comb_padded = comb[rows].reshape(ch_cap, c, comb.shape[1])
+
+    big_safe = jnp.maximum(big_list, 0)
+    big_comb = comb[big_safe]
+    big_count = jnp.sum((big_list >= 0).astype(jnp.int32)).reshape(1)
+    return dict(ch_cap=ch_cap, chunk_tile=chunk_tile,
+                chunk_base=chunk_base[:-1], counts_eff=counts_eff,
+                bighit=bighit, comb_padded=comb_padded,
+                big_comb=big_comb, big_count=big_count)
+
+
+def _fill_peel_stream_kernel(
+        chunk_tile_ref,      # prefetch (CH,) i32: tile of each chunk
+        chunk_base_ref,      # prefetch (tiles,) i32: first chunk of tile
+        count_ref,           # prefetch (tiles,) i32: effective pair count
+        bigcount_ref,        # prefetch (1,) i32
+        bighit_ref,          # prefetch (tiles,) i32
+        comb_ref,            # (1, C, 16) streamed pair records
+        bigcomb_ref,         # (B, 16) big-triangle records (resident)
+        init_z_ref,          # (L, TH, TW) f32
+        init_id_ref,         # (L, TH, TW) i32
+        z_out, id_out,       # (L, TH, TW)
+        *, cfg: RasterConfig, chunk: int, emit_base: int, layers: int):
+    """Lean L-layer depth-peel fill: per pixel the L NEAREST fragments
+    (descending depth; reverse-Z so larger = nearer), maintained by an
+    in-register insertion cascade — ONE pass over the binned pairs
+    instead of L sequential fills.  No record streaming, no resolve
+    epilogue: the masked set's textured resolve happens compacted
+    downstream (gbuffer.masked_resolve_compact), where only covered
+    quads pay (basepass.hlsl ALPHA_MASK_MODE discard, the TPU way)."""
+    j = pl.program_id(0)
+    n_ch = pl.num_programs(0)
+    tile = chunk_tile_ref[j]
+    first = jnp.logical_or(
+        j == 0, chunk_tile_ref[jnp.maximum(j - 1, 0)] != tile)
+    last = jnp.logical_or(
+        j == n_ch - 1, chunk_tile_ref[jnp.minimum(j + 1, n_ch - 1)] != tile)
+    c = chunk
+    slot_base = (j - chunk_base_ref[tile]) * c
+    count = count_ref[tile]
+    big_count = bigcount_ref[0]
+
+    th, tw = cfg.tile_h, cfg.tile_w
+    ty = tile // cfg.tiles_x
+    tx = tile % cfg.tiles_x
+
+    @pl.when(first)
+    def _():
+        z_out[...] = init_z_ref[...]
+        id_out[...] = init_id_ref[...]
+
+    g = 8
+    nh = th // 8
+
+    def _sl(h):
+        return slice(h * 8, (h + 1) * 8)
+
+    def read_halves():
+        out = []
+        for h in range(nh):
+            st = []
+            for l in range(layers):
+                st.append(z_out[l, _sl(h), :])
+                st.append(id_out[l, _sl(h), :])
+            out.append(tuple(st))
+        return out
+
+    def write_halves(halves):
+        for h in range(nh):
+            for l in range(layers):
+                z_out[l, _sl(h), :] = halves[h][2 * l]
+                id_out[l, _sl(h), :] = halves[h][2 * l + 1]
+
+    colf8 = jax.lax.broadcasted_iota(
+        jnp.int32, (8, tw), 1).astype(jnp.float32) + 0.5
+    rowf8 = jax.lax.broadcasted_iota(
+        jnp.int32, (8, tw), 0).astype(jnp.float32) + 0.5
+    px8 = (tx.astype(jnp.float32) * tw + colf8) * (1.0 / cfg.width)
+
+    def raster_rows(read_group, base, limit, halves):
+        ng = jnp.clip((limit - base + (g - 1)) // g, 0, c // g)
+        pxh = px8[None]
+        pyhs = [((ty.astype(jnp.float32) * th + h * 8 + rowf8)
+                 * (1.0 / cfg.height))[None] for h in range(nh)]
+
+        def body(gi, hs):
+            r0 = pl.multiple_of(gi * g, g)
+            rg = read_group(r0)
+
+            def colm(f):
+                return rg[:, f:f + 1][:, :, None]      # (g, 1, 1)
+            idp = colm(15) * jnp.ones((1, 8, tw))
+            out = []
+            for h in range(nh):
+                pyh = pyhs[h]
+                st = list(hs[h * 2 * layers:(h + 1) * 2 * layers])
+                l0 = colm(0) * pxh + colm(1) * pyh + colm(2)
+                l1 = colm(3) * pxh + colm(4) * pyh + colm(5)
+                l2 = colm(6) * pxh + colm(7) * pyh + colm(8)
+                num = l0 * colm(9) + l1 * colm(10) + l2 * colm(11)
+                den = l0 * colm(12) + l1 * colm(13) + l2 * colm(14)
+                inside = ((l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)
+                          & (den > 0.0))
+                depth = jnp.where(
+                    inside, num / jnp.where(den == 0.0, 1.0, den), -1.0)
+                for r in range(g):
+                    ok = base + r0 + r < limit
+                    cz = jnp.where(ok, depth[r], -1.0)
+                    ci = idp[r].astype(jnp.int32) + emit_base
+                    # insertion cascade: the displaced fragment carries
+                    # down one layer.  EQUAL depths drop the incoming
+                    # fragment (sequential peeling's strict `farther
+                    # than layer k` bound): coincident fragments — e.g.
+                    # the shared diagonal of a quad's two triangles —
+                    # must not occupy two layers
+                    for l in range(layers):
+                        cz = jnp.where(cz == st[2 * l], -1.0, cz)
+                        win = cz > st[2 * l]
+                        nz = jnp.where(win, cz, st[2 * l])
+                        ni = jnp.where(win, ci, st[2 * l + 1])
+                        cz = jnp.where(win, st[2 * l], cz)
+                        ci = jnp.where(win, st[2 * l + 1], ci)
+                        st[2 * l], st[2 * l + 1] = nz, ni
+                out += st
+            return tuple(out)
+
+        flat = tuple(x for hh in halves for x in hh)
+        flat = jax.lax.fori_loop(0, ng, body, flat)
+        return [tuple(flat[h * 2 * layers:(h + 1) * 2 * layers])
+                for h in range(nh)]
+
+    @pl.when(slot_base < count)
+    def _():
+        write_halves(raster_rows(
+            lambda r0: comb_ref[0, pl.ds(r0, g), :16],
+            slot_base, count, read_halves()))
+
+    @pl.when(jnp.logical_and(last, bighit_ref[tile] > 0))
+    def _():
+        def big_body(ci, halves):
+            base = pl.multiple_of(ci * c, c)
+            return raster_rows(
+                lambda r0: bigcomb_ref[pl.ds(base + r0, g), :16],
+                base, big_count, halves)
+        write_halves(jax.lax.fori_loop(
+            0, (big_count + c - 1) // c, big_body, read_halves()))
+
+
+def fill_peel_stream(setup: dict, bins: dict, cfg: RasterConfig,
+                     layers: int = 2, emit_base: int = 0,
+                     occluder_depth=None, interpret: bool = False):
+    """Streamed L-layer depth-peel visibility fill (no resolve).
+
+    Returns (depth (L, H, W) f32, tri_id (L, H, W) i32), layer 0 nearest.
+    One pass over the binned pair stream replaces L sequential fills for
+    the alpha-masked set; pair with masked_resolve_compact so the
+    textured resolve also runs only on covered quads.
+
+    occluder_depth: optional (H, W) reverse-Z depth seeding EVERY layer —
+    fragments at or behind it never win a slot (they could never pass the
+    downstream depth test either), so foliage hidden behind opaque walls
+    costs nothing in the compacted resolve."""
+    comb = pack_tri_records(setup)
+    c = min(cfg.chunk, cfg.max_tris_per_tile, cfg.max_big_tris)
+    lay = _stream_layout(setup, bins, cfg, comb, c)
+
+    th, tw = cfg.tile_h, cfg.tile_w
+    hp, wp = cfg.tiles_y * th, cfg.tiles_x * tw
+    if occluder_depth is None:
+        init_z = jnp.zeros((layers, hp, wp), jnp.float32)
+    else:
+        init_z = jnp.broadcast_to(
+            pad_image(occluder_depth, cfg)[None], (layers, hp, wp))
+        init_z = jnp.asarray(init_z)        # materialize for aliasing
+    init_id = jnp.full((layers, hp, wp), -1, jnp.int32)
+
+    tx_ = cfg.tiles_x
+    by_tile3 = lambda j, ct, cb, c_, b_, bh: (0, ct[j] // tx_, ct[j] % tx_)  # noqa: E731,E501
+    lay_block = pl.BlockSpec((layers, th, tw), by_tile3,
+                             memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(lay['ch_cap'],),
+        in_specs=[
+            pl.BlockSpec((1, c, REC),
+                         lambda j, ct, cb, c_, b_, bh: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cfg.max_big_tris, REC),
+                         lambda j, ct, cb, c_, b_, bh: (0, 0),
+                         memory_space=pltpu.VMEM),
+            lay_block,
+            lay_block,
+        ],
+        out_specs=[lay_block, lay_block],
+    )
+    z, tid = pl.pallas_call(
+        functools.partial(_fill_peel_stream_kernel, cfg=cfg, chunk=c,
+                          emit_base=emit_base, layers=layers),
+        out_shape=(
+            jax.ShapeDtypeStruct((layers, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((layers, hp, wp), jnp.int32),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        input_output_aliases={7: 0, 8: 1},
+    )(lay['chunk_tile'], lay['chunk_base'], lay['counts_eff'],
+      lay['big_count'], lay['bighit'], lay['comb_padded'],
+      lay['big_comb'], init_z, init_id)
+    return z[:, :cfg.height, :cfg.width], tid[:, :cfg.height, :cfg.width]
+
+
 def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
                         cfg: RasterConfig, init_depth=None,
                         init_tri_id=None, init_rec=None,
@@ -591,85 +865,15 @@ def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
     assert k_cap % c == 0, "max_tris_per_tile must be a CHUNK_S multiple"
     assert cfg.max_big_tris % c == 0, \
         "max_big_tris must be a CHUNK_S multiple"
-    p_cap = cfg.resolve_pair_capacity(t)
-    ch_cap = -(-p_cap // c) + n_tiles
-
-    counts = bins['counts']                        # (tiles,) <= K
-    offs = bins['offs'][:-1].astype(jnp.int32)     # (tiles,)
-    vals_s = bins['vals_s']
-    big_list = bins['big_list']
-
-    # chunk allotment: WORK tiles only — init->output buffer aliasing
-    # passes untouched tiles straight through, so empty tiles cost
-    # nothing (in the late cull phase that is ~95% of the grid).  Tiles
-    # with pairs take ceil(count/c) chunks; when the big-triangle list is
-    # non-empty EVERY tile needs one visit (big tris are tested per
-    # tile).  The global chunk budget clamps cumulatively (overflow
-    # drops pairs — bounded-amplification semantics, gpuculling.hlsl
-    # overflow parity).
-    # per-TILE big-triangle hit from the setup's tile bboxes: a tile
-    # only needs its mandatory visit (and the kernel's big loop) when
-    # some big triangle's bbox intersects it — the old any-big flag
-    # forced one chunk + a big pass on EVERY tile, which made the
-    # sparse fills (late phase, masked peels) pay the full 1020-tile
-    # floor for a handful of banners
-    bvalid = big_list >= 0
-    bl = jnp.maximum(big_list, 0)
-    btx = jnp.arange(cfg.tiles_x, dtype=jnp.int32)
-    bty = jnp.arange(cfg.tiles_y, dtype=jnp.int32)
-    hit_x = ((btx[None, :] >= setup['tx0'][bl][:, None])
-             & (btx[None, :] <= setup['tx1'][bl][:, None]))  # (B, TX)
-    hit_y = ((bty[None, :] >= setup['ty0'][bl][:, None])
-             & (bty[None, :] <= setup['ty1'][bl][:, None]))  # (B, TY)
-    bighit = jnp.any(hit_y[:, :, None] & hit_x[:, None, :]
-                     & bvalid[:, None, None], axis=0)
-    bighit = bighit.reshape(-1).astype(jnp.int32)  # (tiles,)
-    want = jnp.maximum(-(-counts // c), bighit)    # (tiles,)
-    before = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(want)])[:-1]
-    n_chunks = jnp.clip(ch_cap - before, 0, want)  # (tiles,) >= 0
-    counts_eff = jnp.minimum(counts, n_chunks * c)
-    chunk_base = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32),
-         jnp.cumsum(n_chunks)]).astype(jnp.int32)  # (tiles+1,)
-    total_chunks = chunk_base[-1]
-
-    # per-chunk tile table.  Padding chunks REPLAY the tile of the last
-    # real chunk: they stay consecutive with it, so `last` (and with it
-    # the one-hot fetch + interpolant epilogue) fires exactly once, on
-    # the final padding chunk, with all state still resident.
-    jj = jnp.arange(ch_cap, dtype=jnp.int32)
-    chunk_tile = jnp.searchsorted(chunk_base, jj, side='right') - 1
-    last_tile = jnp.where(
-        total_chunks > 0,
-        jnp.clip(jnp.searchsorted(chunk_base,
-                                  jnp.maximum(total_chunks - 1, 0),
-                                  side='right') - 1, 0, n_tiles - 1),
-        0)
-    chunk_tile = jnp.where(jj < total_chunks, chunk_tile,
-                           last_tile).astype(jnp.int32)
-
-    # chunk-aligned pair records.  Scalar gathers are latency-bound per
-    # ROW, so everything chunk-invariant is fetched at CHUNK rate
-    # (ch_cap rows) and broadcast across the c lanes — only the two
-    # genuinely per-pair indirections (vals_s, comb) stay at pair rate.
-    # The old pair-rate form cost ~2 ms per 4B-gather per fill at the
-    # courtyard's 347k-pair budget (5 gathers -> ~10 ms/frame).
-    lane = jnp.arange(c, dtype=jnp.int32)[None, :]
-    cb_t = chunk_base[chunk_tile]                  # (ch_cap,)
-    ce_t = counts_eff[chunk_tile]
-    of_t = offs[chunk_tile]
-    base_local = (jnp.arange(ch_cap, dtype=jnp.int32) - cb_t) * c
-    local = base_local[:, None] + lane             # (ch_cap, c)
-    valid = local < ce_t[:, None]
-    src = jnp.clip(of_t[:, None] + local, 0, vals_s.shape[0] - 1)
-    rows = jnp.clip(vals_s[jnp.where(valid, src, 0).reshape(-1)],
-                    0, t - 1)
-    comb_padded = comb[rows].reshape(ch_cap, c, REC + r)
-
-    big_safe = jnp.maximum(big_list, 0)
-    big_comb = comb[big_safe]
-    big_count = jnp.sum((big_list >= 0).astype(jnp.int32)).reshape(1)
+    lay = _stream_layout(setup, bins, cfg, comb, c)
+    ch_cap = lay['ch_cap']
+    chunk_tile = lay['chunk_tile']
+    chunk_base = lay['chunk_base']
+    counts_eff = lay['counts_eff']
+    bighit = lay['bighit']
+    comb_padded = lay['comb_padded']
+    big_comb = lay['big_comb']
+    big_count = lay['big_count']
 
     th, tw = cfg.tile_h, cfg.tile_w
     hp, wp = cfg.tiles_y * th, cfg.tiles_x * tw
@@ -721,7 +925,7 @@ def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
                         pltpu.VMEM((th, r, tw), jnp.float32)],
     )
     kernel = _fill_resolve_stream_kernel
-    inputs = [chunk_tile, chunk_base[:-1], counts_eff, big_count,
+    inputs = [chunk_tile, chunk_base, counts_eff, big_count,
               bighit, comb_padded, big_comb, init_z, init_id,
               init_rec]
     if peel_depth is not None:
