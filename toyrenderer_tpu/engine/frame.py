@@ -65,11 +65,13 @@ class RenderSettings:
     enable_gi: bool = False               # DDGI probe GI
     gi_max_steps: int = 64                # probe-ray traversal budget
     gi_convergence_skip: bool = True      # skip the whole GI update once
-    #   the volume's variability EMA settles (GIRenderer.cpp:466-470
-    #   parity: `if (bIsConverged) return;`); shading keeps sampling the
-    #   frozen probe field.  Sun changes reset the counter (the
-    #   reference leaves converged probes stale there — its own TODO).
-    gi_variability_threshold: float = 0.02
+    #   probe variability settles (GIRenderer.cpp:466-470 parity:
+    #   `if (bIsConverged) return;`); shading keeps sampling the frozen
+    #   probe field.  Sun changes reset the counter (the reference
+    #   leaves converged probes stale there — its own TODO).
+    gi_variability_threshold: float = 0.002   # STD-DEV of the last-16
+    #   raw variability samples (m_VariabilityStdDevThreshold,
+    #   GIRenderer.cpp:211) — converged = stopped improving, not small
     gi_min_var_samples: int = 16          # kMinimumVariabilitySamples
     gi_update_phases: int = 1             # probes update in P/N blocks
     gi_sample_scale: int = 2              # probe-sampling downscale when
@@ -646,14 +648,28 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
             jnp.abs(sun_sig - carry['ddgi_sun_sig']) > 1e-6)
         var_samples = jnp.where(sun_changed, 0.0,
                                 carry['ddgi_var_samples'])
+        # reference convergence test (GIRenderer.cpp:162-179): std-dev
+        # of the last kMinimumVariabilitySamples raw variability values
+        # under the threshold — "the estimate stopped improving".  The
+        # raw level itself floors at ray-jitter noise and would never
+        # cross a small absolute threshold.
+        ring = carry['ddgi_var_ring']
+        n_valid = jnp.minimum(var_samples,
+                              float(ddgi_mod.VAR_WINDOW))
+        vmask = (jnp.arange(ddgi_mod.VAR_WINDOW, dtype=jnp.float32)
+                 < n_valid)
+        nn = jnp.maximum(n_valid, 1.0)
+        ring_mean = jnp.sum(jnp.where(vmask, ring, 0.0)) / nn
+        ring_std = jnp.sqrt(jnp.maximum(
+            jnp.sum(jnp.where(vmask, (ring - ring_mean) ** 2, 0.0)) / nn,
+            0.0))
         gi_converged = ((var_samples
                          > float(settings.gi_min_var_samples))
-                        & (carry['ddgi_variability']
-                           < settings.gi_variability_threshold))
+                        & (ring_std < settings.gi_variability_threshold))
         if not settings.gi_convergence_skip:
             gi_converged = jnp.asarray(False)
         _GI_KEYS = ('ddgi_irradiance', 'ddgi_distance', 'ddgi_offset',
-                    'ddgi_state', 'ddgi_variability')
+                    'ddgi_state', 'ddgi_variability', 'ddgi_var_ring')
 
         def _gi_update(_):
             if gi_own_tree:
@@ -697,7 +713,10 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                 probe_state=carry['ddgi_state'], sun_vis_fn=sun_vis_fn,
                 sp_mesh=sp_mesh)
             gic = ddgi_mod.update_probe_block(
-                ddgi_volume, carry, radiance, ray_dist, ray_dirs, blk,
+                ddgi_volume,
+                # ring cursor must follow the sun-reset sample count
+                dict(carry, ddgi_var_samples=var_samples),
+                radiance, ray_dist, ray_dirs, blk,
                 first_frame=(carry['frame_index']
                              < settings.gi_update_phases),
                 lifecycle=lifecycle)

@@ -31,6 +31,7 @@ from toyrenderer_tpu.ops import packing as P
 
 IRR_RES = 8           # octahedral irradiance texels per probe side
 DIST_RES = 16         # distance texels per probe side
+VAR_WINDOW = 16       # kMinimumVariabilitySamples (GIRenderer.cpp:162)
 HYSTERESIS = 0.5      # GIRenderer.cpp:115 parity
 
 
@@ -103,11 +104,16 @@ def init_probes(volume: DdgiVolume):
         ddgi_offset=jnp.zeros((p, 3), jnp.float32),
         ddgi_state=jnp.ones((p,), jnp.float32),
         ddgi_variability=jnp.asarray(1.0, jnp.float32),
-        # convergence-skip state (GIRenderer.cpp:466-470 skips the WHOLE
-        # GI pass once variability settles): updates since last reset,
-        # and the sun signature whose change re-triggers updates (the
-        # reference acknowledges staleness there with a TODO; the sun
-        # reset closes it)
+        # convergence-skip state (GIRenderer.cpp:162-190 parity: the
+        # reference rings the last kMinimumVariabilitySamples=16 raw
+        # variability values and converges when their STD-DEV drops
+        # under m_VariabilityStdDevThreshold — "stopped improving", not
+        # "is small"; the raw level floors at the ray-jitter noise and
+        # never reaches a small absolute threshold): ring + updates
+        # since last reset + the sun signature whose change re-triggers
+        # updates (the reference acknowledges staleness there with a
+        # TODO; the sun reset closes it)
+        ddgi_var_ring=jnp.ones((VAR_WINDOW,), jnp.float32),
         ddgi_var_samples=jnp.asarray(0.0, jnp.float32),
         ddgi_sun_sig=jnp.full((7,), jnp.inf, jnp.float32),
     )
@@ -717,7 +723,8 @@ def update_probe_block(volume: DdgiVolume, carry_probes: dict, radiance,
         carry_probes['ddgi_distance'],
         old_dist * h + new_dist * (1.0 - h), (start, 0, 0))
     out = dict(ddgi_irradiance=irr, ddgi_distance=dst)
-    for k in ('ddgi_offset', 'ddgi_state', 'ddgi_variability'):
+    for k in ('ddgi_offset', 'ddgi_state', 'ddgi_variability',
+              'ddgi_var_ring'):
         if k in carry_probes:
             out[k] = carry_probes[k]
     if lifecycle is None:
@@ -756,4 +763,13 @@ def update_probe_block(volume: DdgiVolume, carry_probes: dict, radiance,
     prev = carry_probes['ddgi_variability']
     out['ddgi_variability'] = jnp.where(
         first_frame, var, prev * 0.9 + var * 0.1)
+    # raw-sample ring for the reference's windowed-std convergence test
+    # (GIRenderer.cpp:162-179): cursor = update count mod window
+    if ('ddgi_var_ring' in carry_probes
+            and 'ddgi_var_samples' in carry_probes):
+        ring = carry_probes['ddgi_var_ring']
+        cur = (carry_probes['ddgi_var_samples'].astype(jnp.int32)
+               % VAR_WINDOW)
+        out['ddgi_var_ring'] = jnp.where(
+            jnp.arange(VAR_WINDOW) == cur, var, ring)
     return out

@@ -184,6 +184,9 @@ def main(argv=None):
     p.add_argument("--culling", action="store_true",
                    help="2-phase culling + bench.py's 0.6 pair-capacity "
                         "(the courtyard bench config)")
+    p.add_argument("--maskedcompact", type=float, default=0.0,
+                   help="masked_compact_frac (0 = dense per-layer "
+                        "resolve)")
     args = p.parse_args(argv)
 
     import jax
@@ -224,7 +227,8 @@ def main(argv=None):
                               gi_update_phases=4 if args.full else 1,
                               enable_taa=args.full,
                               enable_bloom=args.full,
-                              enable_auto_exposure=args.full)
+                              enable_auto_exposure=args.full,
+                              masked_compact_frac=args.maskedcompact)
     ddgi_volume = None
     if args.full:
         from toyrenderer_tpu.ops.ddgi import volume_from_aabb
