@@ -529,11 +529,12 @@ def test_gi_dedicated_tree_matches_shared():
     assert np.abs(shared - lod_tree).mean() < 6.0
 
 
-def test_masked_compact_matches_dense():
-    """masked_resolve_compact with full capacity must reproduce the dense
-    per-layer resolve exactly (same records -> interpolants -> texturing
-    math, just routed through quad compaction + scatter), and small
-    capacity must still render the covered quads identically."""
+def test_peel_merge_matches_dense():
+    """masked_peel_merge_compact with full capacity must reproduce the
+    dense per-layer resolve exactly (same records -> interpolants ->
+    texturing math, routed through quad compaction + a gather-based
+    expansion), and small capacity must still render the covered quads
+    identically."""
     import tempfile
     from toyrenderer_tpu.tools.gen_scene import GlbBuilder, quad_card
 
@@ -580,7 +581,7 @@ def test_masked_compact_matches_dense():
         st = RenderSettings(width=128, height=128, manual_exposure=0.3,
                             alpha_layers=2, max_tris_per_tile=64,
                             max_big_tris=64, tile_batch=4,
-                            masked_compact_frac=frac)
+                            peel_merge_frac=frac)
         img, _, _ = make_render_fn(st)(
             d, jnp.asarray(pi), jnp.asarray(pm), fi, init_carry(d, st),
             mask_pair_inst=jnp.asarray(mi),
@@ -602,14 +603,14 @@ def test_masked_compact_matches_dense():
     assert np.isfinite(compact_tiny).all()
     assert np.array_equal(dense[:, :10], compact_tiny[:, :10])
 
-    # Pallas fast path (ONE L-layer peel fill + compacted resolve,
-    # interpret mode) must agree with the dense XLA reference within
-    # u8 rounding
+    # Pallas fast path (ONE occluder-seeded L-layer peel fill + the
+    # same compact merge, interpret mode) must agree with the dense XLA
+    # reference within u8 rounding
     def run_pallas(frac):
         st = RenderSettings(width=128, height=128, manual_exposure=0.3,
                             alpha_layers=2, max_tris_per_tile=64,
                             max_big_tris=64, tile_batch=4,
-                            masked_compact_frac=frac,
+                            peel_merge_frac=frac,
                             use_pallas_fill=True)
         img, _, _ = make_render_fn(st)(
             d, jnp.asarray(pi), jnp.asarray(pm), fi, init_carry(d, st),

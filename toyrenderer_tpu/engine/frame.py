@@ -76,13 +76,13 @@ class RenderSettings:
     gi_update_phases: int = 1             # probes update in P/N blocks
     gi_sample_scale: int = 2              # probe-sampling downscale when
     #                                       gi_half_res (2 = half res)
-    masked_compact_frac: float = 0.0      # masked-peel resolve compaction:
-    #   fraction of screen 2x2 quads textured per peel layer (hit quads
-    #   compact to a small image; overflow drops — bounded amplification).
-    #   0 (default) = dense full-screen resolve per layer.  Worth turning
-    #   on when masked-fragment screen coverage is well under the budget
-    #   (compaction pays 4 record rows per covered quad vs 1 texel row
-    #   per screen quad dense, so break-even is ~25% coverage)
+    peel_merge_frac: float = 0.0          # masked-peel compact merge:
+    #   fraction of screen 2x2 quads budgeted for masked coverage; ALL
+    #   peel layers resolve + texture at compact rate in one pass and
+    #   only the nearest alpha-passing fragment expands back (one
+    #   full-res gather).  Overflow quads drop their fragments —
+    #   bounded amplification.  0 (default) = dense full-screen resolve
+    #   per layer (exact reference semantics at any coverage)
     pack_gbuffer: bool = False            # True = the packed 4xu32
     #   GBuffer (reference parity) is the ONLY inter-pass medium;
     #   False (default) also emits float shading planes so the fused
@@ -393,60 +393,91 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                                                              cfg)
         h0_, w0_ = depth.shape
         n_layers = max(settings.alpha_layers, 1)
-        # fast path: ONE lean L-layer peel fill (insertion cascade in
-        # VMEM, no in-kernel resolve) + compacted per-layer resolve —
-        # the sequential path below pays L full fused fills and its
-        # in-kernel interpolant epilogue is dead work when the compact
-        # resolve re-derives the GBuffer from the raw records
-        peel_fast = (use_pallas and sp_mesh is None
-                     and settings.masked_compact_frac > 0
-                     and h0_ % 2 == 0 and w0_ % 2 == 0)
-        peel_layers = None
-        if peel_fast:
-            from toyrenderer_tpu.ops.raster_pallas import fill_peel_stream
-            depth_l, tid_l = fill_peel_stream(
-                setup_m, bins_m, cfg, layers=n_layers,
-                occluder_depth=depth,
-                interpret=jax.default_backend() not in ('tpu', 'axon'))
-            peel_layers = [(depth_l[i], tid_l[i])
-                           for i in range(n_layers)]
-        for _layer in range(n_layers):
-            if peel_layers is not None:
-                depth_m, tid_m = peel_layers[_layer]
-                rec_m = records_m
-            elif sp_mesh is not None:
-                (_, recs_m, depth_m, tid_m, interp_m,
-                 _) = _raster_with_records(
-                    scene, geo_m, cfg, use_pallas, inst_world, inst_adj,
-                    prev_inst_world, prev_vp, sp_mesh=sp_mesh,
-                    peel_depth=peel)
-                rec_m = interp_m if interp_m is not None else recs_m
-            elif use_pallas:
+        # live merge channels: with float shading planes the packed
+        # gbuffer0-3 are never consumed (unpack_gbuffer prefers planes)
+        # and uv only feeds debug views — pruning them matters on the
+        # compact-merge path, where dead lanes of the ONE fused
+        # un-compaction gather can't be DCE'd by XLA
+        if settings.pack_gbuffer:
+            merge_scalar = ['gbuffer0', 'gbuffer1', 'gbuffer2',
+                            'gbuffer3']
+            merge_vec = ['motion']
+        else:
+            merge_scalar = ['rough_f', 'metal_f']
+            merge_vec = ['motion', 'albedo_f', 'normal_f', 'emissive_f']
+        if settings.debug_mode != 0:
+            merge_vec.append('uv')
+        merge_chan = set(merge_scalar) | set(merge_vec)
+        # fast path: ALL layers resolve + texture at COMPACT rate in one
+        # pass (ops/gbuffer.masked_peel_merge_compact) — masked geometry
+        # covers a small screen fraction, so the dense per-layer resolve
+        # below pays ~2 full-screen texture passes of pure waste.  With
+        # Pallas, ONE lean L-layer peel fill (insertion cascade in VMEM,
+        # occluder-seeded, no in-kernel resolve) replaces L full fused
+        # fills whose interpolant epilogues would be dead work.
+        merge_fast = (sp_mesh is None and records_m is not None
+                      and settings.peel_merge_frac > 0
+                      and h0_ % 2 == 0 and w0_ % 2 == 0)
+        if merge_fast:
+            if use_pallas:
                 from toyrenderer_tpu.ops.raster_pallas import (
-                    fill_resolve_stream)
-                depth_m, tid_m, rec_m = fill_resolve_stream(
-                    setup_m, records_m, bins_m, cfg, peel_depth=peel)
+                    fill_peel_stream)
+                depth_l, tid_l = fill_peel_stream(
+                    setup_m, bins_m, cfg, layers=n_layers,
+                    occluder_depth=depth,
+                    interpret=jax.default_backend() not in
+                    ('tpu', 'axon'))
             else:
-                depth_m, tid_m = raster_mod.fill_visibility(
-                    setup_m, table_m, big_m, cfg, peel_depth=peel)
-                rec_m = records_m
-            h_, w_ = depth_m.shape
-            compact = (settings.masked_compact_frac > 0
-                       and records_m is not None
-                       and h_ % 2 == 0 and w_ % 2 == 0)
-            if compact:
-                from toyrenderer_tpu.ops.gbuffer import (
-                    masked_resolve_compact)
-                cap_q = max(int((h_ // 2) * (w_ // 2)
-                                * settings.masked_compact_frac), 256)
-                gb_m = masked_resolve_compact(
-                    records_m, depth_m, tid_m, frame_inputs['jitter'],
-                    cfg, cap_q, atlas=atlas,
-                    num_textures=scene.num_textures,
-                    quad_taps=settings.texture_quad_taps,
-                    aniso=settings.texture_aniso,
-                    emit_planes=not settings.pack_gbuffer)
-            else:
+                dl, tl = [], []
+                for _layer in range(n_layers):
+                    depth_m, tid_m = raster_mod.fill_visibility(
+                        setup_m, table_m, big_m, cfg, peel_depth=peel)
+                    # occluder mask (the Pallas peel seeds layers with
+                    # the opaque depth in-kernel instead)
+                    dl.append(depth_m)
+                    tl.append(jnp.where(depth_m > depth, tid_m, -1))
+                    peel = depth_m
+                depth_l = jnp.stack(dl)
+                tid_l = jnp.stack(tl)
+            from toyrenderer_tpu.ops.gbuffer import (
+                masked_peel_merge_compact)
+            cap_q = max(int((h0_ // 2) * (w0_ // 2)
+                            * settings.peel_merge_frac), 256)
+            gb_m = masked_peel_merge_compact(
+                records_m, depth_l, tid_l, frame_inputs['jitter'],
+                cfg, cap_q, atlas=atlas,
+                num_textures=scene.num_textures,
+                quad_taps=settings.texture_quad_taps,
+                aniso=settings.texture_aniso,
+                emit_planes=not settings.pack_gbuffer,
+                channels=merge_chan)
+            passes = gb_m['passes']
+            for k in merge_scalar:
+                if k in gb and k in gb_m:
+                    gb[k] = jnp.where(passes, gb_m[k], gb[k])
+            for k in merge_vec:
+                if k in gb and k in gb_m:
+                    gb[k] = jnp.where(passes[..., None], gb_m[k], gb[k])
+            depth = jnp.where(passes, gb_m['depth'], depth)
+            tri_id = jnp.where(passes, gb_m['tri_id'], tri_id)
+        else:
+            for _layer in range(n_layers):
+                if sp_mesh is not None:
+                    (_, recs_m, depth_m, tid_m, interp_m,
+                     _) = _raster_with_records(
+                        scene, geo_m, cfg, use_pallas, inst_world,
+                        inst_adj, prev_inst_world, prev_vp,
+                        sp_mesh=sp_mesh, peel_depth=peel)
+                    rec_m = interp_m if interp_m is not None else recs_m
+                elif use_pallas:
+                    from toyrenderer_tpu.ops.raster_pallas import (
+                        fill_resolve_stream)
+                    depth_m, tid_m, rec_m = fill_resolve_stream(
+                        setup_m, records_m, bins_m, cfg, peel_depth=peel)
+                else:
+                    depth_m, tid_m = raster_mod.fill_visibility(
+                        setup_m, table_m, big_m, cfg, peel_depth=peel)
+                    rec_m = records_m
                 gb_m = resolve_gbuffer(
                     rec_m, depth_m, tid_m,
                     frame_inputs['jitter'], cfg,
@@ -455,24 +486,21 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                     quad_taps=settings.texture_quad_taps,
                     aniso=settings.texture_aniso,
                     emit_planes=not settings.pack_gbuffer)
-            passes = ((gb_m['alpha'] >= gb_m['alpha_cutoff'])
-                      & (depth_m > depth) & (depth_m > 0.0) & ~chosen)
-            if 'covered' in gb_m:
-                passes = passes & gb_m['covered']
-            for k in ('gbuffer0', 'gbuffer1', 'gbuffer2', 'gbuffer3',
-                      'rough_f', 'metal_f'):
-                if k in gb:
-                    gb[k] = jnp.where(passes, gb_m[k], gb[k])
-            for k in ('motion', 'uv', 'albedo_f', 'normal_f',
-                      'emissive_f'):
-                if k in gb:
-                    gb[k] = jnp.where(passes[..., None], gb_m[k], gb[k])
-            depth = jnp.where(passes, depth_m, depth)
-            tri_id = jnp.where(passes, tid_m, tri_id)   # ids index the
-            # MASKED setup for those pixels; aux-only (shading reads the
-            # gbuffer)
-            chosen = chosen | passes
-            peel = depth_m
+                passes = ((gb_m['alpha'] >= gb_m['alpha_cutoff'])
+                          & (depth_m > depth) & (depth_m > 0.0) & ~chosen)
+                for k in merge_scalar:
+                    if k in gb and k in gb_m:
+                        gb[k] = jnp.where(passes, gb_m[k], gb[k])
+                for k in merge_vec:
+                    if k in gb and k in gb_m:
+                        gb[k] = jnp.where(passes[..., None], gb_m[k],
+                                          gb[k])
+                depth = jnp.where(passes, depth_m, depth)
+                tri_id = jnp.where(passes, tid_m, tri_id)  # ids index
+                # the MASKED setup for those pixels; aux-only (shading
+                # reads the gbuffer)
+                chosen = chosen | passes
+                peel = depth_m
         gb['depth'] = depth
 
     # -- Sky radiance closure (Hosek-Wilkie default, SkyRenderer.cpp

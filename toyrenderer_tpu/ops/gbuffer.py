@@ -175,7 +175,7 @@ def resolve_interpolants(records, depth, tri_id, cfg, pixel_xy=None,
     This is the XLA reference for the Pallas kernel's in-VMEM epilogue;
     tests assert the two match.
 
-    pixel_xy/screen_wh: compacted images (masked_resolve_compact) carry
+    pixel_xy/screen_wh: compacted images (masked_peel_merge_compact) carry
     pixels from arbitrary screen locations — pass their true pixel
     centers and the real screen size (edge equations are normalized to
     screen units).
@@ -267,7 +267,7 @@ def finish_gbuffer(interp, depth, tri_id, jitter, cfg, atlas=None,
     material texturing with analytic-derivative mip selection and emits
     'tex_feedback' (per-texture min desired mip, the sampler-feedback
     equivalent).
-    pixel_xy/screen_wh: compacted images (masked_resolve_compact) carry
+    pixel_xy/screen_wh: compacted images (masked_peel_merge_compact) carry
     pixels from arbitrary screen locations — their true pixel centers and
     the real screen size (motion vectors are in screen units).
     """
@@ -412,147 +412,6 @@ def resolve_gbuffer(records, depth, tri_id, jitter, cfg, atlas=None,
                           aniso=aniso, emit_planes=emit_planes)
 
 
-# float plane keys merged across base-pass phases alongside the packed
-# channels (frame.py masked-peel merge)
-PLANE_KEYS = ('albedo_f', 'normal_f', 'emissive_f', 'rough_f', 'metal_f')
-
-
-def masked_resolve_compact(records, depth, tri_id, jitter, cfg, cap_quads,
-                           atlas=None, num_textures: int = 0,
-                           quad_taps: bool = False, aniso: int = 1,
-                           emit_planes: bool = True):
-    """Sparse-coverage resolve: texture + shade ONLY the 2x2 pixel quads
-    that contain a drawn fragment, then scatter back to full-res planes.
-
-    The masked peel layers (foliage/banners — basepass.hlsl
-    ALPHA_MASK_MODE) cover a small screen fraction, but the dense resolve
-    pays full-screen desc/texel gathers + filtering per layer (~7 ms each
-    at 1080p).  This compacts hit quads to a (2, 2*cap) image (quads stay
-    2x2-aligned so the quad-shared sampler works unchanged), resolves
-    records -> interpolants -> textured GBuffer with the exact same math
-    (true pixel centers via pixel_xy/screen_wh), and scatters back.
-
-    Quads beyond cap_quads drop their fragments — bounded-amplification
-    semantics like every other capacity here.  The returned 'covered'
-    (H, W) bool marks pixels whose quad WAS compacted; callers AND it
-    into the peel accept mask so dropped quads fail the alpha test
-    instead of reading scattered zeros.
-
-    Layout: compacted quads tile a NEAR-SQUARE (2R, 2C) image (quad k at
-    block (k//C, k%C)) — TPU arrays tile (8, 128), so the obvious
-    (2, 2*cap) strip wastes 3/4 of every sublane and ran the whole path
-    at 213 ms vs 85 dense; the square layout keeps full VPU occupancy.
-    """
-    H, W = depth.shape
-    assert H % 2 == 0 and W % 2 == 0
-    hq, wq = H // 2, W // 2
-    q = hq * wq
-    C = 256                                # quad columns (2C = 512 lanes)
-    R = max(-(-int(min(cap_quads, q)) // C), 4)
-    cap = R * C
-
-    hitq = (tri_id >= 0).reshape(hq, 2, wq, 2).any(axis=(1, 3))
-    key = jnp.where(hitq.reshape(-1), jnp.arange(q, dtype=jnp.int32),
-                    jnp.int32(q))
-    order = jax.lax.sort(key)[:cap]                    # hit-first quad ids
-    okq = order < q
-    oq = jnp.where(okq, order, 0)
-    qy = oq // wq
-    qx = oq % wq
-    d2 = jnp.arange(2, dtype=jnp.int32)
-    py_i = 2 * qy[:, None, None] + d2[None, :, None]   # (cap, 2, 1)
-    px_i = 2 * qx[:, None, None] + d2[None, None, :]   # (cap, 1, 2)
-    flat = (py_i * W + px_i).reshape(cap, 2, 2)
-    flat_v = flat.reshape(-1)
-
-    def quads_to_img(v):
-        """(cap, 2, 2[, n]) quad blocks -> (2R, 2C[, n]) image."""
-        rest = v.shape[3:]
-        v = v.reshape(R, C, 2, 2, *rest)
-        v = jnp.moveaxis(v, 2, 1)                      # (R, 2, C, 2, ...)
-        return v.reshape(2 * R, 2 * C, *rest)
-
-    def to_img(x):
-        rest = x.shape[2:]
-        return quads_to_img(
-            x.reshape(H * W, *rest)[flat_v].reshape(cap, 2, 2, *rest))
-
-    # ONE packed gather for depth+tid (gathers, like scatters, pay per
-    # row pass)
-    dz = jnp.stack([depth,
-                    jax.lax.bitcast_convert_type(tri_id, jnp.float32)],
-                   -1)                                 # (H, W, 2)
-    both = to_img(dz)
-    depth_c = both[..., 0]
-    tid_c = jax.lax.bitcast_convert_type(both[..., 1], jnp.int32)
-    ok_img = quads_to_img(jnp.broadcast_to(
-        okq[:, None, None], (cap, 2, 2)))
-    tid_c = jnp.where(ok_img, tid_c, -1)
-    pxc = quads_to_img(jnp.broadcast_to(
-        px_i, (cap, 2, 2))).astype(jnp.float32)
-    pyc = quads_to_img(jnp.broadcast_to(
-        py_i, (cap, 2, 2))).astype(jnp.float32)
-    pix = (pxc + 0.5, pyc + 0.5)
-
-    interp_c = resolve_interpolants(records, depth_c, tid_c, cfg,
-                                    pixel_xy=pix, screen_wh=(W, H))
-    gb_c = finish_gbuffer(interp_c, depth_c, tid_c, jitter, cfg,
-                          atlas=atlas, num_textures=num_textures,
-                          quad_taps=quad_taps, aniso=aniso,
-                          emit_planes=emit_planes, pixel_xy=pix,
-                          screen_wh=(W, H))
-
-    # scatter back; invalid slot j routes to the DISTINCT out-of-bounds
-    # index H*W+j and drops — indices stay globally unique, so the
-    # unique_indices promise holds.  ALL channels ride ONE wide scatter:
-    # TPU scatter cost is a per-ROW pass (~12 ms per 311k-row scatter at
-    # 1080p measured, regardless of width), so 14 per-channel scatters
-    # cost ~97 ms while one bit-packed (rows, 23) scatter costs one.
-    pad_oob = (jnp.int32(H * W)
-               + jnp.arange(cap * 4, dtype=jnp.int32).reshape(cap, 2, 2))
-    idxs = quads_to_img(jnp.where(
-        jnp.broadcast_to(okq[:, None, None], (cap, 2, 2)),
-        flat, pad_oob)).reshape(-1)
-
-    gb_c['covered'] = ok_img
-    names, widths, dtypes, parts = [], [], [], []
-    passthrough = {}
-    for k, v in gb_c.items():
-        if k in ('tex_feedback', 'vt_tile_feedback'):
-            passthrough[k] = v               # per-texture reductions
-            continue
-        if k == 'depth':
-            passthrough[k] = depth           # full-res input, unchanged
-            continue
-        names.append(k)
-        dtypes.append(v.dtype)
-        v2 = v[..., None] if v.ndim == 2 else v
-        widths.append(v2.shape[-1])
-        if v2.dtype == jnp.bool_:
-            v2 = v2.astype(jnp.uint32)
-        if v2.dtype != jnp.float32:
-            v2 = jax.lax.bitcast_convert_type(v2, jnp.float32)
-        parts.append(v2)
-    packed = jnp.concatenate(parts, axis=-1)            # (2R, 2C, Ctot)
-    ctot = packed.shape[-1]
-    flatp = packed.reshape(2 * R * 2 * C, ctot)
-    dest = jnp.zeros((H * W, ctot), jnp.float32)
-    dest = dest.at[idxs].set(flatp, mode='drop',
-                             unique_indices=True).reshape(H, W, ctot)
-
-    out = dict(passthrough)
-    o = 0
-    for k, wd, dt in zip(names, widths, dtypes):
-        v = dest[..., o:o + wd]
-        o += wd
-        if dt == jnp.bool_:
-            v = jax.lax.bitcast_convert_type(v, jnp.uint32) > 0
-        elif dt != jnp.float32:
-            v = jax.lax.bitcast_convert_type(v, dt)
-        out[k] = v[..., 0] if wd == 1 else v
-    return out
-
-
 def unpack_gbuffer(gb: dict):
     """GBuffer channels -> shading inputs (lightingcommon.hlsli unpack).
     Prefers the full-precision float planes when present (the fused-jit
@@ -569,3 +428,168 @@ def unpack_gbuffer(gb: dict):
     return dict(albedo=albedo[..., :3], normal=normal, emissive=emissive,
                 roughness=rm[..., 0], metallic=rm[..., 1],
                 depth=gb['depth'])
+
+
+def masked_peel_merge_compact(records, peel_depth, peel_tid, jitter, cfg,
+                              cap_quads, atlas=None, num_textures: int = 0,
+                              quad_taps: bool = False, aniso: int = 1,
+                              emit_planes: bool = True, channels=None):
+    """ALL masked peel layers -> merged winner channels in ONE compact
+    pass, un-compacted by a single full-res GATHER (no scatter).
+
+    The reference alpha-tests cutout fragments inside the base-pass PS
+    (basepass.hlsl ALPHA_MASK_MODE discard) so the nearest PASSING
+    fragment wins for free.  The TPU equivalent peels L visibility
+    layers (fill_peel_stream, occluder-seeded so only fragments in
+    front of the opaque surface survive), then must texture each layer
+    to learn its alpha — but masked geometry covers a small screen
+    fraction, so texturing full-screen per layer (~12 ms each at 1080p)
+    is almost all waste.  This compacts the 2x2 pixel quads that contain
+    ANY peel fragment, resolves + textures EVERY layer at compact rate,
+    picks the nearest alpha-passing fragment per pixel in compact space,
+    and expands only the winner's merge channels back to full res.
+
+    vs the earlier per-layer compact resolve with a full-res SCATTER
+    back (removed): the packed scatter alone cost ~12 ms/layer at 1080p
+    and the per-layer sort/gather fixed costs repeated; here the sort,
+    the un-compaction (one gather: quad -> compact slot from a cumsum
+    rank) and the full-res merge run ONCE for all layers.
+
+    Quads beyond cap_quads drop their fragments (bounded-amplification
+    semantics — same contract as the pair lists).  Returns full-res
+    {'passes' (H, W) bool, 'depth', 'tri_id', <merge channels>}; the
+    caller jnp.where's them over the opaque GBuffer.
+    """
+    L, H, W = peel_tid.shape
+    assert H % 2 == 0 and W % 2 == 0
+    hq, wq = H // 2, W // 2
+    q = hq * wq
+    C = 256
+    R = max(-(-int(min(cap_quads, q)) // C), 4)
+    cap = R * C
+
+    hit_any = (peel_tid >= 0).any(axis=0)                  # (H, W)
+    hitq_img = hit_any.reshape(hq, 2, wq, 2).any(axis=(1, 3))
+    hitq = hitq_img.reshape(-1)
+    # ascending-q order of hit quads == cumsum rank (both stable), so
+    # the build side (sort) and the expand side (cumsum) agree on slots
+    key = jnp.where(hitq, jnp.arange(q, dtype=jnp.int32), jnp.int32(q))
+    order = jax.lax.sort(key)[:cap]
+    okq = order < q
+    oq = jnp.where(okq, order, 0)
+    qy = oq // wq
+    qx = oq % wq
+    d2 = jnp.arange(2, dtype=jnp.int32)
+    py_i = 2 * qy[:, None, None] + d2[None, :, None]       # (cap, 2, 1)
+    px_i = 2 * qx[:, None, None] + d2[None, None, :]       # (cap, 1, 2)
+    flat_v = (py_i * W + px_i).reshape(-1)                 # (cap*4,)
+
+    def quads_to_img(v):
+        rest = v.shape[3:]
+        v = v.reshape(R, C, 2, 2, *rest)
+        v = jnp.moveaxis(v, 2, 1)
+        return v.reshape(2 * R, 2 * C, *rest)
+
+    # ONE packed gather pulls every layer's depth+tid into compact space
+    dz = jnp.concatenate(
+        [jnp.moveaxis(peel_depth, 0, -1),
+         jax.lax.bitcast_convert_type(
+             jnp.moveaxis(peel_tid, 0, -1), jnp.float32)], -1)
+    img = quads_to_img(
+        dz.reshape(H * W, 2 * L)[flat_v].reshape(cap, 2, 2, 2 * L))
+    ok_img = quads_to_img(jnp.broadcast_to(
+        okq[:, None, None], (cap, 2, 2)))
+    pxc = quads_to_img(jnp.broadcast_to(
+        px_i, (cap, 2, 2))).astype(jnp.float32)
+    pyc = quads_to_img(jnp.broadcast_to(
+        py_i, (cap, 2, 2))).astype(jnp.float32)
+    pix = (pxc + 0.5, pyc + 0.5)
+
+    # resolve + texture every layer at compact rate; nearest passing
+    # fragment wins (layers arrive nearest-first from the peel fill)
+    win = None
+    depth_w = tid_w = None
+    merged = {}
+    want = None
+    for li in range(L):
+        depth_c = img[..., li]
+        tid_c = jax.lax.bitcast_convert_type(img[..., L + li], jnp.int32)
+        tid_c = jnp.where(ok_img, tid_c, -1)
+        interp = resolve_interpolants(records, depth_c, tid_c, cfg,
+                                      pixel_xy=pix, screen_wh=(W, H))
+        gb_l = finish_gbuffer(interp, depth_c, tid_c, jitter, cfg,
+                              atlas=atlas, num_textures=num_textures,
+                              quad_taps=quad_taps, aniso=aniso,
+                              emit_planes=emit_planes, pixel_xy=pix,
+                              screen_wh=(W, H))
+        # occluder-seeded peel: tid >= 0 already implies in front of the
+        # opaque surface and depth > 0
+        p_l = (gb_l['alpha'] >= gb_l['alpha_cutoff']) & (tid_c >= 0)
+        sel = p_l if win is None else (p_l & ~win)
+        if want is None:
+            want = [k for k in gb_l
+                    if k not in ('alpha', 'alpha_cutoff', 'depth',
+                                 'tex_feedback', 'tex_desired_mip',
+                                 'vt_tile_feedback', 'uv')
+                    and (channels is None or k in channels)]
+            if channels is not None and 'uv' in channels:
+                want.append('uv')
+        for k in want:
+            v = gb_l[k]
+            s = sel[..., None] if v.ndim == 3 else sel
+            merged[k] = (jnp.where(s, v, 0)
+                         if k not in merged
+                         else jnp.where(s, v, merged[k]))
+        depth_w = (jnp.where(sel, depth_c, 0.0) if depth_w is None
+                   else jnp.where(sel, depth_c, depth_w))
+        tid_w = (jnp.where(sel, tid_c, -1) if tid_w is None
+                 else jnp.where(sel, tid_c, tid_w))
+        win = p_l if win is None else (win | p_l)
+
+    # pack winner channels (+ depth/tid/win) into one wide row table and
+    # expand with ONE full-res gather: quad -> slot is the cumsum rank
+    names, widths, dtypes, parts = [], [], [], []
+    for k in ['depth', 'tri_id', 'win'] + list(merged.keys()):
+        v = {'depth': depth_w, 'tri_id': tid_w,
+             'win': win}.get(k, merged.get(k))
+        names.append(k)
+        dtypes.append(v.dtype)
+        v2 = v[..., None] if v.ndim == 2 else v
+        widths.append(v2.shape[-1])
+        if v2.dtype == jnp.bool_:
+            v2 = v2.astype(jnp.uint32)
+        if v2.dtype != jnp.float32:
+            v2 = jax.lax.bitcast_convert_type(v2, jnp.float32)
+        parts.append(v2)
+    packed = jnp.concatenate(parts, -1)                    # (2R, 2C, ct)
+    ct = packed.shape[-1]
+    table = jnp.concatenate(
+        [packed.reshape(2 * R * 2 * C, ct),
+         jnp.zeros((1, ct), jnp.float32)], 0)
+    pad_row = 2 * R * 2 * C
+
+    slot = jnp.cumsum(hitq.astype(jnp.int32)) - 1          # rank
+    validq = hitq & (slot < cap)
+    r_ = slot // C
+    c_ = slot % C
+    base = jnp.where(validq, (2 * r_) * (2 * C) + 2 * c_,
+                     pad_row).reshape(hq, wq)
+    basef = jnp.repeat(jnp.repeat(base, 2, axis=0), 2, axis=1)
+    ry = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) % 2
+    rx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1) % 2
+    idx = jnp.where(basef < pad_row,
+                    basef + ry * (2 * C) + rx, pad_row)
+    rows = table[idx]                                      # ONE gather
+
+    out = {}
+    o = 0
+    for k, wd, dt in zip(names, widths, dtypes):
+        v = rows[..., o:o + wd]
+        o += wd
+        if dt == jnp.bool_:
+            v = jax.lax.bitcast_convert_type(v, jnp.uint32) > 0
+        elif dt != jnp.float32:
+            v = jax.lax.bitcast_convert_type(v, dt)
+        out[k] = v[..., 0] if wd == 1 else v
+    out['passes'] = out.pop('win')
+    return out

@@ -184,8 +184,8 @@ def main(argv=None):
     p.add_argument("--culling", action="store_true",
                    help="2-phase culling + bench.py's 0.6 pair-capacity "
                         "(the courtyard bench config)")
-    p.add_argument("--maskedcompact", type=float, default=0.0,
-                   help="masked_compact_frac (0 = dense per-layer "
+    p.add_argument("--peelmerge", type=float, default=0.0,
+                   help="peel_merge_frac (0 = dense per-layer "
                         "resolve)")
     args = p.parse_args(argv)
 
@@ -228,7 +228,7 @@ def main(argv=None):
                               enable_taa=args.full,
                               enable_bloom=args.full,
                               enable_auto_exposure=args.full,
-                              masked_compact_frac=args.maskedcompact)
+                              peel_merge_frac=args.peelmerge)
     ddgi_volume = None
     if args.full:
         from toyrenderer_tpu.ops.ddgi import volume_from_aabb
