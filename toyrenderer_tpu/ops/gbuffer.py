@@ -546,12 +546,14 @@ def masked_peel_merge_compact(records, peel_depth, peel_tid, jitter, cfg,
                  else jnp.where(sel, tid_c, tid_w))
         win = p_l if win is None else (win | p_l)
 
-    # pack winner channels (+ depth/tid/win) into one wide row table and
-    # expand with ONE full-res gather: quad -> slot is the cumsum rank
+    # pack winner channels (+ depth/tid) into one QUAD-rate row table —
+    # all 4 pixels of a quad ride one row, so the expansion gather runs
+    # at hq*wq rows (518k at 1080p), not H*W (gathers pay per ROW; the
+    # per-pixel variant measured ~4x this pass).  'win' needs no lane:
+    # tid_w is -1 exactly where no layer passed.
     names, widths, dtypes, parts = [], [], [], []
-    for k in ['depth', 'tri_id', 'win'] + list(merged.keys()):
-        v = {'depth': depth_w, 'tri_id': tid_w,
-             'win': win}.get(k, merged.get(k))
+    for k in ['depth', 'tri_id'] + list(merged.keys()):
+        v = {'depth': depth_w, 'tri_id': tid_w}.get(k, merged.get(k))
         names.append(k)
         dtypes.append(v.dtype)
         v2 = v[..., None] if v.ndim == 2 else v
@@ -563,23 +565,21 @@ def masked_peel_merge_compact(records, peel_depth, peel_tid, jitter, cfg,
         parts.append(v2)
     packed = jnp.concatenate(parts, -1)                    # (2R, 2C, ct)
     ct = packed.shape[-1]
+    pq = jnp.moveaxis(packed.reshape(R, 2, C, 2, ct), 1, 2)
+    # pad row for un-hit/overflow quads: every pixel's tri_id lane must
+    # read -1 (passes = tri_id >= 0), everything else 0
+    neg1 = jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32)
+    pad = jnp.zeros((4, ct), jnp.float32).at[:, 1].set(neg1)
     table = jnp.concatenate(
-        [packed.reshape(2 * R * 2 * C, ct),
-         jnp.zeros((1, ct), jnp.float32)], 0)
-    pad_row = 2 * R * 2 * C
+        [pq.reshape(R * C, 4 * ct),                        # (cap, 4ct)
+         pad.reshape(1, 4 * ct)], 0)
 
     slot = jnp.cumsum(hitq.astype(jnp.int32)) - 1          # rank
     validq = hitq & (slot < cap)
-    r_ = slot // C
-    c_ = slot % C
-    base = jnp.where(validq, (2 * r_) * (2 * C) + 2 * c_,
-                     pad_row).reshape(hq, wq)
-    basef = jnp.repeat(jnp.repeat(base, 2, axis=0), 2, axis=1)
-    ry = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) % 2
-    rx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1) % 2
-    idx = jnp.where(basef < pad_row,
-                    basef + ry * (2 * C) + rx, pad_row)
-    rows = table[idx]                                      # ONE gather
+    idx = jnp.where(validq, slot, cap).reshape(hq, wq)
+    rows_q = table[idx]                                    # ONE gather
+    rows = jnp.moveaxis(
+        rows_q.reshape(hq, wq, 2, 2, ct), 2, 1).reshape(H, W, ct)
 
     out = {}
     o = 0
@@ -591,5 +591,5 @@ def masked_peel_merge_compact(records, peel_depth, peel_tid, jitter, cfg,
         elif dt != jnp.float32:
             v = jax.lax.bitcast_convert_type(v, dt)
         out[k] = v[..., 0] if wd == 1 else v
-    out['passes'] = out.pop('win')
+    out['passes'] = out['tri_id'] >= 0
     return out
