@@ -558,7 +558,14 @@ def masked_peel_merge_compact(records, peel_depth, peel_tid, jitter, cfg,
         dtypes.append(v.dtype)
         v2 = v[..., None] if v.ndim == 2 else v
         widths.append(v2.shape[-1])
-        if v2.dtype == jnp.bool_:
+        if k == 'tri_id':
+            # tid rides as a FLOAT VALUE (exact to 2^24), not a bitcast:
+            # the pad row needs a -1 tid constant, and a bitcast i32 -1
+            # is an f32 NaN literal whose payload constant folding may
+            # canonicalize (observed on TPU: pad tids read back >= 0,
+            # every sky pixel "passed")
+            v2 = v2.astype(jnp.float32)
+        elif v2.dtype == jnp.bool_:
             v2 = v2.astype(jnp.uint32)
         if v2.dtype != jnp.float32:
             v2 = jax.lax.bitcast_convert_type(v2, jnp.float32)
@@ -568,8 +575,7 @@ def masked_peel_merge_compact(records, peel_depth, peel_tid, jitter, cfg,
     pq = jnp.moveaxis(packed.reshape(R, 2, C, 2, ct), 1, 2)
     # pad row for un-hit/overflow quads: every pixel's tri_id lane must
     # read -1 (passes = tri_id >= 0), everything else 0
-    neg1 = jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32)
-    pad = jnp.zeros((4, ct), jnp.float32).at[:, 1].set(neg1)
+    pad = jnp.zeros((4, ct), jnp.float32).at[:, 1].set(-1.0)
     table = jnp.concatenate(
         [pq.reshape(R * C, 4 * ct),                        # (cap, 4ct)
          pad.reshape(1, 4 * ct)], 0)
@@ -586,7 +592,9 @@ def masked_peel_merge_compact(records, peel_depth, peel_tid, jitter, cfg,
     for k, wd, dt in zip(names, widths, dtypes):
         v = rows[..., o:o + wd]
         o += wd
-        if dt == jnp.bool_:
+        if k == 'tri_id':
+            v = jnp.round(v).astype(jnp.int32)
+        elif dt == jnp.bool_:
             v = jax.lax.bitcast_convert_type(v, jnp.uint32) > 0
         elif dt != jnp.float32:
             v = jax.lax.bitcast_convert_type(v, dt)
