@@ -620,3 +620,56 @@ def test_peel_merge_matches_dense():
 
     pal = run_pallas(0.8)
     assert np.abs(pal - dense).max() <= 1
+
+
+def test_refit_cache_matches_uncached():
+    """init_carry's refit caches (rt_bvh_cache / gi_bvh_cache /
+    gi_shade_cache) must be transparent: a shadows+GI frame sequence
+    with caches enabled renders bit-identically to the uncached one,
+    including a frame where instance transforms CHANGE (the caches must
+    rebuild, not serve stale trees / shade records)."""
+    from toyrenderer_tpu.ops.bvh import build_rt_static
+    from toyrenderer_tpu.ops.ddgi import DdgiVolume
+
+    scene_host = load_scene("resources/cornell.gltf", use_cache=False)
+    scene = scene_host.to_device()
+    pi_h, pm_h = static_meshlet_pairs(scene_host)
+    pi, pm = jnp.asarray(pi_h), jnp.asarray(pm_h)
+    lo, hi = (np.asarray(x) for x in scene_host.world_aabb)
+    vol = DdgiVolume(origin=tuple(lo), spacing=tuple((hi - lo) / 3.0),
+                     counts=(4, 4, 4), rays_per_probe=32,
+                     max_ray_distance=float(np.linalg.norm(hi - lo)))
+    st = RenderSettings(width=96, height=64, enable_gi=True,
+                        enable_shadows=True, shadow_technique='rt',
+                        manual_exposure=0.02)
+    rts = build_rt_static(scene_host, pi_h, pm_h)
+    rts_gi = build_rt_static(scene_host, pi_h, pm_h)
+    rt_kw = dict(rt_static=rts, rt_static_gi=rts_gi,
+                 gi_pair_inst=pi, gi_pair_meshlet=pm)
+
+    def run(cached):
+        view = View.from_scene(scene_host, st.width, st.height)
+        view.enable_jitter = False
+        ck = (dict(rt_static=rts, rt_static_gi=rts_gi,
+                   pair_inst=pi, pair_meshlet=pm,
+                   gi_pair_inst=pi, gi_pair_meshlet=pm)
+              if cached else {})
+        carry = init_carry(scene, st, vol, **ck)
+        if cached:
+            assert 'rt_bvh_cache' in carry and 'gi_bvh_cache' in carry
+        render = make_render_fn(st, vol, donate_carry=False)
+        imgs = []
+        for i in range(3):
+            mats = view.matrices()
+            fi = default_frame_inputs(scene_host, mats)
+            if i == 2:   # move every instance: caches must rebuild
+                fi = dict(fi, node_translation=jnp.asarray(
+                    fi['node_translation']) + 0.05)
+            img, carry, _ = render(scene, pi, pm, fi, carry, **rt_kw)
+            imgs.append(np.asarray(img))
+        return imgs
+
+    plain = run(False)
+    cached = run(True)
+    for i, (a, b) in enumerate(zip(plain, cached)):
+        assert np.array_equal(a, b), f"frame {i} differs"

@@ -183,9 +183,20 @@ class RenderSettings:
 FrameCarry = dict
 
 
-def init_carry(scene, settings: RenderSettings, ddgi_volume=None
-               ) -> FrameCarry:
-    """Initial cross-frame state (device arrays)."""
+def init_carry(scene, settings: RenderSettings, ddgi_volume=None,
+               rt_static=None, rt_static_gi=None, pair_inst=None,
+               pair_meshlet=None, rt_pair_inst=None, rt_pair_meshlet=None,
+               gi_pair_inst=None, gi_pair_meshlet=None,
+               mask_pair_inst=None, mask_pair_meshlet=None) -> FrameCarry:
+    """Initial cross-frame state (device arrays).
+
+    Passing the frame's rt_static / rt_static_gi (+ the same pair
+    streams render_frame will get) enables the REFIT CACHES: zero-filled
+    pytrees matching the refit outputs exactly, so the frame re-refits
+    trees and rebuilds GI shade records only when an instance transform
+    changes (frame 0 always builds).  Without them the frame refits
+    every frame (still correct).
+    """
     n_inst = scene.inst_node.shape[0]
     eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
                            (n_inst, 4, 4))
@@ -225,6 +236,41 @@ def init_carry(scene, settings: RenderSettings, ddgi_volume=None
         carry['restir_reservoir'] = dict(
             li=jnp.zeros(hw, jnp.int32), r1=jnp.zeros(hw),
             r2=jnp.zeros(hw), w=jnp.zeros(hw), m=jnp.zeros(hw))
+
+    # refit caches (see docstring)
+    needs_rays = (settings.enable_shadows
+                  and settings.shadow_technique == 'rt')
+    gi_own_tree = settings.enable_gi and rt_static_gi is not None
+    needs_rt = (needs_rays or settings.enable_restir
+                or (settings.enable_gi and not gi_own_tree))
+    if ((needs_rt and rt_static is not None) or gi_own_tree):
+        from toyrenderer_tpu.ops import bvh as bvh_mod
+        from toyrenderer_tpu.ops import ddgi as ddgi_mod
+        _, _, g_pi, g_pm = _rt_streams(
+            rt_static, rt_static_gi, pair_inst, pair_meshlet,
+            rt_pair_inst, rt_pair_meshlet, gi_pair_inst, gi_pair_meshlet,
+            mask_pair_inst, mask_pair_meshlet, gi_own_tree)
+
+        def _zeros_of(fn, *a):
+            sh = jax.eval_shape(fn, *a)
+            return jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), sh)
+
+        if needs_rt and rt_static is not None:
+            carry['rt_bvh_cache'] = _zeros_of(
+                lambda w: _refit_tree(rt_static, w), eye)
+        if gi_own_tree:
+            def _gi_shapes(w):
+                gi_bvh = _refit_tree(rt_static_gi, w)
+                gv0, gv1, gv2, _u = bvh_mod.world_triangles(
+                    scene, w, jnp.asarray(g_pi), jnp.asarray(g_pm))
+                shade = ddgi_mod.build_shade_records(
+                    scene, jnp.asarray(g_pi), jnp.asarray(g_pm),
+                    gv0, gv1, gv2)
+                return gi_bvh, shade
+            b, s_ = _zeros_of(_gi_shapes, eye)
+            carry['gi_bvh_cache'] = b
+            carry['gi_shade_cache'] = s_
     return carry
 
 
@@ -287,6 +333,52 @@ def _raster_stats(setup, bins):
         tris=jnp.sum(setup['valid'].astype(jnp.int32)),
         binned_pairs=jnp.sum(bins['counts']),
         big_tris=jnp.sum((bins['big_list'] >= 0).astype(jnp.int32)))
+
+
+def _refit_tree(rt_s, inst_world):
+    """Per-frame refit of a frozen topology (BLAS-cache analogue)."""
+    if hasattr(rt_s, 'depth_ranges'):
+        # adaptive SAH topology (explicit child refs): Pallas-only
+        # traversal — callers select it on TPU backends
+        from toyrenderer_tpu.ops.bvh_sah import refit_sah
+        return refit_sah(rt_s, inst_world)
+    return bvh_mod.refit_bvh(rt_s, inst_world)
+
+
+def _rt_streams(rt_static, rt_static_gi, pair_inst, pair_meshlet,
+                rt_pair_inst, rt_pair_meshlet, gi_pair_inst,
+                gi_pair_meshlet, mask_pair_inst, mask_pair_meshlet,
+                gi_own_tree):
+    """Assemble the RT / GI pair streams.
+
+    rt_static is built WITH the alpha-masked set appended (coverage-kept
+    cutout tris occlude — shadowmask.hlsl any-hit alpha parity): the
+    payload indexes the CONCATENATED pair stream, so shade records /
+    world triangles must span it too.  The explicit rt_pair_* override
+    lets the RT topology use a DIFFERENT pair list than the raster
+    (e.g. reduced-LOD geometry on Bistro-scale scenes); payloads index
+    that stream.  Shared by render_frame and init_carry (refit-cache
+    shape derivation must match the frame's streams exactly).
+    """
+    base_pi = rt_pair_inst if rt_pair_inst is not None else pair_inst
+    base_pm = (rt_pair_meshlet if rt_pair_meshlet is not None
+               else pair_meshlet)
+    rt_pi, rt_pm = base_pi, base_pm
+    if (rt_static is not None
+            and getattr(rt_static, 'n_mask_pairs', 0) > 0
+            and mask_pair_inst is not None):
+        nm = rt_static.n_mask_pairs
+        rt_pi = jnp.concatenate([base_pi, mask_pair_inst[:nm]])
+        rt_pm = jnp.concatenate([base_pm, mask_pair_meshlet[:nm]])
+    g_pi = gi_pair_inst if gi_pair_inst is not None else base_pi
+    g_pm = gi_pair_meshlet if gi_pair_meshlet is not None else base_pm
+    if (gi_own_tree
+            and getattr(rt_static_gi, 'n_mask_pairs', 0) > 0
+            and mask_pair_inst is not None):
+        nm = rt_static_gi.n_mask_pairs
+        g_pi = jnp.concatenate([g_pi, mask_pair_inst[:nm]])
+        g_pm = jnp.concatenate([g_pm, mask_pair_meshlet[:nm]])
+    return rt_pi, rt_pm, g_pi, g_pm
 
 
 def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
@@ -536,32 +628,30 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     # pair-order world triangles feed DDGI shade records / ReSTIR lights
     needs_tris = (settings.enable_restir
                   or (settings.enable_gi and not gi_own_tree))
-    # rt_static built WITH the alpha-masked set appended (coverage-kept
-    # cutout tris occlude — shadowmask.hlsl any-hit alpha parity): the
-    # payload indexes the CONCATENATED pair stream, so shade records /
-    # world triangles must span it too
-    # explicit rt_pair_* override: the RT topology may be built over a
-    # DIFFERENT pair list than the raster (e.g. reduced-LOD geometry on
-    # Bistro-scale scenes) — payloads index that stream
-    base_pi = rt_pair_inst if rt_pair_inst is not None else pair_inst
-    base_pm = (rt_pair_meshlet if rt_pair_meshlet is not None
-               else pair_meshlet)
-    rt_pi, rt_pm = base_pi, base_pm
-    if (rt_static is not None
-            and getattr(rt_static, 'n_mask_pairs', 0) > 0
-            and mask_pair_inst is not None):
-        nm = rt_static.n_mask_pairs
-        rt_pi = jnp.concatenate([base_pi, mask_pair_inst[:nm]])
-        rt_pm = jnp.concatenate([base_pm, mask_pair_meshlet[:nm]])
+    # stream assembly shared with init_carry's refit-cache shapes
+    rt_pi, rt_pm, g_pi, g_pm = _rt_streams(
+        rt_static, rt_static_gi, pair_inst, pair_meshlet, rt_pair_inst,
+        rt_pair_meshlet, gi_pair_inst, gi_pair_meshlet, mask_pair_inst,
+        mask_pair_meshlet, gi_own_tree)
+    # refit caching: a static scene re-refits nothing — the per-frame
+    # transform + AABB reduction (~2-10 ms at real tree sizes) runs only
+    # when an instance matrix changed (Scene.cpp:411-466 rebuilds the
+    # TLAS every frame because that's nearly free on RT cores)
+    rt_carry = {}
+    scene_moved = None
+    if needs_rt or settings.enable_gi:
+        scene_moved = (jnp.any(inst_world != prev_inst_world)
+                       | (carry['frame_index'] == 0))
     if needs_rt:
         if rt_static is not None:
-            if hasattr(rt_static, 'depth_ranges'):
-                # adaptive SAH topology (explicit child refs): Pallas-
-                # only traversal — callers select it on TPU backends
-                from toyrenderer_tpu.ops.bvh_sah import refit_sah
-                bvh = refit_sah(rt_static, inst_world)
+            if 'rt_bvh_cache' in carry:
+                bvh = jax.lax.cond(
+                    scene_moved,
+                    lambda _: _refit_tree(rt_static, inst_world),
+                    lambda _: carry['rt_bvh_cache'], 0)
+                rt_carry['rt_bvh_cache'] = bvh
             else:
-                bvh = bvh_mod.refit_bvh(rt_static, inst_world)
+                bvh = _refit_tree(rt_static, inst_world)
             if needs_tris:
                 tv0, tv1, tv2, tvalid = bvh_mod.world_triangles(
                     scene, inst_world, rt_pi, rt_pm)
@@ -699,33 +789,32 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         _GI_KEYS = ('ddgi_irradiance', 'ddgi_distance', 'ddgi_offset',
                     'ddgi_state', 'ddgi_variability', 'ddgi_var_ring')
 
+        def _gi_build(_):
+            # dedicated GI topology: probe rays are diffuse-frequency,
+            # so they trace a (usually LOD-reduced, SAH-flavored) tree
+            # built over its own pair stream — the TPU-first trade the
+            # reference's shared TLAS doesn't make.  Shade records
+            # must span the GI stream (payloads index it).
+            gi_bvh = _refit_tree(rt_static_gi, inst_world)
+            gv0, gv1, gv2, _u = bvh_mod.world_triangles(
+                scene, inst_world, g_pi, g_pm)
+            shade = ddgi_mod.build_shade_records(
+                scene, g_pi, g_pm, gv0, gv1, gv2)
+            return gi_bvh, shade
+
         def _gi_update(_):
             if gi_own_tree:
-                # dedicated GI topology: probe rays are diffuse-frequency,
-                # so they trace a (usually LOD-reduced, SAH-flavored) tree
-                # built over its own pair stream — the TPU-first trade the
-                # reference's shared TLAS doesn't make.  Shade records
-                # must span the GI stream (payloads index it).
-                g_pi = gi_pair_inst if gi_pair_inst is not None else base_pi
-                g_pm = (gi_pair_meshlet if gi_pair_meshlet is not None
-                        else base_pm)
-                if (getattr(rt_static_gi, 'n_mask_pairs', 0) > 0
-                        and mask_pair_inst is not None):
-                    nm = rt_static_gi.n_mask_pairs
-                    g_pi = jnp.concatenate([g_pi, mask_pair_inst[:nm]])
-                    g_pm = jnp.concatenate([g_pm, mask_pair_meshlet[:nm]])
-                if hasattr(rt_static_gi, 'depth_ranges'):
-                    from toyrenderer_tpu.ops.bvh_sah import refit_sah
-                    gi_bvh = refit_sah(rt_static_gi, inst_world)
+                if 'gi_bvh_cache' in carry:
+                    gi_bvh, shade_rec = jax.lax.cond(
+                        scene_moved, _gi_build,
+                        lambda _: (carry['gi_bvh_cache'],
+                                   carry['gi_shade_cache']), 0)
                 else:
-                    gi_bvh = bvh_mod.refit_bvh(rt_static_gi, inst_world)
-                gv0, gv1, gv2, _u = bvh_mod.world_triangles(
-                    scene, inst_world, g_pi, g_pm)
+                    gi_bvh, shade_rec = _gi_build(0)
             else:
-                gi_bvh, g_pi, g_pm = bvh, rt_pi, rt_pm
-                gv0, gv1, gv2 = tv0, tv1, tv2
-            shade_rec = ddgi_mod.build_shade_records(
-                scene, g_pi, g_pm, gv0, gv1, gv2)
+                gi_bvh = bvh
+                shade_rec = ddgi_mod.build_shade_records(
+                    scene, rt_pi, rt_pm, tv0, tv1, tv2)
             # block-phased trace with the full probe lifecycle:
             # relocation, classification (inactive probes are ray-masked
             # to zero cost) and variability convergence
@@ -748,10 +837,17 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                 first_frame=(carry['frame_index']
                              < settings.gi_update_phases),
                 lifecycle=lifecycle)
-            return {k: gic[k] for k in _GI_KEYS}
+            out = {k: gic[k] for k in _GI_KEYS}
+            if gi_own_tree and 'gi_bvh_cache' in carry:
+                out['gi_bvh_cache'] = gi_bvh
+                out['gi_shade_cache'] = shade_rec
+            return out
 
         def _gi_hold(_):
-            return {k: carry[k] for k in _GI_KEYS}
+            keys = list(_GI_KEYS)
+            if gi_own_tree and 'gi_bvh_cache' in carry:
+                keys += ['gi_bvh_cache', 'gi_shade_cache']
+            return {k: carry[k] for k in keys}
 
         gi_carry = jax.lax.cond(gi_converged, _gi_hold, _gi_update, 0)
         gi_carry['ddgi_var_samples'] = jnp.where(gi_converged,
@@ -924,6 +1020,7 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     )
     if settings.enable_culling:
         new_carry['hzb'] = new_hzb
+    new_carry.update(rt_carry)
     new_carry.update(shadow_carry)
     new_carry.update(gi_carry)
     new_carry.update(restir_carry)

@@ -38,6 +38,7 @@ PASS_OF_MODULE = [
     ('ops/shadowmap', 'ShadowMask'),
     ('ops/shadows', 'ShadowMask'),
     ('ops/denoise', 'Denoise'),
+    ('ops/warp_pallas', 'Denoise'),   # TAA/denoise history warp kernel
     ('ops/gtao', 'AmbientOcclusion'),
     ('ops/ddgi', 'GI(DDGI)'),
     ('ops/bvh_pallas', 'RT(traverse)'),
@@ -251,7 +252,11 @@ def main(argv=None):
                 print(f"[rt] GI topology LOD{gl}: "
                       f"{gs.payload.shape[0]} tri slots")
     view = View.from_scene(scene_host, w, h)
-    carry = init_carry(scene, settings, ddgi_volume)
+    carry = init_carry(scene, settings, ddgi_volume,
+                       rt_static=rt_static, rt_static_gi=rt_static_gi,
+                       pair_inst=pi, pair_meshlet=pm,
+                       gi_pair_inst=gi_pi, gi_pair_meshlet=gi_pm,
+                       mask_pair_inst=mk_i, mask_pair_meshlet=mk_m)
     render = make_render_fn(settings, ddgi_volume)
 
     fi = default_frame_inputs(scene_host, view.matrices())
