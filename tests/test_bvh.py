@@ -410,3 +410,62 @@ def test_rt_lod_pairs_budget():
     assert tN < t0
     rts = B.build_rt_static(s, piN[:256], pmN[:256])
     assert int((np.asarray(rts.payload) >= 0).sum()) > 0
+
+
+def test_traverse_binned_matches_lockstep():
+    """Binned two-phase traversal (phase-A entry intersect -> per-round
+    nearest-subtree packets -> root-seeded fallback) must agree with the
+    XLA lockstep traversal for closest-hit (same hit set, same winner,
+    t within tolerance) and on the hit mask for any-hit, across rounds
+    counts (0 rounds = pure fallback) and live masking."""
+    from toyrenderer_tpu.ops.bvh_pallas import traverse_binned
+
+    rng = np.random.RandomState(7)
+    t = 4000
+    v0 = rng.uniform(-15, 15, (t, 3)).astype(np.float32)
+    v1 = v0 + rng.uniform(-0.7, 0.7, (t, 3)).astype(np.float32)
+    v2 = v0 + rng.uniform(-0.7, 0.7, (t, 3)).astype(np.float32)
+    valid = np.ones(t, bool)
+    valid[::13] = False
+    bvh = B.build_bvh(jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+                      jnp.asarray(valid))
+
+    n = 1500   # not a packet multiple
+    o = rng.uniform(-20, 20, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ref = B.traverse(bvh, jnp.asarray(o), jnp.asarray(d), t_max=150.0,
+                     max_steps=8192)
+    rh = np.asarray(ref['hit'])
+    for rounds in (0, 1, 3):
+        got = traverse_binned(bvh, jnp.asarray(o), jnp.asarray(d),
+                              t_max=150.0, rounds=rounds,
+                              interpret=True)
+        gh = np.asarray(got['hit'])
+        assert np.array_equal(rh, gh), f"rounds={rounds}"
+        m = rh
+        np.testing.assert_allclose(np.asarray(got['t'])[m],
+                                   np.asarray(ref['t'])[m], rtol=1e-4,
+                                   atol=1e-5)
+        assert np.array_equal(np.asarray(got['tri'])[m],
+                              np.asarray(ref['tri'])[m])
+
+    ga = traverse_binned(bvh, jnp.asarray(o), jnp.asarray(d),
+                         t_max=150.0, any_hit=True, rounds=2,
+                         interpret=True)
+    assert np.array_equal(np.asarray(ga['hit']), rh)
+
+    # live masking: dead rays report miss and never affect others
+    lv = np.ones(n, np.float32)
+    lv[::3] = 0.0
+    gl = traverse_binned(bvh, jnp.asarray(o), jnp.asarray(d),
+                         t_max=150.0, rounds=2,
+                         live=jnp.asarray(lv), interpret=True)
+    glh = np.asarray(gl['hit'])
+    assert not glh[::3].any()
+    keep = lv > 0
+    assert np.array_equal(glh[keep], rh[keep])
+    m2 = keep & rh
+    np.testing.assert_allclose(
+        np.asarray(gl['t'])[m2], np.asarray(ref['t'])[m2],
+        rtol=1e-4, atol=1e-5)

@@ -214,17 +214,29 @@ def _traverse_sharded(bvh: Bvh, origins, directions, t_max,
     return {k: v[:n] for k, v in res.items()}
 
 
-def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
-                     cb_ref,             # (PR, 48|64) node rows (VMEM)
-                     leaf_ref,           # (NG, 120) leaf rows (VMEM/HBM)
-                     out_ref,            # (1, C*SUB, 128) results
-                     stack_scr,          # SMEM (STACK_CAP,) i32
-                     leaf_scr,           # VMEM (1, 128) leaf-row landing
-                     leaf_sem,           # DMA semaphore
-                     *, n_levels: int, level_offsets: tuple,
+def _traverse_kernel(*refs,
+                     n_levels: int, level_offsets: tuple,
                      any_hit: bool, max_visits: int, sub: int,
                      want_uv: bool, leaf_hbm: bool,
-                     explicit_refs: bool = False):
+                     explicit_refs: bool = False, seeded: bool = False):
+    """refs = [seed_ref?, ray_ref, cb_ref, leaf_ref, out_ref,
+               stack_scr, leaf_scr, leaf_sem]
+
+    ray_ref (1, 8*SUB, 128) packet components; cb_ref (PR, 48|64) node
+    rows (VMEM); leaf_ref (NG, 120) leaf rows (VMEM/HBM); out_ref
+    (1, C*SUB, 128); stack_scr SMEM (STACK_CAP,) i32.
+
+    seeded: scalar-prefetched per-packet stack seed (binned traversal —
+    the packet starts at its bin's SUBTREE root instead of the tree
+    root; a negative seed marks an all-padding packet, which exits
+    immediately).
+    """
+    if seeded:
+        (seed_ref, ray_ref, cb_ref, leaf_ref, out_ref,
+         stack_scr, leaf_scr, leaf_sem) = refs
+    else:
+        (ray_ref, cb_ref, leaf_ref, out_ref,
+         stack_scr, leaf_scr, leaf_sem) = refs
     ray = ray_ref[0]
     ox, oy, oz = ray[0:sub], ray[sub:2 * sub], ray[2 * sub:3 * sub]
     dx, dy, dz = (ray[3 * sub:4 * sub], ray[4 * sub:5 * sub],
@@ -264,8 +276,14 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
 
     leaf_level = n_levels - 1
 
-    # seed: the root node (level 0 index 0)
-    stack_scr[0] = jnp.int32(0 << _ENC_LEVEL_BITS | 0)
+    if seeded:
+        seed = seed_ref[pl.program_id(0)]
+        stack_scr[0] = jnp.maximum(seed, 0)
+        sp0 = jnp.where(seed >= 0, jnp.int32(1), jnp.int32(0))
+    else:
+        # seed: the root node (level 0 index 0)
+        stack_scr[0] = jnp.int32(0 << _ENC_LEVEL_BITS | 0)
+        sp0 = jnp.int32(1)
 
     neg1 = jnp.full((sub, 128), -1.0)
     zero = jnp.zeros((sub, 128))
@@ -514,7 +532,7 @@ def _traverse_kernel(ray_ref,            # (1, 8*SUB, 128) packet components
                                 visit_leaf_pipelined)
         return jax.lax.cond(is_leaf, visit_leaf, visit_internal)
 
-    init = _pack(jnp.int32(1), jnp.int32(0), t_cap, neg1, zero, zero,
+    init = _pack(sp0, jnp.int32(0), t_cap, neg1, zero, zero,
                  jnp.int32(-1), jnp.int32(0))
     fin = jax.lax.while_loop(cond, body, init)
     (sp, visits, best_t, best_tri, best_u, best_v,
@@ -1069,3 +1087,202 @@ def traverse_pallas(bvh: Bvh, origins, directions, t_max,
                 u=flat(4) if want_uv else zero,
                 v=flat(5) if want_uv else zero,
                 steps=flat(3).astype(jnp.int32))
+
+
+def _entry_nodes_complete(bvh: Bvh, max_entries: int = 128):
+    """Deepest complete-tree level with <= max_entries nodes ->
+    (boxes (E, 6) f32 [lo.xyz hi.xyz], seeds (E,) i32, level).
+
+    Entry boxes come from the PARENT rows one level up (component-major:
+    row[c*8+k] = component c of child k).  Prefix-truncated padding
+    children carry sealed far-point boxes and are never selected."""
+    offs = list(bvh.level_offset) + [bvh.child_boxes.shape[0]]
+    leaf_level = bvh.num_levels - 1
+    best = None
+    for lvl in range(1, leaf_level):             # internal entries only
+        if (offs[lvl] - offs[lvl - 1]) * ARITY <= max_entries:
+            best = lvl
+    if best is None:
+        return None
+    lvl = best
+    rows = bvh.child_boxes[offs[lvl - 1]:offs[lvl]]
+    n_par = rows.shape[0]
+    b = rows.reshape(n_par, 6, ARITY).transpose(0, 2, 1)
+    boxes = b.reshape(n_par * ARITY, 6)
+    ids = jnp.arange(n_par * ARITY, dtype=jnp.int32)
+    seeds = (ids << _ENC_LEVEL_BITS) | lvl
+    return boxes, seeds, lvl
+
+
+def traverse_binned(bvh: Bvh, origins, directions, t_max,
+                    any_hit: bool = False, live=None, rounds: int = 2,
+                    packet: int = 1024, max_entries: int = 128,
+                    interpret: bool = False):
+    """Binned two-phase packet traversal (exact; closest or any hit).
+
+    The single-packet kernel walks the UNION of its rays' paths — on
+    divergent sets (DDGI probe rays) ~97% of the per-visit work is
+    lockstep waste.  This is the raster's answer applied to RT:
+
+    1. Phase A slab-tests every ray against the ~max_entries ENTRY
+       subtree boxes in one vectorized XLA pass (no tree walk).
+    2. Each round bins the still-active rays by their NEAREST unvisited
+       entry (capacity-padded packet groups, like the raster's chunk
+       lists) and runs the packet kernel SEEDED at that entry — a
+       packet only ever walks one subtree, with rays that chose it, so
+       visit unions collapse to the bin's locality; best_t from earlier
+       rounds rides in as t_cap, and a ray whose hit precedes every
+       unvisited entry interval drops out (near-to-far exactness).
+    3. Rays still unfinished after `rounds` take one root-seeded
+       live-masked pass, so the result is EXACT for any `rounds`.
+
+    Returns the traverse_pallas dict (u/v zeros; steps = rounds used).
+    """
+    n = origins.shape[0]
+    ent = _entry_nodes_complete(bvh, max_entries)
+    if ent is None:
+        return traverse_pallas(bvh, origins, directions, t_max,
+                               any_hit=any_hit, live=live,
+                               interpret=interpret)
+    boxes, seeds, _lvl = ent
+    e_n = boxes.shape[0]
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    live_b = (jnp.ones((n,), bool) if live is None
+              else jnp.asarray(live) > 0)
+
+    # phase A: entry intervals (same eps handling as the kernel)
+    eps = 1e-12
+    d = directions
+    sd = jnp.where(jnp.abs(d) < eps, jnp.where(d < 0, -eps, eps), d)
+    inv = 1.0 / sd
+    t0 = (boxes[None, :, 0:3] - origins[:, None]) * inv[:, None]
+    t1 = (boxes[None, :, 3:6] - origins[:, None]) * inv[:, None]
+    tn = jnp.maximum(jnp.minimum(t0, t1).max(-1), 0.0)
+    tf = jnp.maximum(t0, t1).min(-1)
+    ok = (tf >= tn) & live_b[:, None] & (tn <= t_max[:, None]) \
+        & (tn < 1e30)
+    tmins = jnp.where(ok, tn, jnp.inf)                    # (N, E)
+
+    sub = packet // _LANE
+    cap_slots = (-(-n // packet) + e_n) * packet
+    cap_p = cap_slots // packet
+    ids = jnp.arange(n, dtype=jnp.int32)
+    e_ar = jnp.arange(e_n, dtype=jnp.int32)
+
+    best_t = t_max
+    best_tri = jnp.full((n,), -1, jnp.int32)
+
+    leaf = bvh.leaf_rows
+    leaf_hbm = not fits_vmem(bvh)
+    if leaf_hbm:
+        leaf = jnp.pad(leaf, ((0, 0), (0, 128 - leaf.shape[1])))
+    cb = bvh.child_boxes
+    max_visits = int(cb.shape[0]) + int(leaf.shape[0])
+    if leaf_hbm:
+        max_visits = 2 * max_visits + 2
+    kernel = functools.partial(
+        _traverse_kernel, n_levels=bvh.num_levels,
+        level_offsets=tuple(bvh.level_offset), any_hit=any_hit,
+        max_visits=max_visits, sub=sub, want_uv=False,
+        leaf_hbm=leaf_hbm, explicit_refs=False, seeded=True)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(cap_p,),
+        in_specs=[
+            pl.BlockSpec((1, 8 * sub, _LANE), lambda i, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY if leaf_hbm
+                         else pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4 * sub, _LANE),
+                               lambda i, s: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SMEM((STACK_CAP,), jnp.int32),
+                        pltpu.VMEM((2, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+    )
+
+    for _r in range(rounds):
+        remaining = tmins.min(axis=1)
+        active = live_b & (remaining < best_t)
+        if any_hit:
+            active = active & (best_tri < 0)
+        sel = jnp.argmin(tmins, axis=1).astype(jnp.int32)
+        key = jnp.where(active, sel, jnp.int32(e_n))
+        skey, sid = jax.lax.sort((key, ids), num_keys=1)
+        bounds = jnp.searchsorted(skey, jnp.arange(e_n + 1,
+                                                   dtype=jnp.int32))
+        counts = bounds[1:] - bounds[:-1]                 # (E,)
+        padded = -(-counts // packet) * packet
+        cum = jnp.cumsum(padded)
+        poff = cum - padded                               # (E,)
+        pos = jnp.arange(n, dtype=jnp.int32)
+        sk = jnp.minimum(skey, e_n - 1)
+        slot = jnp.where(skey < e_n,
+                         poff[sk] + (pos - bounds[sk]),
+                         jnp.int32(cap_slots))
+        # sorted-by-ray slot table (no scatter: sid is a permutation)
+        _, slot_of_ray = jax.lax.sort((sid, slot), num_keys=1)
+        # slot -> ray (one scatter of N unique i32)
+        ray_slot = jnp.full((cap_slots,), -1, jnp.int32).at[
+            jnp.minimum(slot, cap_slots - 1)].set(
+                jnp.where(slot < cap_slots, sid, -1), mode='drop',
+                unique_indices=True)
+        # per-packet seed: packet p belongs to the entry whose padded
+        # range covers slot p*packet
+        sp_ = jnp.arange(cap_p, dtype=jnp.int32) * packet
+        e_of_p = jnp.searchsorted(cum, sp_, side='right').astype(
+            jnp.int32)
+        seed_p = jnp.where(e_of_p < e_n,
+                           seeds[jnp.minimum(e_of_p, e_n - 1)],
+                           jnp.int32(-1))
+
+        ridx = jnp.maximum(ray_slot, 0)
+        valid = (ray_slot >= 0).astype(jnp.float32)
+
+        def comp(x):
+            return x[ridx].reshape(cap_p, sub, _LANE)
+        packed = jnp.concatenate([
+            comp(origins[:, 0]), comp(origins[:, 1]),
+            comp(origins[:, 2]),
+            comp(d[:, 0]), comp(d[:, 1]), comp(d[:, 2]),
+            comp(best_t), valid.reshape(cap_p, sub, _LANE),
+        ], axis=1)
+
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((cap_p, 4 * sub, _LANE),
+                                           jnp.float32),
+            interpret=interpret,
+        )(seed_p, packed, cb, leaf)
+
+        sl_ok = slot_of_ray < cap_slots
+        sl = jnp.minimum(slot_of_ray, cap_slots - 1)
+        o_flat_t = out[:, 0:sub].reshape(-1)
+        o_flat_i = out[:, sub:2 * sub].reshape(-1)
+        t_r = o_flat_t[sl]
+        tri_r = o_flat_i[sl].astype(jnp.int32)
+        upd = sl_ok & (tri_r >= 0) & (t_r < best_t)
+        best_t = jnp.where(upd, t_r, best_t)
+        best_tri = jnp.where(upd, tri_r, best_tri)
+        tmins = jnp.where(active[:, None] & (e_ar[None] == sel[:, None]),
+                          jnp.inf, tmins)
+
+    # exactness fallback: any ray whose unvisited entries could still
+    # beat its best hit takes one root-seeded live-masked pass
+    rem = live_b & (tmins.min(axis=1) < best_t)
+    if any_hit:
+        rem = rem & (best_tri < 0)
+    res = traverse_pallas(bvh, origins, directions, best_t,
+                          any_hit=any_hit,
+                          live=rem.astype(jnp.float32),
+                          interpret=interpret)
+    upd = rem & res['hit'] & (res['t'] < best_t)
+    best_t = jnp.where(upd, res['t'], best_t)
+    best_tri = jnp.where(upd, res['tri'], best_tri)
+
+    hit = best_tri >= 0
+    zero = jnp.zeros((n,), jnp.float32)
+    return dict(hit=hit, t=jnp.where(hit, best_t, t_max), tri=best_tri,
+                u=zero, v=zero, steps=jnp.zeros((n,), jnp.int32))

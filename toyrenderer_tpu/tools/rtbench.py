@@ -200,9 +200,23 @@ def main(argv=None):
         return traverse_pallas_gdir(b, o, g, t_max=1e4, any_hit=ah,
                                     **gkw, **lh)
 
+    from toyrenderer_tpu.ops.bvh_pallas import traverse_binned
+
+    def run_binned(b, o, d, ah):
+        bkw = {k: v for k, v in kw.items()
+               if k not in ('prefilter', 'packet')}
+        return traverse_binned(
+            b, o, d, t_max=1e4, any_hit=ah,
+            rounds=int(os.environ.get('TR_BIN_ROUNDS', '2')),
+            packet=int(os.environ.get('TR_BIN_PACKET', '1024')),
+            max_entries=int(os.environ.get('TR_BIN_ENTRIES', '128')),
+            **bkw)
+
     rows = [("shadow(any-hit)", bvh, sh_o, sh_d, True, None),
             ("probe(closest)", bvh, pr_o, pr_d, False, None),
-            ("probe(gdir)", bvh, gd_o, gd_d, False, run_gdir)]
+            ("probe(gdir)", bvh, gd_o, gd_d, False, run_gdir),
+            ("probe(binned)", bvh, pr_o, pr_d, False, run_binned),
+            ("shadow(binned)", bvh, sh_o, sh_d, True, run_binned)]
     if sah is not None:
         rows += [("probe(sah)", sah, pr_o, pr_d, False, run_plain),
                  ("probe(sah+gdir)", sah, gd_o, gd_d, False,
