@@ -923,7 +923,12 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                            frame_inputs['inv_view_proj'],
                            carry['frame_index'],
                            radius=settings.ao_radius)
-            ao = jnp.repeat(jnp.repeat(ao_h, 2, 0), 2, 1)
+            # broadcast+reshape, NOT jnp.repeat: 2D-plane repeats pay a
+            # lane-dim relayout (~5 ms at 1080p; see ops/texture.py
+            # _quad_expand_ch notes), the broadcast form ~0.4 ms
+            hh, wh = ao_h.shape
+            ao = jnp.broadcast_to(ao_h[:, None, :, None],
+                                  (hh, 2, wh, 2)).reshape(2 * hh, 2 * wh)
         else:
             ao = gtao_fn(depth, m_gb['normal'],
                          frame_inputs['cam_pos'],
