@@ -240,3 +240,82 @@ def test_anisotropic_sampling():
     neg = TS.sample_material_maps(atlas, jnp.asarray([-1]), uv, dx, dy,
                                   aniso=4)
     np.testing.assert_allclose(np.asarray(neg['base'][0]), 1.0, atol=1e-6)
+
+
+def test_analytic_desc_matches_packed_desc():
+    """analytic_desc must reproduce the packed descriptor table exactly
+    for every (texture, mip) of a built atlas (offset relative to the
+    chain base, dims, and the num_mips clamp)."""
+    import numpy as np
+    from toyrenderer_tpu.scene import textures as TX
+    from toyrenderer_tpu.ops.texture import analytic_desc
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    imgs = []
+    for (h, w) in ((64, 64), (128, 32), (100, 60), (1, 1), (256, 256),
+                   (37, 53)):
+        imgs.append(rng.integers(0, 255, (h, w, 4)).astype(np.uint8))
+    atlas = TX.build_atlas(images=imgs)
+    desc = atlas.packed_desc().reshape(len(imgs), TX.MAX_MIPS, 4)
+    base = atlas.desc_offset[:, 0]
+    assert np.all(base % TX.ATLAS_ALIGN == 0)
+    for ti in range(len(imgs)):
+        h0, w0 = imgs[ti].shape[:2]
+        for m in range(TX.MAX_MIPS):
+            off_rel, mw, mh, mc = analytic_desc(
+                jnp.asarray([float(w0)]), jnp.asarray([float(h0)]),
+                jnp.asarray([m], jnp.int32))
+            row = desc[ti, m]
+            assert int(base[ti]) + int(off_rel[0]) == int(row[0]), \
+                (ti, m)
+            assert int(mw[0]) == int(row[1]) and int(mh[0]) == int(row[2])
+
+
+def test_quad_sampler_analytic_matches_desc_path():
+    """The quad sampler's analytic-descriptor path must reproduce the
+    desc-gather path exactly on uniform quads (mixed quads may pick a
+    different representative only at silhouette edges)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from toyrenderer_tpu.scene import textures as TX
+    from toyrenderer_tpu.ops.texture import sample_material_maps_quad
+
+    rng = np.random.default_rng(9)
+    imgs = [rng.integers(0, 255, (64, 64, 4)).astype(np.uint8),
+            rng.integers(0, 255, (128, 128, 4)).astype(np.uint8)]
+    atlas_h = TX.build_atlas(images=imgs)
+    atlas = dict(
+        tex_texels=jnp.asarray(atlas_h.texels),
+        tex_desc=jnp.asarray(atlas_h.packed_desc()),
+        tex_wrap=jnp.asarray(atlas_h.wrap_mode),
+        tex_min_mip=jnp.asarray(atlas_h.min_resident_mip))
+    H, W = 32, 64
+    ent = np.zeros((H, W), np.int32)
+    ent[:, W // 2:] = 1
+    ent[:4, :4] = -1                       # untextured pixels
+    uv = rng.uniform(0, 1, (H, W, 2)).astype(np.float32)
+    # quad-uniform uv derivatives spanning several mips
+    s = rng.uniform(0.001, 0.3, (H // 2, W // 2, 1)).astype(np.float32)
+    s = np.repeat(np.repeat(s, 2, 0), 2, 1)
+    duv = np.concatenate([s, s * 0.5], -1).astype(np.float32)
+    w0 = np.where(ent == 1, 128.0, 64.0).astype(np.float32)
+    h0 = w0.copy()
+    wrap = np.zeros((H, W), np.int32)
+    base = atlas_h.desc_offset[:, 0]
+    base_rows = np.where(ent >= 0, base[np.maximum(ent, 0)],
+                         0).astype(np.int32)
+
+    ref = sample_material_maps_quad(
+        atlas, jnp.asarray(ent), jnp.asarray(uv), jnp.asarray(duv),
+        jnp.asarray(duv * 0.7), jnp.asarray(wrap),
+        (jnp.asarray(w0), jnp.asarray(h0)))
+    got = sample_material_maps_quad(
+        atlas, jnp.asarray(ent), jnp.asarray(uv), jnp.asarray(duv),
+        jnp.asarray(duv * 0.7), jnp.asarray(wrap),
+        (jnp.asarray(w0), jnp.asarray(h0)),
+        base_rows=jnp.asarray(base_rows))
+    # uniform quads (the ent split is 2px-aligned): bitwise equality
+    for k in ('base', 'normal', 'mr', 'emissive'):
+        np.testing.assert_array_equal(np.asarray(ref[k]),
+                                      np.asarray(got[k]))

@@ -444,10 +444,16 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
     if settings.enable_textures and scene.num_textures > 0:
         atlas = scene.atlas_dict()
         # virtual-texture residency overrides from the streaming manager
+        streamed = False
         for k in ('tex_texels', 'tex_desc', 'tex_min_mip',
                   'tex_tile_table'):
             if k in frame_inputs:
                 atlas = dict(atlas, **{k: frame_inputs[k]})
+                streamed = True
+        if streamed and atlas.get('_analytic'):
+            # streaming rewrites desc rows (residency redirection):
+            # keep the desc-gather path; records stay encoded ('_enc')
+            atlas = dict(atlas, _analytic=False)
     gb = resolve_gbuffer(records, depth, tri_id, frame_inputs['jitter'],
                          cfg, atlas=atlas,
                          num_textures=scene.num_textures,

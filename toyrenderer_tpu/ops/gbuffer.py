@@ -116,7 +116,17 @@ def pack_resolve_records(setup: dict, scene, inst_world, inst_adj,
     # T rate costs ~2 ms/frame at 100k triangles (gathers are
     # latency-bound regardless of table size)
     m_tex = scene.mat_base_color_tex                       # (M,)
-    m_safe = jnp.maximum(m_tex, 0)
+    if getattr(scene, 'tex_analytic', False):
+        # analytic-descriptor encoding: tex + 64*base11 (< 2^16, exact
+        # through the fill kernel's hi/lo bf16 fetch); base11 is the
+        # ATLAS_ALIGN-aligned chain base.  finish_gbuffer decodes; the
+        # sampler can then derive mip offsets/sizes from w0/h0 without
+        # the per-quad descriptor-row gather (scene/textures.py notes)
+        from toyrenderer_tpu.scene.textures import ATLAS_ALIGN
+        m_base = (scene.tex_offset[jnp.maximum(m_tex, 0), 0]
+                  // ATLAS_ALIGN)
+        m_tex = jnp.where(m_tex >= 0, m_tex + 64 * m_base, -1)
+    m_safe = jnp.maximum(scene.mat_base_color_tex, 0)
     m_statics_a = (scene.tex_width[m_safe, 0]
                    + 4096 * scene.tex_wrap[m_safe])        # (M,)
     m_h0 = scene.tex_height[m_safe, 0]
@@ -310,6 +320,18 @@ def finish_gbuffer(interp, depth, tri_id, jitter, cfg, atlas=None,
             srgb_to_linear, texture_feedback)
         tex_id = interp[I_TEX].astype(jnp.int32)
         tex_id = jnp.where(hit, tex_id, -1)
+        base_rows = None
+        if atlas.get('_enc'):
+            # records carry tex + 64*base11 (pack_resolve_records);
+            # decode the plain id (feedback/neutral checks) and, when
+            # no streaming override is live, the chain base for the
+            # gather-free analytic descriptor path
+            from toyrenderer_tpu.scene.textures import ATLAS_ALIGN
+            plain = jnp.where(tex_id >= 0, tex_id % 64, -1)
+            if atlas.get('_analytic'):
+                base_rows = jnp.where(
+                    tex_id >= 0, (tex_id // 64) * ATLAS_ALIGN, 0)
+            tex_id = plain
         duv_dx = ch(I_DUVX)
         duv_dy = ch(I_DUVY)
         statics = jnp.round(interp[I_WS]).astype(jnp.int32)
@@ -319,11 +341,12 @@ def finish_gbuffer(interp, depth, tri_id, jitter, cfg, atlas=None,
         if quad_taps and aniso <= 1 and h % 2 == 0 and w % 2 == 0:
             maps = sample_material_maps_quad(
                 atlas, tex_id, uv, duv_dx, duv_dy,
-                wrap=twrap, base_wh=(tw0, th0))
+                wrap=twrap, base_wh=(tw0, th0), base_rows=base_rows)
         else:
             maps = sample_material_maps(
                 atlas, tex_id, uv, duv_dx, duv_dy,
-                wrap=twrap, base_wh=(tw0, th0), aniso=aniso)
+                wrap=twrap, base_wh=(tw0, th0), aniso=aniso,
+                base_rows=base_rows)
         desired = maps['desired']
         tex_rgba = jnp.concatenate(
             [srgb_to_linear(maps['base'][..., :3]),

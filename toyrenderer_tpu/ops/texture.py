@@ -56,6 +56,33 @@ def _texel_index(atlas: dict, row, x, y, mw):
     return jnp.where(vt, idx_vt, flat), jnp.where(vt, tid, -1)
 
 
+def analytic_desc(w0, h0, mip):
+    """Gather-free mip descriptor: (off_rel, mw, mh, mip_clamped).
+
+    The atlas stores each texture's mips contiguously with floor-halving
+    dims, so mip m lives at Σ_{j<m} max(w0>>j,1)*max(h0>>j,1) rows past
+    the chain base and measures (max(w0>>m,1), max(h0>>m,1)) — an
+    11-step vector loop instead of the per-quad descriptor-row gather
+    (row gathers are latency-bound; this halves the sampler's gather
+    count).  Mip clamps to the chain length floor(log2(max(w0,h0)))+1,
+    matching the baked clamp of TextureAtlas.packed_desc for fully
+    resident chains (streaming overrides keep the gather path).
+    """
+    w0i = jnp.maximum(w0.astype(jnp.int32), 1)
+    h0i = jnp.maximum(h0.astype(jnp.int32), 1)
+    nm = jnp.floor(jnp.log2(jnp.maximum(w0i, h0i).astype(jnp.float32)
+                            )).astype(jnp.int32) + 1
+    mip = jnp.minimum(mip, jnp.minimum(nm - 1, MAX_MIPS - 1))
+    off = jnp.zeros_like(mip)
+    for j in range(MAX_MIPS - 1):
+        off = off + jnp.where(
+            mip > j,
+            jnp.maximum(w0i >> j, 1) * jnp.maximum(h0i >> j, 1), 0)
+    mw = jnp.maximum(w0i >> mip, 1)
+    mh = jnp.maximum(h0i >> mip, 1)
+    return off, mw, mh, mip
+
+
 def mip_from_derivatives(duv_dx, duv_dy, width, height):
     """Standard isotropic LOD: log2 of the max screen footprint in texels."""
     fx = jnp.square(duv_dx[..., 0] * width) + jnp.square(
@@ -68,7 +95,7 @@ def mip_from_derivatives(duv_dx, duv_dy, width, height):
 
 def sample_material_maps(atlas: dict, ent_id, uv, duv_dx=None,
                          duv_dy=None, wrap=None, base_wh=None,
-                         aniso: int = 1):
+                         aniso: int = 1, base_rows=None):
     """Bilinear-sample ALL four material maps with ONE texel-row gather
     per tap.
 
@@ -122,10 +149,17 @@ def sample_material_maps(atlas: dict, ent_id, uv, duv_dx=None,
     mip = jnp.clip(jnp.round(desired), 0.0,
                    MAX_MIPS - 1.0).astype(jnp.int32)
 
-    row = atlas['tex_desc'][tid * MAX_MIPS + mip]         # (..., 4)
-    off = row[..., 0]
-    mw = row[..., 1]
-    mh = row[..., 2]
+    if base_rows is not None:
+        # gather-free analytic descriptors (see analytic_desc); callers
+        # guarantee a fully resident, ATLAS_ALIGN-aligned atlas
+        off_rel, mw, mh, mip = analytic_desc(w0, h0, mip)
+        off = base_rows + off_rel
+        row = None
+    else:
+        row = atlas['tex_desc'][tid * MAX_MIPS + mip]     # (..., 4)
+        off = row[..., 0]
+        mw = row[..., 1]
+        mh = row[..., 2]
 
     tile_id = None
 
@@ -148,7 +182,10 @@ def sample_material_maps(atlas: dict, ent_id, uv, duv_dx=None,
                       jnp.clip(x0i, 0, mw - 1))
         y = jnp.where(wrap == WRAP_REPEAT, rep_y,
                       jnp.clip(y0i, 0, mh - 1))
-        idx, tid_t = _texel_index(atlas, row, x, y, mw)
+        if row is None:
+            idx, tid_t = off + y * mw + x, None
+        else:
+            idx, tid_t = _texel_index(atlas, row, x, y, mw)
         if tid_t is not None and tile_id is None:
             tile_id = tid_t
         idx = jnp.clip(idx, 0, atlas['tex_texels'].shape[0] - 1)
@@ -211,7 +248,7 @@ def _quad_expand_ch(x):
 
 
 def sample_material_maps_quad(atlas: dict, ent_id, uv, duv_dx, duv_dy,
-                              wrap, base_wh):
+                              wrap, base_wh, base_rows=None):
     """Quad-shared material sampling: ONE atlas row gather per 2x2 pixel
     quad instead of per pixel (gathers are latency-bound per ROW on TPU,
     so tap count — not width — sets the cost; this is 4x fewer taps).
@@ -233,23 +270,45 @@ def sample_material_maps_quad(atlas: dict, ent_id, uv, duv_dx, duv_dy,
     """
     f32 = jnp.float32
     big = jnp.int32(1 << 20)
-    tid_q = jnp.minimum(
-        _minpool2(jnp.where(ent_id >= 0, ent_id, big)),
-        jnp.int32(atlas['tex_wrap'].shape[0] - 1))
-    tid_q = jnp.maximum(tid_q, 0)
     u0_q = _minpool2(uv[..., 0])
     v0_q = _minpool2(uv[..., 1])
-    wrap_q = _minpool2(wrap)
-    w0_q = _minpool2(base_wh[0])
-    h0_q = _minpool2(base_wh[1])
 
     # footprint of the WHOLE quad: max per-pixel footprint + 1 level
     des_px = mip_from_derivatives(duv_dx, duv_dy, base_wh[0], base_wh[1])
     des_q = _maxpool2(des_px) + 1.0
     mip = jnp.clip(jnp.round(des_q), 0.0, MAX_MIPS - 1.0).astype(jnp.int32)
 
-    row = atlas['tex_desc'][tid_q * MAX_MIPS + mip]       # (Hq, Wq, 4)
-    off, mw, mh = row[..., 0], row[..., 1], row[..., 2]
+    if base_rows is not None:
+        # analytic path: pool base+tex as ONE key (base is a multiple of
+        # ATLAS_ALIGN >= 64 > tex, so the min picks one pixel's pair and
+        # the pair decodes back exactly), then take the representative
+        # pixel's w0/h0/wrap via a match-masked pool — no descriptor-row
+        # gather at all (see analytic_desc)
+        big2 = jnp.int32(1 << 30)
+        v_px = jnp.where(ent_id >= 0,
+                         base_rows + jnp.maximum(ent_id, 0), big2)
+        v_q = _minpool2(v_px)
+        sel = v_px == _quad_expand_ch(v_q[..., None])[..., 0]
+        w0_q = _minpool2(jnp.where(sel, base_wh[0], jnp.inf))
+        h0_q = _minpool2(jnp.where(sel, base_wh[1], jnp.inf))
+        wrap_q = _minpool2(jnp.where(sel, wrap, big))
+        from toyrenderer_tpu.scene.textures import ATLAS_ALIGN
+        safe_v = jnp.where(v_q < big2, v_q, 0)
+        base_q = (safe_v // ATLAS_ALIGN) * ATLAS_ALIGN
+        tid_q = safe_v % ATLAS_ALIGN       # < 64 by construction
+        w0_q = jnp.where(jnp.isfinite(w0_q), w0_q, 1.0)
+        h0_q = jnp.where(jnp.isfinite(h0_q), h0_q, 1.0)
+        off_rel, mw, mh, mip = analytic_desc(w0_q, h0_q, mip)
+        off = base_q + off_rel
+        row = None
+    else:
+        tid_q = jnp.minimum(
+            _minpool2(jnp.where(ent_id >= 0, ent_id, big)),
+            jnp.int32(atlas['tex_wrap'].shape[0] - 1))
+        tid_q = jnp.maximum(tid_q, 0)
+        wrap_q = _minpool2(wrap)
+        row = atlas['tex_desc'][tid_q * MAX_MIPS + mip]   # (Hq, Wq, 4)
+        off, mw, mh = row[..., 0], row[..., 1], row[..., 2]
 
     u_q = u0_q * mw.astype(f32) - 0.5
     v_q = v0_q * mh.astype(f32) - 0.5
@@ -261,7 +320,10 @@ def sample_material_maps_quad(atlas: dict, ent_id, uv, duv_dx, duv_dy,
     rep_y = jnp.mod(y0i, jnp.maximum(mh, 1))
     x = jnp.where(wrap_q == WRAP_REPEAT, rep_x, jnp.clip(x0i, 0, mw - 1))
     y = jnp.where(wrap_q == WRAP_REPEAT, rep_y, jnp.clip(y0i, 0, mh - 1))
-    idx, tile_id_q = _texel_index(atlas, row, x, y, mw)
+    if row is None:
+        idx, tile_id_q = off + y * mw + x, None
+    else:
+        idx, tile_id_q = _texel_index(atlas, row, x, y, mw)
     idx = jnp.clip(idx, 0, atlas['tex_texels'].shape[0] - 1)
     rows_q = atlas['tex_texels'][idx]                     # (Hq, Wq, 16)
 

@@ -28,7 +28,7 @@ from toyrenderer_tpu.scene import meshlet as ML
 from toyrenderer_tpu.scene import lod as LOD
 from toyrenderer_tpu.scene import textures as TX
 
-CACHE_VERSION = 10
+CACHE_VERSION = 11   # 11: ATLAS_ALIGN-aligned texture chains
 MAX_LODS = LOD.MAX_LODS
 
 
@@ -261,6 +261,19 @@ class SceneBuffers:
         self.__dict__['_ml_windows'] = out
         return out
 
+    def tex_analytic_ok(self) -> bool:
+        """True when the atlas supports ANALYTIC mip descriptors: every
+        chain base ATLAS_ALIGN-aligned with base//ALIGN < 2^10 and
+        tex id < 64 — the record encoding tex + 64*base11 then stays
+        < 2^16, exact through the fill kernel's hi/lo bf16 fetch.
+        Computed from the (possibly cached) offsets, so stale caches
+        built before alignment simply fall back to the desc gather."""
+        if self.num_textures <= 0 or self.num_textures >= 64:
+            return False
+        base = np.asarray(self.tex_offset[:self.num_textures, 0])
+        return bool(np.all(base % TX.ATLAS_ALIGN == 0)
+                    and np.all(base // TX.ATLAS_ALIGN < 1024))
+
     def to_device(self) -> "DeviceScene":
         import jax.numpy as jnp
         kw = {f: jnp.asarray(getattr(self, f)) for f in self._DEVICE_FIELDS}
@@ -276,6 +289,7 @@ class SceneBuffers:
             num_instances=self.num_instances,
             num_nodes=self.num_nodes,
             num_textures=self.num_textures,
+            tex_analytic=self.tex_analytic_ok(),
             **kw)
 
 
@@ -333,11 +347,23 @@ class DeviceScene:
     num_instances: int = 0
     num_nodes: int = 0
     num_textures: int = 0
+    tex_analytic: bool = False     # records carry tex + 64*base11; the
+    #   sampler may derive mip descriptors analytically (textures.py
+    #   ATLAS_ALIGN)
 
     def atlas_dict(self):
-        return dict(
+        d = dict(
             tex_texels=self.tex_texels, tex_desc=self.tex_desc,
             tex_wrap=self.tex_wrap, tex_min_mip=self.tex_min_mip)
+        if self.tex_analytic:
+            # resolve records carry tex + 64*base11 (pack_resolve_records
+            # encodes iff scene.tex_analytic): '_enc' tells finish_gbuffer
+            # to decode; '_analytic' additionally enables the gather-free
+            # descriptor path (frame.py clears it when a streaming
+            # override rewrites the desc rows)
+            d['_enc'] = True
+            d['_analytic'] = True
+        return d
 
 
 def _register_device_scene():
@@ -346,7 +372,7 @@ def _register_device_scene():
         "ml_verts", "ml_local_tris"]
     static_fields = ("node_depth", "num_vertices", "num_meshlets",
                      "num_primitives", "num_instances", "num_nodes",
-                     "num_textures")
+                     "num_textures", "tex_analytic")
 
     def flatten(s):
         return tuple(getattr(s, f) for f in arr_fields), tuple(

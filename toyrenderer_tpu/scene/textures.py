@@ -32,6 +32,13 @@ import numpy as np
 MAX_TEXTURE_DIM = 1024
 MAX_MIPS = 11
 ROW_U32 = 16          # 4 maps x 2x2 quad per texel row
+ATLAS_ALIGN = 2048    # rows: each texture's mip chain starts on this
+#   boundary so its base offset encodes as base//ATLAS_ALIGN < 2^10 —
+#   small enough to ride per-triangle resolve records through the fill
+#   kernel's hi/lo bf16 fetch (gbuffer.py records carry tex + 64*base11;
+#   the sampler then derives every mip's offset/size ANALYTICALLY from
+#   w0/h0 — floor-halving mips make w_m = max(w0 >> m, 1) exact — and
+#   skips the per-quad descriptor-row gather entirely)
 MAP_BASE = 0
 MAP_NORMAL = 1
 MAP_MR = 2
@@ -151,9 +158,16 @@ def _quad_expand(packed: np.ndarray, wrap: int) -> np.ndarray:
 
 def _downsample2x(img: np.ndarray) -> np.ndarray:
     """Box-filter 2x downsample of (H, W, 4) u8 (sRGB-naive, like most
-    runtime mippers)."""
+    runtime mippers).  Dims follow EXACT floor-halving max(d//2, 1) —
+    the analytic-descriptor path (ops/texture.analytic_desc) depends on
+    it; a dim already at 1 duplicates so non-square chains never
+    degenerate to zero-size mips (128x32 used to produce (2, 0))."""
     h, w = img.shape[:2]
     h2, w2 = max(h // 2, 1), max(w // 2, 1)
+    if h == 1:
+        img = np.repeat(img, 2, axis=0)
+    if w == 1:
+        img = np.repeat(img, 2, axis=1)
     img = img[:h2 * 2, :w2 * 2].astype(np.uint16)
     out = (img[0::2, 0::2] + img[1::2, 0::2] + img[0::2, 1::2]
            + img[1::2, 1::2] + 2) // 4
@@ -241,6 +255,10 @@ def build_atlas(doc=None,
     cursor = 0
     keys = ('base', 'normal', 'mr', 'emissive')
     for ei, ent in enumerate(entries):
+        a = (-cursor) % ATLAS_ALIGN      # align the chain base (above)
+        if a:
+            chunks.append(np.zeros((a, ROW_U32), np.uint32))
+            cursor += a
         wrap = int(ent.get('wrap', WRAP_REPEAT))
         wraps[ei] = wrap
         # resolution = the base map's (or the largest present map's)
