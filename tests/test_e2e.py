@@ -673,3 +673,42 @@ def test_refit_cache_matches_uncached():
     cached = run(True)
     for i, (a, b) in enumerate(zip(plain, cached)):
         assert np.array_equal(a, b), f"frame {i} differs"
+
+
+def test_gi_convergence_with_phased_updates():
+    """PHASED probe updates must still converge: the variability ring
+    gets one per-CYCLE sample (block-to-block spread used to keep the
+    windowed std high forever — gi_converged never fired with
+    gi_update_phases > 1)."""
+    from toyrenderer_tpu.ops.bvh import build_rt_static
+    from toyrenderer_tpu.ops.ddgi import DdgiVolume
+
+    scene_host = load_scene("resources/cornell.gltf", use_cache=False)
+    scene = scene_host.to_device()
+    pi_h, pm_h = static_meshlet_pairs(scene_host)
+    pi, pm = jnp.asarray(pi_h), jnp.asarray(pm_h)
+    lo, hi = (np.asarray(x) for x in scene_host.world_aabb)
+    vol = DdgiVolume(origin=tuple(lo), spacing=tuple((hi - lo) / 3.0),
+                     counts=(4, 4, 4), rays_per_probe=32,
+                     max_ray_distance=float(np.linalg.norm(hi - lo)))
+    st = RenderSettings(width=96, height=64, enable_gi=True,
+                        manual_exposure=0.02, gi_update_phases=2,
+                        gi_min_var_samples=3,
+                        gi_variability_threshold=0.5)
+    rts = build_rt_static(scene_host, pi_h, pm_h)
+    view = View.from_scene(scene_host, st.width, st.height)
+    view.enable_jitter = False
+    carry = init_carry(scene, st, vol)
+    render = make_render_fn(st, vol, donate_carry=False)
+    fi = default_frame_inputs(scene_host, view.matrices())
+    conv_at = None
+    for i in range(30):
+        img, carry, aux = render(scene, pi, pm, fi, carry,
+                                 rt_static=rts)
+        if bool(np.asarray(aux['ddgi_converged'])):
+            conv_at = i
+            break
+    assert conv_at is not None, "phased volume never converged"
+    # samples count CYCLES: converging takes > min_samples * phases
+    # frames from the start
+    assert conv_at >= st.gi_min_var_samples * st.gi_update_phases

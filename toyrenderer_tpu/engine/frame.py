@@ -793,7 +793,13 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         if not settings.gi_convergence_skip:
             gi_converged = jnp.asarray(False)
         _GI_KEYS = ('ddgi_irradiance', 'ddgi_distance', 'ddgi_offset',
-                    'ddgi_state', 'ddgi_variability', 'ddgi_var_ring')
+                    'ddgi_state', 'ddgi_variability', 'ddgi_var_ring',
+                    'ddgi_var_accum')
+        # phased updates converge per CYCLE: the ring gets one sample
+        # per full pass over the volume (update_probe_block cycle_end)
+        gi_phases = max(settings.gi_update_phases, 1)
+        gi_cycle_end = (carry['frame_index'] % gi_phases
+                        ) == (gi_phases - 1)
 
         def _gi_build(_):
             # dedicated GI topology: probe rays are diffuse-frequency,
@@ -842,7 +848,8 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                 radiance, ray_dist, ray_dirs, blk,
                 first_frame=(carry['frame_index']
                              < settings.gi_update_phases),
-                lifecycle=lifecycle)
+                lifecycle=lifecycle, cycle_end=gi_cycle_end,
+                num_phases=gi_phases)
             out = {k: gic[k] for k in _GI_KEYS}
             if gi_own_tree and 'gi_bvh_cache' in carry:
                 out['gi_bvh_cache'] = gi_bvh
@@ -856,9 +863,9 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
             return {k: carry[k] for k in keys}
 
         gi_carry = jax.lax.cond(gi_converged, _gi_hold, _gi_update, 0)
-        gi_carry['ddgi_var_samples'] = jnp.where(gi_converged,
-                                                 var_samples,
-                                                 var_samples + 1.0)
+        gi_carry['ddgi_var_samples'] = jnp.where(
+            gi_converged, var_samples,
+            var_samples + gi_cycle_end.astype(jnp.float32))
         gi_carry['ddgi_sun_sig'] = sun_sig
         # per-pixel probe sampling is ~24 latency-bound gathers/pixel
         # (8 probes x irradiance+visibility+offset); irradiance is

@@ -115,6 +115,9 @@ def init_probes(volume: DdgiVolume):
         # TODO; the sun reset closes it)
         ddgi_var_ring=jnp.ones((VAR_WINDOW,), jnp.float32),
         ddgi_var_samples=jnp.asarray(0.0, jnp.float32),
+        # per-CYCLE variability accumulator (phased updates; see
+        # update_probe_block cycle_end)
+        ddgi_var_accum=jnp.asarray(0.0, jnp.float32),
         ddgi_sun_sig=jnp.full((7,), jnp.inf, jnp.float32),
     )
 
@@ -686,10 +689,20 @@ def trace_probe_block(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
 
 def update_probe_block(volume: DdgiVolume, carry_probes: dict, radiance,
                        dist, dirs, block_start, first_frame,
-                       lifecycle: dict | None = None):
+                       lifecycle: dict | None = None, cycle_end=None,
+                       num_phases: int = 1):
     """Hysteresis-blend ONE probe block into the carry arrays, then run
     the probe lifecycle (relocation + classification + variability) when
-    `lifecycle` inputs from trace_probe_block are given."""
+    `lifecycle` inputs from trace_probe_block are given.
+
+    cycle_end/num_phases: with PHASED updates each frame's raw
+    variability measures a DIFFERENT probe block, so consecutive ring
+    samples carry block-to-block spread and the windowed std never
+    settles (the volume "never converges").  The reference updates the
+    whole volume per frame; the comparable sample here is one full
+    CYCLE's mean — accumulated in ddgi_var_accum and pushed to the ring
+    only when cycle_end is True (callers count convergence samples in
+    cycles).  cycle_end=None keeps the legacy per-update push."""
     irr_dirs = _oct_texel_dirs(IRR_RES)
     dist_dirs = _oct_texel_dirs(DIST_RES)
 
@@ -764,12 +777,23 @@ def update_probe_block(volume: DdgiVolume, carry_probes: dict, radiance,
     out['ddgi_variability'] = jnp.where(
         first_frame, var, prev * 0.9 + var * 0.1)
     # raw-sample ring for the reference's windowed-std convergence test
-    # (GIRenderer.cpp:162-179): cursor = update count mod window
+    # (GIRenderer.cpp:162-179): cursor = sample count mod window
     if ('ddgi_var_ring' in carry_probes
             and 'ddgi_var_samples' in carry_probes):
         ring = carry_probes['ddgi_var_ring']
         cur = (carry_probes['ddgi_var_samples'].astype(jnp.int32)
                % VAR_WINDOW)
-        out['ddgi_var_ring'] = jnp.where(
-            jnp.arange(VAR_WINDOW) == cur, var, ring)
+        if (cycle_end is not None
+                and 'ddgi_var_accum' in carry_probes):
+            acc = carry_probes['ddgi_var_accum'] + var
+            out['ddgi_var_accum'] = jnp.where(cycle_end, 0.0, acc)
+            sample = acc * (1.0 / max(num_phases, 1))
+            out['ddgi_var_ring'] = jnp.where(
+                cycle_end & (jnp.arange(VAR_WINDOW) == cur),
+                sample, ring)
+        else:
+            if 'ddgi_var_accum' in carry_probes:
+                out['ddgi_var_accum'] = carry_probes['ddgi_var_accum']
+            out['ddgi_var_ring'] = jnp.where(
+                jnp.arange(VAR_WINDOW) == cur, var, ring)
     return out
