@@ -96,7 +96,7 @@ def boxes_fit_vmem(bvh, budget_bytes: int = 12 * 2**20) -> bool:
 def traverse_auto(bvh: Bvh, origins, directions, t_max,
                   any_hit: bool = False, max_steps: int = 128,
                   live=None, interpret: bool = False, sp_mesh=None,
-                  group_dirs=None):
+                  group_dirs=None, chunked: bool = False):
     """Dispatch: packet kernel on TPU when the tree fits VMEM, else the
     XLA lockstep traversal (also the CPU/test path).  Same contract as
     bvh.traverse; `live` optionally masks rays off (they report miss).
@@ -112,6 +112,11 @@ def traverse_auto(bvh: Bvh, origins, directions, t_max,
     instead — directions live in a tiny side table rather than six
     full-packet vector arrays (see _traverse_kernel_gdir).  Fallback
     paths still use the per-ray `directions`.
+
+    chunked=True routes to the block-pair dense traversal
+    (ops/rt_chunks.py) — the divergent-ray path (DDGI probes, ReSTIR):
+    pure XLA, cost scales with real block-chunk overlaps instead of
+    packet path unions.
     """
     import os
 
@@ -124,7 +129,13 @@ def traverse_auto(bvh: Bvh, origins, directions, t_max,
         return _traverse_sharded(bvh, origins, directions, t_max,
                                  any_hit=any_hit, max_steps=max_steps,
                                  live=live, interpret=interpret,
-                                 sp_mesh=sp_mesh, group_dirs=group_dirs)
+                                 sp_mesh=sp_mesh, group_dirs=group_dirs,
+                                 chunked=chunked)
+    if chunked:
+        from toyrenderer_tpu.ops.rt_chunks import traverse_chunks
+        return traverse_chunks(bvh, origins, directions, t_max,
+                               any_hit=any_hit, live=live,
+                               interpret=interpret)
     from toyrenderer_tpu.ops.bvh import traverse as traverse_xla
     on_tpu = jax.default_backend() in ('tpu', 'axon')
     use_gdir = group_dirs is not None and origins.shape[0] % GDIR_GROUP == 0
@@ -160,7 +171,7 @@ def traverse_auto(bvh: Bvh, origins, directions, t_max,
 
 def _traverse_sharded(bvh: Bvh, origins, directions, t_max,
                       any_hit: bool, max_steps: int, live, interpret,
-                      sp_mesh, group_dirs=None):
+                      sp_mesh, group_dirs=None, chunked: bool = False):
     """shard_map over ray blocks: each device traverses its slice of the
     ray stream against the replicated BVH; results concatenate back.
     Bitwise-identical to the single-device path (no cross-ray math)."""
@@ -192,7 +203,8 @@ def _traverse_sharded(bvh: Bvh, origins, directions, t_max,
         def local(bvh, o, d, tm, lv, g):
             return traverse_auto(bvh, o, d, tm, any_hit=any_hit,
                                  max_steps=max_steps, live=lv,
-                                 interpret=interpret, group_dirs=g)
+                                 interpret=interpret, group_dirs=g,
+                                 chunked=chunked)
 
         res = shard_map(
             local, mesh=mesh,
@@ -204,7 +216,7 @@ def _traverse_sharded(bvh: Bvh, origins, directions, t_max,
     def local(bvh, o, d, tm, lv):
         return traverse_auto(bvh, o, d, tm, any_hit=any_hit,
                              max_steps=max_steps, live=lv,
-                             interpret=interpret)
+                             interpret=interpret, chunked=chunked)
 
     res = shard_map(
         local, mesh=mesh,

@@ -174,6 +174,17 @@ def _gi_gdir_enabled() -> bool:
     return os.environ.get('TR_GI_GDIR', '0') == '1'
 
 
+def _gi_chunks_enabled() -> bool:
+    import os
+    # block-pair dense traversal (ops/rt_chunks.py): probe rays are
+    # the divergent-ray workload it was built for — cost scales with
+    # real block-chunk overlaps (mean 2.4/ray on the courtyard, 83%
+    # sky misses) instead of packet path unions.  Default OFF until
+    # the XLA:TPU fusion crash (kSublaneGather CHECK) is resolved;
+    # TR_RT_CHUNKS=1 opts in.
+    return os.environ.get('TR_RT_CHUNKS', '0') == '1'
+
+
 def _cone_block(x, r, pbp, brick: int = CONE_BRICK,
                 dirs: int = CONE_DIRS):
     """Dir-major flat rays (r*pbp, ...) -> cone-blocked traversal order
@@ -252,7 +263,8 @@ def trace_probes(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
     from toyrenderer_tpu.ops.bvh_pallas import traverse_auto
     res = traverse_auto(bvh, origins, d_all,
                         t_max=volume.max_ray_distance,
-                        max_steps=max_steps, sp_mesh=sp_mesh)
+                        max_steps=max_steps, sp_mesh=sp_mesh,
+                        chunked=_gi_chunks_enabled())
     hit = res['hit']
     tri = jnp.maximum(res['tri'], 0)
     t = res['t']
@@ -277,7 +289,7 @@ def trace_probes(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
             bvh, hit_pos + n_w * 1e-2,
             jnp.broadcast_to(sun_dir_to_light, hit_pos.shape),
             t_max=1e4, max_steps=max_steps, any_hit=True,
-            sp_mesh=sp_mesh)
+            sp_mesh=sp_mesh, chunked=_gi_chunks_enabled())
         sun_vis = 1.0 - sh['hit'].astype(jnp.float32)
     ndotl = jnp.maximum(jnp.sum(n_w * sun_dir_to_light, -1), 0.0)
     direct = (albedo / jnp.pi) * (ndotl * sun_vis)[:, None] * (
@@ -622,6 +634,12 @@ def trace_probe_block(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
     from toyrenderer_tpu.ops.bvh_pallas import traverse_auto
 
     def trace(o, d, lv, **kw):
+        if _gi_chunks_enabled():
+            # block-pair traversal: no packets, so no cone/gdir
+            # re-bricking — dir-major order IS the block layout
+            # (128 grid-adjacent probes per direction)
+            return traverse_auto(bvh, o, d, live=lv, sp_mesh=sp_mesh,
+                                 chunked=True, **kw)
         if not cone_ok:
             return traverse_auto(bvh, o, d, live=lv, sp_mesh=sp_mesh,
                                  **kw)

@@ -212,12 +212,19 @@ def restir_di(scene_bvh, lights, world_pos, normal, albedo, hit_mask,
     # surface itself never registers as an occluder
     od = lpos - origin
     odist = jnp.maximum(jnp.linalg.norm(od, axis=-1), 1e-4)
+    import os
+
     from toyrenderer_tpu.ops.bvh_pallas import traverse_auto
+
+    # ReSTIR visibility rays point at per-pixel sampled light points —
+    # divergent, the block-pair traversal's home turf (TR_RT_CHUNKS=1
+    # opts in; default off until the TPU fusion crash is fixed)
     sh = traverse_auto(
         scene_bvh, origin.reshape(-1, 3),
         wi.reshape(-1, 3),
         t_max=(odist * 0.99 - 1e-3).reshape(-1),
-        max_steps=max_steps, any_hit=True)
+        max_steps=max_steps, any_hit=True,
+        chunked=os.environ.get('TR_RT_CHUNKS', '0') == '1')
     visible = ~sh['hit'].reshape(h, w)
 
     emission = lights['emission'][res_li]
