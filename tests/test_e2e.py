@@ -404,6 +404,9 @@ def test_gi_frame_sah_gdir_interpret_matches_complete(monkeypatch):
 
     imgs = {}
     for name, rts in (("complete", rts_c), ("sah", rts_s)):
+        # pin the probe path to cone/gdir packets: pairs is the default
+        # probe traversal and would otherwise shadow the gdir kernel
+        monkeypatch.setenv("TR_GI_PAIRS", "0")
         if name == "sah":
             monkeypatch.setenv("TR_INTERPRET", "1")
             monkeypatch.setenv("TR_GI_GDIR", "1")
@@ -419,10 +422,64 @@ def test_gi_frame_sah_gdir_interpret_matches_complete(monkeypatch):
         imgs[name] = np.asarray(img, np.float32)
         monkeypatch.delenv("TR_INTERPRET", raising=False)
         monkeypatch.delenv("TR_GI_GDIR", raising=False)
+        monkeypatch.delenv("TR_GI_PAIRS", raising=False)
 
     diff = np.abs(imgs["complete"] - imgs["sah"]).mean()
     assert np.isfinite(imgs["sah"]).all()
     assert diff < 2.0, diff      # u8-scale images; tiny numeric drift only
+
+
+def test_gi_frame_pairs_interpret_matches_packet(monkeypatch):
+    """FULL-frame integration of the pair-MXU probe traversal
+    (ops/rt_pairs.py, the default DDGI path on TPU): a GI frame traced
+    through traverse_pairs in interpret mode must closely match the
+    same frame on the packet/XLA path — exercises the mt-table carry
+    cache (gi_mt_cache), the unpadded dir-major ray stream, and the
+    payload resolution through `pays`."""
+    from toyrenderer_tpu.ops.bvh import build_rt_static
+    from toyrenderer_tpu.ops.ddgi import DdgiVolume
+
+    scene_host = load_scene("resources/cornell.gltf", use_cache=False)
+    scene = scene_host.to_device()
+    pi_h, pm_h = static_meshlet_pairs(scene_host)
+    pi, pm = jnp.asarray(pi_h), jnp.asarray(pm_h)
+    lo, hi = (np.asarray(x) for x in scene_host.world_aabb)
+    vol = DdgiVolume(origin=tuple(lo), spacing=tuple((hi - lo) / 3.0),
+                     counts=(4, 4, 4), rays_per_probe=32,
+                     max_ray_distance=float(np.linalg.norm(hi - lo)))
+    st = RenderSettings(width=96, height=64, enable_gi=True,
+                        gi_half_res=False, manual_exposure=0.02)
+    rts = build_rt_static(scene_host, pi_h, pm_h)
+
+    imgs = {}
+    for name in ("packet", "pairs"):
+        monkeypatch.setenv("TR_GI_PAIRS",
+                           "1" if name == "pairs" else "0")
+        if name == "pairs":
+            monkeypatch.setenv("TR_INTERPRET", "1")
+        view = View.from_scene(scene_host, st.width, st.height)
+        view.enable_jitter = False
+        # dedicated GI tree -> the moved-gated gi_bvh/gi_mt carry
+        # caches are live, so the cond's build/hold structures must
+        # agree (the bug this guards against)
+        carry = init_carry(scene, st, vol, rt_static=rts,
+                           rt_static_gi=rts, pair_inst=pi_h,
+                           pair_meshlet=pm_h, gi_pair_inst=pi_h,
+                           gi_pair_meshlet=pm_h)
+        render = make_render_fn(st, vol, donate_carry=False)
+        for _ in range(2):
+            mats = view.matrices()
+            fi = default_frame_inputs(scene_host, mats)
+            img, carry, _ = render(scene, pi, pm, fi, carry,
+                                   rt_static=rts, rt_static_gi=rts,
+                                   gi_pair_inst=pi, gi_pair_meshlet=pm)
+        imgs[name] = np.asarray(img, np.float32)
+        monkeypatch.delenv("TR_INTERPRET", raising=False)
+        monkeypatch.delenv("TR_GI_PAIRS", raising=False)
+
+    diff = np.abs(imgs["packet"] - imgs["pairs"]).mean()
+    assert np.isfinite(imgs["pairs"]).all()
+    assert diff < 2.0, diff      # u8-scale; bf16x3 MT drift only
 
 
 def test_gi_convergence_skip_freezes_and_sun_resets():

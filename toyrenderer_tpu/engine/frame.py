@@ -271,6 +271,11 @@ def init_carry(scene, settings: RenderSettings, ddgi_volume=None,
             b, s_ = _zeros_of(_gi_shapes, eye)
             carry['gi_bvh_cache'] = b
             carry['gi_shade_cache'] = s_
+            if (ddgi_mod._gi_pairs_enabled()
+                    and not ddgi_mod._gi_chunks_enabled()):
+                from toyrenderer_tpu.ops.rt_pairs import mt_tables
+                carry['gi_mt_cache'] = _zeros_of(
+                    lambda bb: mt_tables(bb), b)
     return carry
 
 
@@ -801,6 +806,16 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         gi_cycle_end = (carry['frame_index'] % gi_phases
                         ) == (gi_phases - 1)
 
+        # pair-MXU probe traversal: its Moller-Trumbore coefficient
+        # tables are world-space, so they rebuild alongside the
+        # moved-gated refit and ride the same carry cache.  emit only
+        # when the carry can hold them (else the cond branches would
+        # disagree); without a cache traverse_pairs rebuilds inline.
+        gi_pairs = (ddgi_mod._gi_pairs_enabled()
+                    and not ddgi_mod._gi_chunks_enabled())
+        emit_mt = gi_pairs and ('gi_bvh_cache' not in carry
+                                or 'gi_mt_cache' in carry)
+
         def _gi_build(_):
             # dedicated GI topology: probe rays are diffuse-frequency,
             # so they trace a (usually LOD-reduced, SAH-flavored) tree
@@ -812,21 +827,28 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                 scene, inst_world, g_pi, g_pm)
             shade = ddgi_mod.build_shade_records(
                 scene, g_pi, g_pm, gv0, gv1, gv2)
-            return gi_bvh, shade
+            if emit_mt:
+                from toyrenderer_tpu.ops.rt_pairs import mt_tables
+                return gi_bvh, shade, mt_tables(gi_bvh)
+            return gi_bvh, shade, ()
 
         def _gi_update(_):
+            gi_mt = None
             if gi_own_tree:
                 if 'gi_bvh_cache' in carry:
-                    gi_bvh, shade_rec = jax.lax.cond(
+                    gi_bvh, shade_rec, gi_mt = jax.lax.cond(
                         scene_moved, _gi_build,
                         lambda _: (carry['gi_bvh_cache'],
-                                   carry['gi_shade_cache']), 0)
+                                   carry['gi_shade_cache'],
+                                   carry['gi_mt_cache'] if emit_mt
+                                   else ()), 0)
                 else:
-                    gi_bvh, shade_rec = _gi_build(0)
+                    gi_bvh, shade_rec, gi_mt = _gi_build(0)
             else:
                 gi_bvh = bvh
                 shade_rec = ddgi_mod.build_shade_records(
                     scene, rt_pi, rt_pm, tv0, tv1, tv2)
+            gi_mt = gi_mt if gi_mt else None
             # block-phased trace with the full probe lifecycle:
             # relocation, classification (inactive probes are ray-masked
             # to zero cost) and variability convergence
@@ -840,7 +862,7 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                 max_steps=settings.gi_max_steps,
                 probe_offset=carry['ddgi_offset'],
                 probe_state=carry['ddgi_state'], sun_vis_fn=sun_vis_fn,
-                sp_mesh=sp_mesh)
+                sp_mesh=sp_mesh, pair_tables=gi_mt)
             gic = ddgi_mod.update_probe_block(
                 ddgi_volume,
                 # ring cursor must follow the sun-reset sample count
@@ -854,12 +876,16 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
             if gi_own_tree and 'gi_bvh_cache' in carry:
                 out['gi_bvh_cache'] = gi_bvh
                 out['gi_shade_cache'] = shade_rec
+                if emit_mt and 'gi_mt_cache' in carry:
+                    out['gi_mt_cache'] = gi_mt
             return out
 
         def _gi_hold(_):
             keys = list(_GI_KEYS)
             if gi_own_tree and 'gi_bvh_cache' in carry:
                 keys += ['gi_bvh_cache', 'gi_shade_cache']
+                if emit_mt and 'gi_mt_cache' in carry:
+                    keys += ['gi_mt_cache']
             return {k: carry[k] for k in keys}
 
         gi_carry = jax.lax.cond(gi_converged, _gi_hold, _gi_update, 0)

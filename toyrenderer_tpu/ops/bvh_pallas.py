@@ -96,7 +96,8 @@ def boxes_fit_vmem(bvh, budget_bytes: int = 12 * 2**20) -> bool:
 def traverse_auto(bvh: Bvh, origins, directions, t_max,
                   any_hit: bool = False, max_steps: int = 128,
                   live=None, interpret: bool = False, sp_mesh=None,
-                  group_dirs=None, chunked: bool = False):
+                  group_dirs=None, chunked: bool = False,
+                  pairs: bool = False, pair_tables=None):
     """Dispatch: packet kernel on TPU when the tree fits VMEM, else the
     XLA lockstep traversal (also the CPU/test path).  Same contract as
     bvh.traverse; `live` optionally masks rays off (they report miss).
@@ -117,6 +118,13 @@ def traverse_auto(bvh: Bvh, origins, directions, t_max,
     (ops/rt_chunks.py) — the divergent-ray path (DDGI probes, ReSTIR):
     pure XLA, cost scales with real block-chunk overlaps instead of
     packet path unions.
+
+    pairs=True routes to the pair-MXU traversal (ops/rt_pairs.py) —
+    the MEASURED probe-ray winner (1.42x over the packet-cone kernel
+    on the courtyard): dense Moller-Trumbore as one MXU matmul per
+    (ray block, tri chunk) pair inside a Pallas kernel.  TPU (or
+    interpret) only; other backends fall through to the paths below.
+    pair_tables caches mt_tables(bvh) alongside the moved-gated refit.
     """
     import os
 
@@ -130,7 +138,14 @@ def traverse_auto(bvh: Bvh, origins, directions, t_max,
                                  any_hit=any_hit, max_steps=max_steps,
                                  live=live, interpret=interpret,
                                  sp_mesh=sp_mesh, group_dirs=group_dirs,
-                                 chunked=chunked)
+                                 chunked=chunked, pairs=pairs,
+                                 pair_tables=pair_tables)
+    on_tpu_now = jax.default_backend() in ('tpu', 'axon')
+    if pairs and (on_tpu_now or interpret):
+        from toyrenderer_tpu.ops.rt_pairs import traverse_pairs
+        return traverse_pairs(bvh, origins, directions, t_max,
+                              any_hit=any_hit, live=live,
+                              tables=pair_tables, interpret=interpret)
     if chunked:
         from toyrenderer_tpu.ops.rt_chunks import traverse_chunks
         return traverse_chunks(bvh, origins, directions, t_max,
@@ -171,7 +186,8 @@ def traverse_auto(bvh: Bvh, origins, directions, t_max,
 
 def _traverse_sharded(bvh: Bvh, origins, directions, t_max,
                       any_hit: bool, max_steps: int, live, interpret,
-                      sp_mesh, group_dirs=None, chunked: bool = False):
+                      sp_mesh, group_dirs=None, chunked: bool = False,
+                      pairs: bool = False, pair_tables=None):
     """shard_map over ray blocks: each device traverses its slice of the
     ray stream against the replicated BVH; results concatenate back.
     Bitwise-identical to the single-device path (no cross-ray math)."""
@@ -213,16 +229,21 @@ def _traverse_sharded(bvh: Bvh, origins, directions, t_max,
             bvh, origins_p, dirs_p, t_max_p, live_p, gd_p)
         return {k: v[:n] for k, v in res.items()}
 
-    def local(bvh, o, d, tm, lv):
+    # pair_tables (optional) replicates like the tree; a dict wrapper
+    # keeps the shard_map arity fixed whether or not tables were passed
+    pt_wrap = {} if pair_tables is None else {'t': pair_tables}
+
+    def local(bvh, pt, o, d, tm, lv):
         return traverse_auto(bvh, o, d, tm, any_hit=any_hit,
                              max_steps=max_steps, live=lv,
-                             interpret=interpret, chunked=chunked)
+                             interpret=interpret, chunked=chunked,
+                             pairs=pairs, pair_tables=pt.get('t'))
 
     res = shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(axis), check_rep=False)(
-        bvh, origins_p, dirs_p, t_max_p, live_p)
+        bvh, pt_wrap, origins_p, dirs_p, t_max_p, live_p)
     return {k: v[:n] for k, v in res.items()}
 
 

@@ -174,6 +174,18 @@ def _gi_gdir_enabled() -> bool:
     return os.environ.get('TR_GI_GDIR', '0') == '1'
 
 
+def _gi_pairs_enabled() -> bool:
+    import os
+    # pair-MXU dense traversal (ops/rt_pairs.py): the MEASURED probe-ray
+    # winner on the courtyard (14.4 vs 20.4 ms packet-cone for the DDGI
+    # phase rays, v5e) — dense Moller-Trumbore as one MXU matmul per
+    # (ray block, tri chunk) pair.  Probe rays are dir-major, so 128
+    # consecutive rays are grid-adjacent probes sharing one direction —
+    # exactly the coherent block the box phase wants.  TR_GI_PAIRS=0
+    # opts out (falls back to the packet-cone kernel).
+    return os.environ.get('TR_GI_PAIRS', '1') == '1'
+
+
 def _gi_chunks_enabled() -> bool:
     import os
     # block-pair dense traversal (ops/rt_chunks.py): probe rays are
@@ -264,7 +276,9 @@ def trace_probes(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
     res = traverse_auto(bvh, origins, d_all,
                         t_max=volume.max_ray_distance,
                         max_steps=max_steps, sp_mesh=sp_mesh,
-                        chunked=_gi_chunks_enabled())
+                        chunked=_gi_chunks_enabled(),
+                        pairs=_gi_pairs_enabled()
+                        and not _gi_chunks_enabled())
     hit = res['hit']
     tri = jnp.maximum(res['tri'], 0)
     t = res['t']
@@ -289,7 +303,8 @@ def trace_probes(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
             bvh, hit_pos + n_w * 1e-2,
             jnp.broadcast_to(sun_dir_to_light, hit_pos.shape),
             t_max=1e4, max_steps=max_steps, any_hit=True,
-            sp_mesh=sp_mesh, chunked=_gi_chunks_enabled())
+            sp_mesh=sp_mesh, chunked=_gi_chunks_enabled(),
+            pairs=_gi_pairs_enabled() and not _gi_chunks_enabled())
         sun_vis = 1.0 - sh['hit'].astype(jnp.float32)
     ndotl = jnp.maximum(jnp.sum(n_w * sun_dir_to_light, -1), 0.0)
     direct = (albedo / jnp.pi) * (ndotl * sun_vis)[:, None] * (
@@ -574,7 +589,7 @@ def trace_probe_block(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
                       frame_index, sky_fn, num_phases: int,
                       max_steps: int = 64, probe_offset=None,
                       probe_state=None, sun_vis_fn=None,
-                      sp_mesh=None):
+                      sp_mesh=None, pair_tables=None):
     """Trace ONE contiguous block of probes (frame_index % num_phases).
 
     Budgeted probe updates (the reference classifies/budgets probe work
@@ -596,7 +611,13 @@ def trace_probe_block(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
 
     r = volume.rays_per_probe
     base = _fibonacci_sphere(r)
-    cone_ok = (r % CONE_DIRS) == 0
+    use_pairs = _gi_pairs_enabled() and not _gi_chunks_enabled()
+    # pair-MXU traversal takes the raw dir-major stream: no cone
+    # re-bricking, and crucially NO brick padding — phased blocks pad
+    # pb to the 256-probe brick otherwise (pb=90 -> 2.8x dead rays on
+    # the courtyard), which the packet kernels need but pairs don't
+    # (blocks pad to 128 rays internally)
+    cone_ok = (r % CONE_DIRS) == 0 and not use_pairs
     if cone_ok:
         # cone-ordered base dirs: packets then cover (CONE_DIRS similar
         # directions x CONE_BRICK probes) instead of one direction
@@ -634,6 +655,13 @@ def trace_probe_block(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
     from toyrenderer_tpu.ops.bvh_pallas import traverse_auto
 
     def trace(o, d, lv, **kw):
+        if _gi_pairs_enabled() and not _gi_chunks_enabled():
+            # pair-MXU traversal: no packets, so no cone/gdir
+            # re-bricking — dir-major order IS the block layout
+            # (128 grid-adjacent probes per direction)
+            return traverse_auto(bvh, o, d, live=lv, sp_mesh=sp_mesh,
+                                 pairs=True, pair_tables=pair_tables,
+                                 **kw)
         if _gi_chunks_enabled():
             # block-pair traversal: no packets, so no cone/gdir
             # re-bricking — dir-major order IS the block layout
