@@ -641,7 +641,16 @@ def trace_probe_block(volume: DdgiVolume, bvh, shade_rec, prev_irradiance,
     use_gdir = cone_ok and (r % GDIR_DIRS == 0) and _gi_gdir_enabled()
     ndirs = GDIR_DIRS if use_gdir else CONE_DIRS
     brick = GDIR_BRICK if use_gdir else _brick_for(pb)
-    pbp = -(-pb // brick) * brick if cone_ok else pb
+    if cone_ok:
+        pbp = -(-pb // brick) * brick
+    elif use_pairs:
+        # pairs blocks pad to 128 rays internally, but the (r, pbp)
+        # lifecycle reshapes want a LANE-aligned probe count — pad to
+        # 128 (vs the 256 cone brick: pb=90 -> 128 not 256, 1.4x vs
+        # 2.8x dead rays, and the dead blocks' pair lists are empty)
+        pbp = -(-pb // 128) * 128
+    else:
+        pbp = pb
     pos_p = jnp.pad(pos, ((0, pbp - pb), (0, 0)))
     state_p = jnp.pad(state, (0, pbp - pb))
     origins = jnp.tile(pos_p, (r, 1))                # (R*Pbp, 3)
