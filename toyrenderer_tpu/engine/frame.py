@@ -259,6 +259,16 @@ def init_carry(scene, settings: RenderSettings, ddgi_volume=None,
         if needs_rt and rt_static is not None:
             carry['rt_bvh_cache'] = _zeros_of(
                 lambda w: _refit_tree(rt_static, w), eye)
+            if (settings.enable_gi and not gi_own_tree
+                    and ddgi_mod._gi_pairs_enabled()
+                    and not ddgi_mod._gi_chunks_enabled()):
+                # shared-tree pair-MXU mode: cache the Moller-Trumbore
+                # tables too, else traverse_pairs rebuilds them inline
+                # every frame (twice: probe + shadow trace) even when
+                # the scene is static
+                from toyrenderer_tpu.ops.rt_pairs import mt_tables
+                carry['gi_mt_cache'] = _zeros_of(
+                    lambda w: mt_tables(_refit_tree(rt_static, w)), eye)
         if gi_own_tree:
             def _gi_shapes(w):
                 gi_bvh = _refit_tree(rt_static_gi, w)
@@ -848,7 +858,18 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                 gi_bvh = bvh
                 shade_rec = ddgi_mod.build_shade_records(
                     scene, rt_pi, rt_pm, tv0, tv1, tv2)
-            gi_mt = gi_mt if gi_mt else None
+                if gi_pairs:
+                    from toyrenderer_tpu.ops.rt_pairs import mt_tables
+                    if 'gi_mt_cache' in carry:
+                        gi_mt = jax.lax.cond(
+                            scene_moved, lambda _: mt_tables(bvh),
+                            lambda _: carry['gi_mt_cache'], 0)
+                    else:
+                        gi_mt = mt_tables(bvh)
+            # structural emptiness test: leaf truthiness of a cond-output
+            # pytree would raise under jit if the tables ever become a
+            # bare array
+            gi_mt = None if (gi_mt is None or gi_mt == ()) else gi_mt
             # block-phased trace with the full probe lifecycle:
             # relocation, classification (inactive probes are ray-masked
             # to zero cost) and variability convergence
@@ -876,16 +897,16 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
             if gi_own_tree and 'gi_bvh_cache' in carry:
                 out['gi_bvh_cache'] = gi_bvh
                 out['gi_shade_cache'] = shade_rec
-                if emit_mt and 'gi_mt_cache' in carry:
-                    out['gi_mt_cache'] = gi_mt
+            if emit_mt and 'gi_mt_cache' in carry:
+                out['gi_mt_cache'] = gi_mt
             return out
 
         def _gi_hold(_):
             keys = list(_GI_KEYS)
             if gi_own_tree and 'gi_bvh_cache' in carry:
                 keys += ['gi_bvh_cache', 'gi_shade_cache']
-                if emit_mt and 'gi_mt_cache' in carry:
-                    keys += ['gi_mt_cache']
+            if emit_mt and 'gi_mt_cache' in carry:
+                keys += ['gi_mt_cache']
             return {k: carry[k] for k in keys}
 
         gi_carry = jax.lax.cond(gi_converged, _gi_hold, _gi_update, 0)

@@ -120,8 +120,12 @@ bench("pairs g=8 pf=32", lambda b, o, s: pairs(
     b, o, s, group=8, pair_factor=32))
 bench("pairs g=16 pf=64", lambda b, o, s: pairs(b, o, s, group=16))
 
-# correctness spot check vs packet
+# correctness spot check vs packet — fallback=True so capacity
+# overflow can't masquerade as agreement (timed benches above keep
+# fallback=False to measure the dense kernel alone)
 hp = np.asarray(jax.jit(packet)(bvh, orig_d, sun))
-hx = np.asarray(jax.jit(
-    lambda b, o, s: pairs(b, o, s, group=8))(bvh, orig_d, sun))
+res = jax.jit(lambda b, o, s: traverse_pairs(
+    b, o, jnp.broadcast_to(-s, (n_rays, 3)), t_max=1e4, any_hit=True,
+    tables=mt, fallback=True, group=8))(bvh, orig_d, sun)
+hx = np.asarray(res['hit'])
 print(f"pairs-vs-packet hit agreement {(hp == hx).mean():.5f}")
