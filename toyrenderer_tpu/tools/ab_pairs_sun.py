@@ -14,6 +14,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
 import numpy as np
 import jax
+from toyrenderer_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
 import jax.numpy as jnp
 
 from toyrenderer_tpu.ops import geometry as G

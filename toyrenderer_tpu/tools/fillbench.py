@@ -38,6 +38,10 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
+
+    from toyrenderer_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp

@@ -135,6 +135,8 @@ def main(argv=None):
                           os.path.join(os.path.dirname(__file__),
                                        "..", "..", ".jax_cache"))
     import jax
+    from toyrenderer_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp

@@ -16,6 +16,8 @@ import numpy as np
 
 def _timeit(fn, *args, n=5):
     import jax
+    from toyrenderer_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     out = fn(*args)
     jax.block_until_ready(out)
     ts = []

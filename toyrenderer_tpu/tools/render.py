@@ -76,6 +76,8 @@ def main(argv=None):
 
     if args.platform:
         import jax
+        from toyrenderer_tpu.utils.cache import enable_compile_cache
+        enable_compile_cache()
         jax.config.update("jax_platforms", args.platform)
     import jax
     import jax.numpy as jnp

@@ -63,6 +63,10 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
+
+    from toyrenderer_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     backend = jax.default_backend()
     if backend not in ("tpu", "axon"):
         print(f"[smoke] WARNING: backend is {backend!r}, not TPU — this "
