@@ -176,14 +176,15 @@ def _gi_gdir_enabled() -> bool:
 
 def _gi_pairs_enabled() -> bool:
     import os
-    # pair-MXU dense traversal (ops/rt_pairs.py): the MEASURED probe-ray
-    # winner on the courtyard (14.4 vs 20.4 ms packet-cone for the DDGI
-    # phase rays, v5e) — dense Moller-Trumbore as one MXU matmul per
-    # (ray block, tri chunk) pair.  Probe rays are dir-major, so 128
-    # consecutive rays are grid-adjacent probes sharing one direction —
-    # exactly the coherent block the box phase wants.  TR_GI_PAIRS=0
-    # opts out (falls back to the packet-cone kernel).
-    return os.environ.get('TR_GI_PAIRS', '1') == '1'
+    # pair-MXU dense traversal (ops/rt_pairs.py): dense Moller-Trumbore
+    # as one MXU matmul per (ray block, tri chunk) pair.  Wins the
+    # STANDALONE probe-ray micro-bench 1.42x (14.4 vs 20.4 ms for the
+    # DDGI phase rays, v5e), but LOSES at frame scope: all-on courtyard
+    # 120.1 ms (pairs) vs 117.9 ms (packet-cone), measured round 4 after
+    # the pbp lane-pad fix — the lifecycle reshapes around the kernel
+    # eat the kernel win.  Default OFF until a frame-scope win is
+    # measured; TR_GI_PAIRS=1 opts in.
+    return os.environ.get('TR_GI_PAIRS', '0') == '1'
 
 
 def _gi_chunks_enabled() -> bool:
