@@ -203,6 +203,7 @@ extern "C" int64_t simplify_qem(
     for (int64_t t = 0; t < n_tris; ++t) live_tris += !tri_dead[t];
     const int64_t target_tris = target_idx / 3;
     double max_cost = 0.0;
+    double max_disp2 = 0.0;
 
     auto tri_verts = [&](int64_t t, uint32_t* v) {
         v[0] = find(tri[t * 3]); v[1] = find(tri[t * 3 + 1]);
@@ -240,6 +241,18 @@ extern "C" int64_t simplify_qem(
         version[b]++;
         q[b].add(q[a]);
         max_cost = std::max(max_cost, c.cost);
+        // honest object-space error: the quadric cost is AREA-weighted
+        // (sqrt(cost) ~ displacement * sqrt(plane weight)), so tiny
+        // disconnected components (bricks, slats) report millimeter
+        // errors while whole pieces vanish — the LOD selector then
+        // shreds mid-distance geometry.  Track the real displacement of
+        // every committed collapse instead; screen-error selection gets
+        // an actual world-space bound.
+        {
+            Vec3 d = sub(positions + size_t(a) * 3,
+                         positions + size_t(b) * 3);
+            max_disp2 = std::max(max_disp2, dot(d, d));
+        }
 
         // retire degenerate triangles, move the rest, re-push edges
         std::vector<int32_t>& ta = vtris[a];
@@ -274,6 +287,7 @@ extern "C" int64_t simplify_qem(
         out_indices[out++] = v1;
         out_indices[out++] = v2;
     }
-    if (out_error) *out_error = float(std::sqrt(std::max(max_cost, 0.0)));
+    (void)max_cost;
+    if (out_error) *out_error = float(std::sqrt(max_disp2));
     return out;
 }

@@ -28,7 +28,7 @@ from toyrenderer_tpu.scene import meshlet as ML
 from toyrenderer_tpu.scene import lod as LOD
 from toyrenderer_tpu.scene import textures as TX
 
-CACHE_VERSION = 11   # 11: ATLAS_ALIGN-aligned texture chains
+CACHE_VERSION = 12   # 12: honest LOD errors (collapse displacement)
 MAX_LODS = LOD.MAX_LODS
 
 
