@@ -84,7 +84,12 @@ def test_qem_beats_grid_clustering():
     q_dev = _mean_radial_deviation(pos, q_idx)
     g_dev = _mean_radial_deviation(pos, g_idx)
     assert q_dev < g_dev, (q_dev, g_dev)
-    assert qem.errors[q_k] < g_err
+    # reported errors are honest BOUNDS (round 4: min of plane-set
+    # distance and collapse displacement, compounded 1.5x per level like
+    # the reference) — they must cover the measured deviation without
+    # being vacuous (within the mesh extent)
+    assert qem.errors[q_k] >= q_dev, (qem.errors[q_k], q_dev)
+    assert qem.errors[q_k] < 2.0   # unit sphere: bound stays sub-diameter
 
 
 def test_grid_fallback_still_valid():

@@ -132,7 +132,14 @@ class RenderSettings:
     late_capacity_frac: float = 0.25      # late-phase pair budget
     debug_mode: int = 0                   # lighting.DEBUG_*
     # raster tuning
-    max_tris_per_tile: int = 512
+    max_tris_per_tile: int = 2048  # K: per-tile list capacity.  Honest
+    #   LODs (round 4) put up to ~2.1k real triangles in the hottest
+    #   mid-distance floor tiles of the courtyard at 1080p; at 512 the
+    #   sorted tail dropped and whole late-id slabs vanished
+    #   (meshlet-shaped raster holes).  Runtime cost tracks REAL counts
+    #   (count-bounded group loop + count-blocked one-hot fetch), so a
+    #   bigger cap costs VMEM scratch (K x 48 f32 = 384 KiB), not time
+    #   on cool tiles.
     raster_chunk: int = 32     # pair records per fill grid step.
     #   With the count-bounded group loop (raster_rows fori), VPU cost
     #   tracks real pairs at any chunk size; what remains is the
@@ -140,7 +147,11 @@ class RenderSettings:
     #   chunk.  Measured in the real culled courtyard frame at 1080p
     #   (v5e, count-bounded kernel): 32 -> 192.8 ms deferred,
     #   64 -> 202.8, 128 -> 210.4, 256 -> 234.5
-    max_big_tris: int = 256
+    max_big_tris: int = 2048   # near-camera triangles span > the 4x2
+    #   slot grid and route to the big list; the honest-LOD courtyard
+    #   view produces ~1.6k of them (at 256 the overflow dropped ~1.3k
+    #   CLOSE-UP triangles).  Per-tile cost is bighit-gated and
+    #   count-blocked.
     tile_batch: int = 32
     tile_h: int = 16                      # fill-tile height (8 = native
     #   VPU vreg rows: half the per-pair edge-eval cost, ~40% more pairs)

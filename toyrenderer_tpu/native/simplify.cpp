@@ -28,7 +28,9 @@ namespace {
 struct Quadric {
     // symmetric 4x4: a2 ab ac ad | b2 bc bd | c2 cd | d2
     double m[10] = {};
+    double wsum = 0.0;          // total plane weight (error normalization)
     void add_plane(double a, double b, double c, double d, double w) {
+        wsum += w;
         m[0] += w * a * a; m[1] += w * a * b; m[2] += w * a * c;
         m[3] += w * a * d; m[4] += w * b * b; m[5] += w * b * c;
         m[6] += w * b * d; m[7] += w * c * c; m[8] += w * c * d;
@@ -36,6 +38,7 @@ struct Quadric {
     }
     void add(const Quadric& q) {
         for (int i = 0; i < 10; ++i) m[i] += q.m[i];
+        wsum += q.wsum;
     }
     double eval(const float* p) const {
         double x = p[0], y = p[1], z = p[2];
@@ -237,21 +240,37 @@ extern "C" int64_t simplify_qem(
         if (flip) continue;
 
         // commit: a -> b
+        // (error normalization below uses the FROM quadric's weight —
+        // the candidate cost was evaluated against q[a] alone)
+        double err_w = q[a].wsum;
         remap[a] = b;
         version[b]++;
         q[b].add(q[a]);
         max_cost = std::max(max_cost, c.cost);
-        // honest object-space error: the quadric cost is AREA-weighted
-        // (sqrt(cost) ~ displacement * sqrt(plane weight)), so tiny
-        // disconnected components (bricks, slats) report millimeter
-        // errors while whole pieces vanish — the LOD selector then
-        // shreds mid-distance geometry.  Track the real displacement of
-        // every committed collapse instead; screen-error selection gets
-        // an actual world-space bound.
+        // honest object-space error: the raw quadric cost is
+        // AREA-weighted (sqrt(cost) ~ distance * sqrt(plane weight)) —
+        // tiny disconnected components (bricks, slats) report
+        // millimeter errors while whole pieces vanish, and the LOD
+        // selector shreds mid-distance geometry.  Raw collapse
+        // DISPLACEMENT |a-b| overshoots the other way (~50x): sliding a
+        // vertex within a flat surface moves it far while changing the
+        // image not at all, so LODs never engage.  The faithful metric
+        // is the weight-NORMALIZED quadric cost: mean squared distance
+        // of the moved vertex to the collapsed region's plane set — a
+        // vanishing brick reports ~its thickness, an in-plane slide
+        // reports ~the bump height.
         {
-            Vec3 d = sub(positions + size_t(a) * 3,
-                         positions + size_t(b) * 3);
-            max_disp2 = std::max(max_disp2, dot(d, d));
+            // true geometric change is bounded by BOTH the mean-sq
+            // distance to the collapsed region's plane set (cost/weight
+            // — merged quadrics of curved regions overshoot at deep
+            // LODs) and the raw displacement |a-b| (overshoots for
+            // in-surface slides): take the min per collapse, the max
+            // over the level.
+            double d2 = err_w > 1e-20
+                ? std::max(c.cost, 0.0) / err_w : 0.0;
+            Vec3 ab = sub(positions + size_t(a) * 3,
+                          positions + size_t(b) * 3);
+            max_disp2 = std::max(max_disp2, std::min(d2, dot(ab, ab)));
         }
 
         // retire degenerate triangles, move the rest, re-push edges
