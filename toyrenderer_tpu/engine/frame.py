@@ -160,8 +160,14 @@ class RenderSettings:
     #   pair count — while HALVING the resolve epilogue's one-hot matmul
     #   issues (one per row per 128-slot block); pair bin_slots_y=8,
     #   bin_slots_x=1 preserves the 64x256-px slot-grid footprint
-    bin_slots_y: int = 4                  # static per-triangle slot grid
+    bin_slots_y: int = 8                  # static per-triangle slot grid
     bin_slots_x: int = 2
+    #   8x2 tiles = 128x256 px: honest LODs put ~1.6k near-camera
+    #   triangles above the old 4x2 grid and the brute-force big path is
+    #   O(bighit_tiles x B) — measured 57 ms/frame at B=1579.  At 8x2
+    #   only ~145 genuinely screen-dominant tris remain big; the span-
+    #   classed expansion keeps the sort small (only the 'rest' class
+    #   pays the full 16-slot grid).
     bin_split: bool = True                # span-classed slot expansion
     #   (1x1-span tris bin with 1 slot, 2x1 with 2 — the global bin
     #   sort shrinks ~3x; see RasterConfig.bin_split)
@@ -354,11 +360,20 @@ def _raster_with_records(scene, geo, cfg, use_pallas, inst_world,
 def _raster_stats(setup, bins):
     """Pipeline-statistics counters per base-pass set (the reference
     surfaces AS/MS/PS invocation counts, BasePassRenderers.cpp:178-221):
-    setup-surviving triangles, binned (tile, tri) pairs, big triangles."""
-    return dict(
+    setup-surviving triangles, binned (tile, tri) pairs, big triangles,
+    and — round 4 — SILENT-DROP telemetry: every bounded-amplification
+    path reports its overflow (class caps, per-tile K, big list), so a
+    capacity outgrown by content shows up in stats instead of as
+    unexplained holes."""
+    out = dict(
         tris=jnp.sum(setup['valid'].astype(jnp.int32)),
         binned_pairs=jnp.sum(bins['counts']),
         big_tris=jnp.sum((bins['big_list'] >= 0).astype(jnp.int32)))
+    drop = bins.get('drop')
+    if drop:
+        out['dropped'] = sum(drop.values())
+        out.update(drop)
+    return out
 
 
 def _refit_tree(rt_s, inst_world):
@@ -1239,6 +1254,9 @@ def _gbuffer_two_phase(scene, inst_world, inst_adj, prev_inst_world,
         early_instances=jnp.sum(cull1['visible'].astype(jnp.int32)),
         late_instances=jnp.sum(late_mask.astype(jnp.int32)),
         early_pairs=total1, late_pairs=total2,
+        # pair-list capacity overflow (bounded amplification drops)
+        early_pair_dropped=jnp.maximum(total1 - cap1, 0),
+        late_pair_dropped=jnp.maximum(total2 - cap2, 0),
         early_meshlets=jnp.sum(pv1.astype(jnp.int32)),
         late_meshlets=jnp.sum(pv2.astype(jnp.int32)),
         **{f'early_{k}': v for k, v in rs1.items()},

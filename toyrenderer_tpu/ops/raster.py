@@ -288,6 +288,12 @@ def _sort_pairs(setup: dict, cfg: RasterConfig):
 
     sy_full, sx_full = cfg.bin_slots_y, cfg.bin_slots_x
     use_split = cfg.bin_split and (sy_full * sx_full > 2)
+    drop = {}
+
+    def _class_drop(name, mask, cap):
+        n = jnp.sum(mask.astype(jnp.int32))
+        drop[name] = jnp.maximum(n - cap, 0)
+
     if use_split:
         # span-classed expansion: most tris span ONE tile (1 slot), the
         # next-biggest class spans 2x1 (2 slots); only the residue pays
@@ -298,12 +304,16 @@ def _sort_pairs(setup: dict, cfg: RasterConfig):
         tiny = small & (spans_x == 1) & (spans_y == 1)
         short = small & (spans_x == 1) & (spans_y == 2)
         rest = small & ~tiny & ~short
+        _class_drop('drop_tiny', tiny, cfg.compact_cap(t))
+        _class_drop('drop_short', short, cfg.short_cap(t))
+        _class_drop('drop_rest', rest, cfg.rest_cap(t))
         parts = [_expand(tiny, cfg.compact_cap(t), 1, 1),
                  _expand(short, cfg.short_cap(t), 2, 1),
                  _expand(rest, cfg.rest_cap(t), sy_full, sx_full)]
         keys = jnp.concatenate([p[0] for p in parts])
         tri_ids = jnp.concatenate([p[1] for p in parts])
     else:
+        _class_drop('drop_small', small, cfg.compact_cap(t))
         keys, tri_ids = _expand(small, cfg.compact_cap(t), sy_full,
                                 sx_full)
     tri_bits = max(t - 1, 1).bit_length()
@@ -333,7 +343,14 @@ def _sort_pairs(setup: dict, cfg: RasterConfig):
     num_big = jnp.sum(is_big.astype(jnp.int32))
     big_list = jnp.where(jnp.arange(b) < jnp.minimum(num_big, b),
                          big_sorted, -1)
-    return vals_s, offs, counts, big_list
+    # silent-drop telemetry (round 4: honest LODs made every bounded
+    # path's overflow a REAL possibility — the courtyard lost whole
+    # slabs/beams before these counters existed).  Per-tile K overflow
+    # is the pairs a tile binned beyond its list capacity.
+    drop['drop_big'] = jnp.maximum(num_big - b, 0)
+    drop['drop_tile_k'] = jnp.sum(jnp.maximum(
+        counts - cfg.max_tris_per_tile, 0))
+    return vals_s, offs, counts, big_list, drop
 
 
 def bin_triangles(setup: dict, cfg: RasterConfig):
@@ -344,7 +361,7 @@ def bin_triangles(setup: dict, cfg: RasterConfig):
       tile_count: (num_tiles,) i32
       big_list:   (B,) i32 triangle ids, -1 padded
     """
-    vals_s, offs, counts, big_list = _sort_pairs(setup, cfg)
+    vals_s, offs, counts, big_list, _drop = _sort_pairs(setup, cfg)
     k_ = jnp.arange(cfg.max_tris_per_tile, dtype=jnp.int32)
     gather_idx = offs[:-1, None] + k_[None, :]          # (tiles, K)
     in_list = k_[None, :] < counts[:, None]
@@ -361,10 +378,10 @@ def bin_pairs_stream(setup: dict, cfg: RasterConfig):
       counts (num_tiles,) clamped to K, big_list (B,).
     The fused fill consumes these via `fill_resolve_stream`.
     """
-    vals_s, offs, counts, big_list = _sort_pairs(setup, cfg)
+    vals_s, offs, counts, big_list, drop = _sort_pairs(setup, cfg)
     return dict(vals_s=vals_s, offs=offs,
                 counts=jnp.minimum(counts, cfg.max_tris_per_tile),
-                big_list=big_list)
+                big_list=big_list, drop=drop)
 
 
 def fill_visibility(setup: dict, tile_table, big_list, cfg: RasterConfig,
