@@ -6,7 +6,7 @@ import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+                      os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache"))
 import numpy as np
 import jax
 from toyrenderer_tpu.utils.cache import enable_compile_cache
@@ -23,7 +23,7 @@ from toyrenderer_tpu.ops.rt_chunks import chunk_table, traverse_chunks
 from toyrenderer_tpu.ops.geometry import rt_lod_pairs, static_meshlet_pairs
 from toyrenderer_tpu.scene import load_scene
 
-path = os.path.join(os.path.dirname(__file__), "resources",
+path = os.path.join(os.path.dirname(__file__), "..", "..", "resources",
                     "courtyard.glb")
 scene_host = load_scene(path)
 scene = scene_host.to_device()

@@ -11,7 +11,7 @@ import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+                      os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache"))
 import numpy as np
 import jax
 from toyrenderer_tpu.utils.cache import enable_compile_cache
@@ -26,7 +26,7 @@ from toyrenderer_tpu.ops.rt_pairs import mt_tables, traverse_pairs
 from toyrenderer_tpu.ops.geometry import static_meshlet_pairs
 from toyrenderer_tpu.scene import load_scene
 
-path = os.path.join(os.path.dirname(__file__), "resources",
+path = os.path.join(os.path.dirname(__file__), "..", "..", "resources",
                     "courtyard.glb")
 scene_host = load_scene(path)
 scene = scene_host.to_device()
