@@ -266,8 +266,13 @@ extern "C" int64_t simplify_qem(
             // LODs) and the raw displacement |a-b| (overshoots for
             // in-surface slides): take the min per collapse, the max
             // over the level.
+            // c.cost folds the normal-similarity penalty in (it steers
+            // the collapse ORDER, not geometry) — normalize the pure
+            // quadric cost instead; q[a] is unchanged since push (stamp
+            // check above) so re-evaluating is exact
+            double pure = q[a].eval(positions + size_t(b) * 3);
             double d2 = err_w > 1e-20
-                ? std::max(c.cost, 0.0) / err_w : 0.0;
+                ? std::max(pure, 0.0) / err_w : 0.0;
             Vec3 ab = sub(positions + size_t(a) * 3,
                           positions + size_t(b) * 3);
             max_disp2 = std::max(max_disp2, std::min(d2, dot(ab, ab)));

@@ -28,7 +28,7 @@ from toyrenderer_tpu.scene import meshlet as ML
 from toyrenderer_tpu.scene import lod as LOD
 from toyrenderer_tpu.scene import textures as TX
 
-CACHE_VERSION = 12   # 12: honest LOD errors (collapse displacement)
+CACHE_VERSION = 13   # 13: pure-quadric normalized LOD error (no normal penalty)
 MAX_LODS = LOD.MAX_LODS
 
 

@@ -5,8 +5,12 @@ CI runs every Pallas kernel in interpret mode (CPU), which cannot catch
 Mosaic lowering regressions (e.g. the round-3 NaN constant-fold bug in
 the peel-merge row table).  This script is the hand-run counterpart: a
 448x256 Cornell frame with shadows+AO+GI on the real chip, asserting the
-output is finite, covered and non-degenerate.  ~1 min warm via
-.jax_cache; run it once per working session on TPU.
+output is finite, covered and non-degenerate.  Runs compile COLD under
+the axon backend (enable_compile_cache refuses there — the axon
+persistent cache returns invalid executables; warm ~1 min applies only
+to local TPU/CPU backends).  Run once per working session on TPU; the
+result is appended to PROGRESS notes so Mosaic regressions stay visible
+between rounds.
 
   python -m toyrenderer_tpu.tools.smoke_tpu            # lit + all-on
   python -m toyrenderer_tpu.tools.smoke_tpu --fast     # lit only
