@@ -200,7 +200,7 @@ def test_big_triangle_path():
                          max_big_tris=8, tile_batch=4)
     tri = _ndc_tri([-4, -4], [4, -4], [0, 6], z=0.5)
     setup = R.setup_triangles(_geo_from_tris(tri), cfg)
-    table, counts, big = R.bin_triangles(setup, cfg)
+    table, counts, big, _ = R.bin_triangles(setup, cfg)
     assert int(np.asarray(big)[0]) == 0           # in the big list
     assert int(np.asarray(counts).sum()) == 0     # not in tile lists
     _, _, tid = R.rasterize(_geo_from_tris(tri), cfg)
@@ -242,7 +242,7 @@ def test_fill_resolve_stream_matches_xla_fill():
         setup, d, inst_world, inst_adj, inst_world,
         jnp.asarray(mats['prev_view_proj_nojitter']))
 
-    table, counts, big = R.bin_triangles(setup, cfg)
+    table, counts, big, _ = R.bin_triangles(setup, cfg)
     z_ref, id_ref = R.fill_visibility(setup, table, big, cfg)
     bins = R.bin_pairs_stream(setup, cfg)
     z_s, id_s, rec_s = fill_resolve_stream(setup, records, bins, cfg,
@@ -311,7 +311,7 @@ def test_depth_peeling_extracts_next_layer():
     cfg = R.RasterConfig(width=256, height=128, max_tris_per_tile=32,
                          chunk=8, max_big_tris=32, tile_batch=4)
     setup = R.setup_triangles(_geo_from_tris(tris), cfg)
-    table, counts, big = R.bin_triangles(setup, cfg)
+    table, counts, big, _ = R.bin_triangles(setup, cfg)
     z0, id0 = R.fill_visibility(setup, table, big, cfg)
     z1, id1 = R.fill_visibility(setup, table, big, cfg, peel_depth=z0)
     z0, id0 = np.asarray(z0), np.asarray(id0)
@@ -353,7 +353,7 @@ def test_fill_peel_stream_matches_sequential_peel():
     cfg = R.RasterConfig(width=256, height=128, max_tris_per_tile=32,
                          chunk=8, max_big_tris=32, tile_batch=4)
     setup = R.setup_triangles(_geo_from_tris(tris), cfg)
-    table, counts, big = R.bin_triangles(setup, cfg)
+    table, counts, big, _ = R.bin_triangles(setup, cfg)
     z0, id0 = R.fill_visibility(setup, table, big, cfg)
     z1, id1 = R.fill_visibility(setup, table, big, cfg, peel_depth=z0)
 

@@ -146,7 +146,7 @@ def test_normal_mapping_perturbs_gbuffer_normals():
     setup = R.setup_triangles(geo, cfg)
     rec = pack_resolve_records(
         setup, d, iw, ia, iw, jnp.asarray(mats['prev_view_proj_nojitter']))
-    table, counts, big = R.bin_triangles(setup, cfg)
+    table, counts, big, _ = R.bin_triangles(setup, cfg)
     z, tid = R.fill_visibility(setup, table, big, cfg)
     jitter = jnp.zeros(2)
 

@@ -57,6 +57,13 @@ class RenderSettings:
     shadow_technique: str = 'map'         # 'map' (raster) | 'rt' (BVH)
     shadow_map_resolution: int = 1024
     shadow_max_steps: int = 96            # BVH traversal budget per ray
+    shadow_ray_scale: int = 2             # RT shadow rays at
+    #   1/scale res + depth-aware denoise upsample: the reference traces
+    #   full-res rays because RT cores make 2M rays ~free
+    #   (shadowmask.hlsl:65-145) and leans on NRD SIGMA to clean 1 spp;
+    #   on TPU the same denoise investment buys a 4x ray cut instead
+    #   (measured ~43 ms of in-frame sun rays at 1080p full res).
+    #   1 = full-res reference shape.
     enable_ao: bool = False               # GTAO
     ao_radius: float = 1.5                # world-space AO radius
     ao_half_res: bool = True              # GTAO horizons at half res +
@@ -74,6 +81,17 @@ class RenderSettings:
     #   GIRenderer.cpp:211) — converged = stopped improving, not small
     gi_min_var_samples: int = 16          # kMinimumVariabilitySamples
     gi_update_phases: int = 1             # probes update in P/N blocks
+    gi_update_mode: str = 'interval'      # 'interval' = trace the FULL
+    #   volume every Nth frame (N = gi_update_phases); 'phases' = 1/N of
+    #   the probes every frame.  Same rays per cycle either way, but a
+    #   probe-ray dispatch has ~10+ ms of fixed cost on TPU (divergent
+    #   packets visit most of the tree no matter how few rays ride
+    #   along: 5.7k rays measured ~16 ms = 0.37 Mrays/s effective, round
+    #   4), so batching the cycle into ONE dispatch amortizes that fixed
+    #   cost N-fold.  The reference updates the whole volume per frame
+    #   because dispatch cost is ~free on RT cores (GIRenderer.cpp
+    #   450-577); 'interval' is the TPU-shaped version of the same
+    #   budget.
     gi_sample_scale: int = 2              # probe-sampling downscale when
     #                                       gi_half_res (2 = half res)
     peel_merge_frac: float = 0.0          # masked-peel compact merge:
@@ -243,6 +261,7 @@ def init_carry(scene, settings: RenderSettings, ddgi_volume=None,
     if settings.cache_sun_map and uses_sun_map:
         s = settings.shadow_map_resolution
         carry['sun_map_depth'] = jnp.zeros((s, s), jnp.float32)
+        carry['sun_map_dropped'] = jnp.asarray(0, jnp.int32)
         carry['prev_sun_view_proj'] = jnp.zeros((4, 4), jnp.float32)
     if settings.enable_gi:
         from toyrenderer_tpu.ops.ddgi import init_probes
@@ -347,13 +366,13 @@ def _raster_with_records(scene, geo, cfg, use_pallas, inst_world,
             interpret=jax.default_backend() not in ('tpu', 'axon'))
         stats = _raster_stats(setup, bins)
         return setup, records, depth, tid, interp, stats
-    table, counts, big = raster_mod.bin_triangles(setup, cfg)
+    table, counts, big, drop = raster_mod.bin_triangles(setup, cfg)
     depth, tid = raster_mod.fill_visibility(
         setup, table, big, cfg, init_depth=init_depth,
         init_tri_id=init_tri_id, emit_base=emit_base,
         peel_depth=peel_depth)
     stats = _raster_stats(
-        setup, dict(counts=counts, big_list=big))
+        setup, dict(counts=counts, big_list=big, drop=drop))
     return setup, records, depth, tid, None, stats
 
 
@@ -528,8 +547,8 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
             if use_pallas:
                 bins_m = raster_mod.bin_pairs_stream(setup_m, cfg)
             else:
-                table_m, _, big_m = raster_mod.bin_triangles(setup_m,
-                                                             cfg)
+                table_m, _, big_m, _ = raster_mod.bin_triangles(setup_m,
+                                                                cfg)
         h0_, w0_ = depth.shape
         n_layers = max(settings.alpha_layers, 1)
         # live merge channels: with float shading planes the packed
@@ -612,7 +631,9 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                     from toyrenderer_tpu.ops.raster_pallas import (
                         fill_resolve_stream)
                     depth_m, tid_m, rec_m = fill_resolve_stream(
-                        setup_m, records_m, bins_m, cfg, peel_depth=peel)
+                        setup_m, records_m, bins_m, cfg, peel_depth=peel,
+                        interpret=jax.default_backend() not in ('tpu',
+                                                                'axon'))
                 else:
                     depth_m, tid_m = raster_mod.fill_visibility(
                         setup_m, table_m, big_m, cfg, peel_depth=peel)
@@ -722,6 +743,7 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         or (settings.gi_sun_technique == 'auto' and not needs_rays))
     sm_quads = None
     sun_vis_fn = None
+    sm_dropped = None
     shadow_carry = {}
     if ((settings.enable_shadows and settings.shadow_technique == 'map')
             or gi_sun_map):
@@ -751,13 +773,17 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                     scene, inst_world, rt_pi, rt_pm, sun_vp, sm_cfg,
                     use_pallas, tri_keep=sm_keep)
 
-            sm_depth = jax.lax.cond(
-                moved, _render, lambda _: carry['sun_map_depth'],
+            sm_depth, sm_dropped = jax.lax.cond(
+                moved, _render,
+                lambda _: (carry['sun_map_depth'],
+                           carry.get('sun_map_dropped',
+                                     jnp.asarray(0, jnp.int32))),
                 operand=None)
             shadow_carry['sun_map_depth'] = sm_depth
+            shadow_carry['sun_map_dropped'] = sm_dropped
             shadow_carry['prev_sun_view_proj'] = sun_vp
         else:
-            sm_depth = sm_mod.render_shadow_map(
+            sm_depth, sm_dropped = sm_mod.render_shadow_map(
                 scene, inst_world, rt_pi, rt_pm, sun_vp, sm_cfg,
                 use_pallas, tri_keep=sm_keep)
         sm_quads = sm_mod.quad_expand_map(sm_depth)
@@ -778,10 +804,48 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                 -frame_inputs['sun_direction'], depth > 0.0,
                 carry['frame_index'])
         else:
-            raw = shadows_mod.trace_shadow_mask(
-                bvh, wp, m_gb['normal'], depth > 0.0,
-                -frame_inputs['sun_direction'], carry['frame_index'],
-                max_steps=settings.shadow_max_steps, sp_mesh=sp_mesh)
+            sc = max(settings.shadow_ray_scale, 1)
+            if sc > 1 and settings.height % sc == 0 \
+                    and settings.width % sc == 0 \
+                    and (sc & (sc - 1)) == 0:
+                # half-res shadow rays + upsample: pick the NEAREST
+                # (reverse-Z max) depth of each quad as the ray origin
+                # surface, reconstruct its world position analytically,
+                # and mean the quad normals for the bias direction.  The
+                # full-res temporal accumulate + depth-aware blur
+                # (denoise_shadow) then absorbs the quad quantization
+                # like it absorbs the 1-spp cone noise.
+                def _pool_max(x):
+                    return jax.lax.reduce_window(
+                        x, -jnp.inf, jax.lax.max, (sc, sc), (sc, sc),
+                        'VALID')
+
+                def _pool_mean3(x):
+                    return jax.lax.reduce_window(
+                        x, 0.0, jax.lax.add, (sc, sc, 1), (sc, sc, 1),
+                        'VALID') * (1.0 / (sc * sc))
+                d_h = _pool_max(depth)
+                wp_h = world_pos_from_depth(
+                    d_h, frame_inputs['inv_view_proj'],
+                    settings.width // sc, settings.height // sc)
+                from toyrenderer_tpu.mathlib.transforms import normalize
+                n_h = normalize(_pool_mean3(m_gb['normal']))
+                raw_h = shadows_mod.trace_shadow_mask(
+                    bvh, wp_h, n_h, d_h > 0.0,
+                    -frame_inputs['sun_direction'],
+                    carry['frame_index'],
+                    max_steps=settings.shadow_max_steps,
+                    sp_mesh=sp_mesh)
+                from toyrenderer_tpu.ops.texture import _quad_expand_ch
+                raw = raw_h[..., None]
+                for _ in range(sc.bit_length() - 1):   # log2(sc) doublings
+                    raw = _quad_expand_ch(raw)
+                raw = raw[..., 0]
+            else:
+                raw = shadows_mod.trace_shadow_mask(
+                    bvh, wp, m_gb['normal'], depth > 0.0,
+                    -frame_inputs['sun_direction'], carry['frame_index'],
+                    max_steps=settings.shadow_max_steps, sp_mesh=sp_mesh)
         shadow_mask, shadow_hist = denoise_mod.denoise_shadow(
             raw, gb['motion'], carry['shadow_history'],
             carry['shadow_valid'], depth, carry['prev_depth'])
@@ -841,6 +905,11 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         gi_phases = max(settings.gi_update_phases, 1)
         gi_cycle_end = (carry['frame_index'] % gi_phases
                         ) == (gi_phases - 1)
+        # interval mode: ONE full-volume dispatch per cycle instead of a
+        # 1/N block per frame — non-update frames hold the carry through
+        # the same cond that implements the convergence skip
+        gi_interval = (settings.gi_update_mode == 'interval'
+                       and gi_phases > 1)
 
         # pair-MXU probe traversal: its Moller-Trumbore coefficient
         # tables are world-space, so they rebuild alongside the
@@ -900,12 +969,13 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
             # relocation, classification (inactive probes are ray-masked
             # to zero cost) and variability convergence
             # (GIRenderer.cpp:450-577, 158-190)
+            trace_phases = 1 if gi_interval else settings.gi_update_phases
             (radiance, ray_dist, ray_dirs, blk,
              lifecycle) = ddgi_mod.trace_probe_block(
                 ddgi_volume, gi_bvh, shade_rec, carry['ddgi_irradiance'],
                 to_light, frame_inputs['sun_color'],
                 frame_inputs['sun_intensity'], carry['frame_index'],
-                sky_fn, settings.gi_update_phases,
+                sky_fn, trace_phases,
                 max_steps=settings.gi_max_steps,
                 probe_offset=carry['ddgi_offset'],
                 probe_state=carry['ddgi_state'], sun_vis_fn=sun_vis_fn,
@@ -917,8 +987,10 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                 radiance, ray_dist, ray_dirs, blk,
                 first_frame=(carry['frame_index']
                              < settings.gi_update_phases),
-                lifecycle=lifecycle, cycle_end=gi_cycle_end,
-                num_phases=gi_phases)
+                lifecycle=lifecycle,
+                cycle_end=(jnp.asarray(True) if gi_interval
+                           else gi_cycle_end),
+                num_phases=trace_phases)
             out = {k: gic[k] for k in _GI_KEYS}
             if gi_own_tree and 'gi_bvh_cache' in carry:
                 out['gi_bvh_cache'] = gi_bvh
@@ -935,7 +1007,10 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                 keys += ['gi_mt_cache']
             return {k: carry[k] for k in keys}
 
-        gi_carry = jax.lax.cond(gi_converged, _gi_hold, _gi_update, 0)
+        gi_skip = gi_converged
+        if gi_interval:
+            gi_skip = gi_skip | jnp.logical_not(gi_cycle_end)
+        gi_carry = jax.lax.cond(gi_skip, _gi_hold, _gi_update, 0)
         gi_carry['ddgi_var_samples'] = jnp.where(
             gi_converged, var_samples,
             var_samples + gi_cycle_end.astype(jnp.float32))
@@ -1057,8 +1132,8 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
             if use_pallas:
                 bins_t = raster_mod.bin_pairs_stream(setup_t, cfg)
             else:
-                table_t, _, big_t = raster_mod.bin_triangles(setup_t,
-                                                             cfg)
+                table_t, _, big_t, _ = raster_mod.bin_triangles(setup_t,
+                                                                cfg)
         for _layer in range(max(settings.oit_layers, 1)):
             if sp_mesh is not None:
                 (_, recs_t2, depth_t, tid_t, interp_t,
@@ -1124,6 +1199,10 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
         aux['ddgi_converged'] = gi_converged
     if shadow_mask is not None:
         aux['shadow'] = shadow_mask
+    if sm_dropped is not None:
+        # shadow-map bin overflow = silent light leaks; summed into the
+        # bench 'dropped' telemetry like every bounded-amplification path
+        aux['shadow_map_dropped'] = sm_dropped
     if ao is not None:
         aux['ao'] = ao
     if 'tex_feedback' in gb:

@@ -197,6 +197,17 @@ def eval_edges(setup: dict, tid, pxn, pyn):
             + e[..., 2])
 
 
+# Depth peeling re-rasterizes the next layer against the previous layer's
+# stored depth; a fragment of the SAME surface must never pass its own
+# bound.  Exact equality held only while XLA's FMA contraction happened to
+# agree between the two evaluation sites — a ~1-ulp mismatch makes the
+# front surface self-leak into layer 2.  The bound therefore excludes a
+# ~32-ulp relative band below the stored depth (sub-millimeter at any
+# scale; genuinely coincident layers are excluded BY DESIGN — the shared
+# diagonal of a quad must not occupy two layers).
+PEEL_BOUND = 1.0 - 4e-6
+
+
 def _coverage_depth(setup, ids, pxn, pyn):
     """(inside, depth) for candidate triangle ids at pixel grids.
 
@@ -209,17 +220,25 @@ def _coverage_depth(setup, ids, pxn, pyn):
     e = setup['edges'][idx]                          # (..., C, 3, 3)
     zs = setup['zs'][idx]
     ws = setup['ws'][idx]
+    # affine depth numerator/denominator — SAME association order as
+    # raster_pallas.pack_tri_records so XLA and Pallas fills stay
+    # bit-identical (num = sum_v l_v * z_v is affine in the pixel; the
+    # coefficient fold happens at triangle rate, the eval at pixel rate)
+    numc = (e[..., 0, :] * zs[..., 0, None] + e[..., 1, :] * zs[..., 1, None]
+            + e[..., 2, :] * zs[..., 2, None])       # (..., C, 3)
+    denc = (e[..., 0, :] * ws[..., 0, None] + e[..., 1, :] * ws[..., 1, None]
+            + e[..., 2, :] * ws[..., 2, None])
 
     def L(i):
         return (e[..., i, 0, None, None] * pxn
                 + e[..., i, 1, None, None] * pyn
                 + e[..., i, 2, None, None])
     l0, l1, l2 = L(0), L(1), L(2)
-    num = (l0 * zs[..., 0, None, None] + l1 * zs[..., 1, None, None]
-           + l2 * zs[..., 2, None, None])
-    den = (l0 * ws[..., 0, None, None] + l1 * ws[..., 1, None, None]
-           + l2 * ws[..., 2, None, None])
-    inside = ((l0 >= 0) & (l1 >= 0) & (l2 >= 0) & (den > 0)
+    num = (numc[..., 0, None, None] * pxn + numc[..., 1, None, None] * pyn
+           + numc[..., 2, None, None])
+    den = (denc[..., 0, None, None] * pxn + denc[..., 1, None, None] * pyn
+           + denc[..., 2, None, None])
+    inside = ((jnp.minimum(jnp.minimum(l0, l1), l2) >= 0) & (den > 0)
               & ok[..., None, None])
     depth = jnp.where(inside, num / jnp.where(den == 0, 1.0, den), -1.0)
     return inside, depth
@@ -360,14 +379,17 @@ def bin_triangles(setup: dict, cfg: RasterConfig):
       tile_table: (num_tiles, K) i32 triangle ids, -1 padded
       tile_count: (num_tiles,) i32
       big_list:   (B,) i32 triangle ids, -1 padded
+      drop:       dict of overflow counters from _sort_pairs (silent-drop
+                  telemetry — every bounded path reports its overflow)
     """
-    vals_s, offs, counts, big_list, _drop = _sort_pairs(setup, cfg)
+    vals_s, offs, counts, big_list, drop = _sort_pairs(setup, cfg)
     k_ = jnp.arange(cfg.max_tris_per_tile, dtype=jnp.int32)
     gather_idx = offs[:-1, None] + k_[None, :]          # (tiles, K)
     in_list = k_[None, :] < counts[:, None]
     gather_idx = jnp.clip(gather_idx, 0, vals_s.shape[0] - 1)
     tile_table = jnp.where(in_list, vals_s[gather_idx], -1)
-    return tile_table, jnp.minimum(counts, cfg.max_tris_per_tile), big_list
+    return (tile_table, jnp.minimum(counts, cfg.max_tris_per_tile),
+            big_list, drop)
 
 
 def bin_pairs_stream(setup: dict, cfg: RasterConfig):
@@ -421,7 +443,8 @@ def fill_visibility(setup: dict, tile_table, big_list, cfg: RasterConfig,
         """ids (TB, C); pxn/pyn (TB,1,TH,TW); best = (z, id) per pixel."""
         inside, depth = _coverage_depth(setup, ids, pxn, pyn)
         if peel is not None:
-            depth = jnp.where(depth < peel[:, None], depth, -1.0)
+            depth = jnp.where(depth < peel[:, None] * PEEL_BOUND,
+                              depth, -1.0)
         best_z, best_id = best
         emit_ids = jnp.where(ids >= 0, ids + emit_base, ids)
         cz = jnp.max(depth, axis=1)                              # (TB,TH,TW)
@@ -490,7 +513,7 @@ def rasterize(geo: dict, cfg: RasterConfig, use_pallas: bool = False,
     index into the concatenated multi-phase setup).
     """
     setup = setup_triangles(geo, cfg)
-    tile_table, tile_count, big_list = bin_triangles(setup, cfg)
+    tile_table, tile_count, big_list, _ = bin_triangles(setup, cfg)
     if use_pallas:
         from toyrenderer_tpu.ops.raster_pallas import fill_visibility_pallas
         depth, tri_id = fill_visibility_pallas(

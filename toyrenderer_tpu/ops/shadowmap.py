@@ -68,10 +68,37 @@ def sun_ortho_matrix(world_aabb, sun_direction) -> np.ndarray:
 
 
 def shadow_map_config(resolution: int) -> RasterConfig:
+    """Base sun-map raster config; render_shadow_map rescales the caps
+    from the STATIC caster count (the sun view concentrates the whole
+    unculled scene into the map, so per-tile density is ~10-20x the
+    camera view's and fixed caps cannot serve both Cornell and plaza)."""
     return RasterConfig(width=resolution, height=resolution,
                         tile_h=16, tile_w=128,
-                        max_tris_per_tile=256, chunk=8,
-                        max_big_tris=128, tile_batch=8)
+                        max_tris_per_tile=256, chunk=32,
+                        max_big_tris=128, tile_batch=8,
+                        compact_frac=1.0, short_frac=0.5,
+                        rest_frac=0.25)
+
+
+def _content_caps(cfg: RasterConfig, n_tris: int,
+                  streamed: bool) -> RasterConfig:
+    """Caps from the static caster-stream length.  Round-5 measurement:
+    courtyard max tile 5533 pairs at 1024^2 (old K=256 silently dropped
+    ~471k of ~500k pairs = structurally wrong shadows); plaza LOD0 hits
+    30k.  8x the mean per-tile density covers both with margin (drop
+    telemetry reports any residue).  The streamed fill makes K a count
+    CLAMP (cost tracks real counts); the XLA fallback pays full K per
+    tile, so its clamp stays low — it serves small scenes and tests."""
+    import dataclasses
+    avg = max(n_tris / cfg.num_tiles, 1.0)
+    want = -(-int(8 * avg) // 128) * 128
+    if streamed:
+        k = min(max(want, 1024), 32768)
+        b = 2048
+    else:
+        k = min(max(want, cfg.max_tris_per_tile), 1024)
+        b = max(cfg.max_big_tris, min(k, 512))
+    return dataclasses.replace(cfg, max_tris_per_tile=k, max_big_tris=b)
 
 
 def render_shadow_map(scene, inst_world, pair_inst, pair_meshlet,
@@ -83,7 +110,9 @@ def render_shadow_map(scene, inst_world, pair_inst, pair_meshlet,
     shadows.  tri_keep: optional (T,) bool per pair-stream triangle —
     the alpha-coverage classification that lets masked cutout geometry
     cast (hole-free) shadows without per-texel alpha in the raster.
-    Returns (S, S) f32, 0 == nothing (fully lit beyond map).
+    Returns (depth (S, S) f32 — 0 == nothing (fully lit beyond map),
+    dropped () i32 bin-capacity overflow: overflowed casters would
+    otherwise manifest as silent light leaks).
     """
     geo = geo_mod.meshlet_clip_triangles(
         scene, inst_world, sun_view_proj, pair_inst, pair_meshlet)
@@ -92,14 +121,20 @@ def render_shadow_map(scene, inst_world, pair_inst, pair_meshlet,
     # double-sided raster into the shadow map (no light-facing culling —
     # the cheap fix for acne from backface-only casters)
     geo = dict(geo, double_sided=jnp.ones_like(geo['double_sided']))
+    cfg = _content_caps(cfg, geo['tri_valid'].shape[0], use_pallas)
     setup = raster_mod.setup_triangles(geo, cfg)
-    table, counts, big = raster_mod.bin_triangles(setup, cfg)
     if use_pallas:
-        from toyrenderer_tpu.ops.raster_pallas import fill_visibility_pallas
-        depth, _ = fill_visibility_pallas(setup, table, counts, big, cfg)
-    else:
-        depth, _ = raster_mod.fill_visibility(setup, table, big, cfg)
-    return depth
+        # streamed fill: per-tile cost tracks REAL binned counts, so the
+        # unculled caster density (K up to 32k on plaza) is affordable —
+        # the dense (tiles, K, 16) record table of fill_visibility_pallas
+        # would cost tiles*K*64 B of HBM traffic at these caps
+        from toyrenderer_tpu.ops.raster_pallas import fill_peel_stream
+        bins = raster_mod.bin_pairs_stream(setup, cfg)
+        z, _ = fill_peel_stream(setup, bins, cfg, layers=1)
+        return z[0], sum(bins['drop'].values())
+    table, counts, big, drop = raster_mod.bin_triangles(setup, cfg)
+    depth, _ = raster_mod.fill_visibility(setup, table, big, cfg)
+    return depth, sum(drop.values())
 
 
 def quad_expand_map(depth):
