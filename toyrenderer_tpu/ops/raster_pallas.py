@@ -30,7 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from toyrenderer_tpu.ops.gbuffer import INTERP_C
-from toyrenderer_tpu.ops.raster import RasterConfig
+from toyrenderer_tpu.ops.raster import PEEL_BOUND, RasterConfig
 
 REC = 16
 
@@ -38,14 +38,26 @@ REC = 16
 def pack_tri_records(setup: dict, ids=None) -> jnp.ndarray:
     """(T, 16) f32 packed records from the triangle setup.  Slot 15 holds
     the triangle id as f32 (exact below 2^24); pass explicit `ids` to bake
-    emit offsets / -1 sentinels."""
+    emit offsets / -1 sentinels.
+
+    Slots 9:12 / 12:15 hold the AFFINE depth numerator / denominator
+    coefficients (sum_v edges[v] * zs[v] / ws[v]): num(x, y) is affine in
+    the pixel, so pre-folding the z/w dot products at pack time (T-rate,
+    XLA) replaces two 3-term dot products per pixel with two affine evals
+    in the kernel (pixel-rate, VPU).  raster._coverage_depth mirrors the
+    same association order, keeping XLA/Pallas fills bit-identical."""
     t = setup['valid'].shape[0]
     if ids is None:
         ids = jnp.arange(t, dtype=jnp.int32)
+    e = setup['edges']                                   # (T, 3, 3)
+    numc = (e[:, 0] * setup['zs'][:, 0:1] + e[:, 1] * setup['zs'][:, 1:2]
+            + e[:, 2] * setup['zs'][:, 2:3])             # (T, 3)
+    denc = (e[:, 0] * setup['ws'][:, 0:1] + e[:, 1] * setup['ws'][:, 1:2]
+            + e[:, 2] * setup['ws'][:, 2:3])             # (T, 3)
     rec = jnp.concatenate([
-        setup['edges'].reshape(t, 9),
-        setup['zs'],
-        setup['ws'],
+        e.reshape(t, 9),
+        numc,
+        denc,
         ids.astype(jnp.float32)[:, None],
     ], axis=1)
     return rec
@@ -107,24 +119,37 @@ def _fill_kernel(counts_ref,            # scalar prefetch: (tiles,) i32
 
                     def colm(f, rg=rg):
                         return rg[:, f:f + 1][:, :, None]
-                    idp = colm(15) * jnp.ones((1, 8, tw))
                     l0 = colm(0) * pxh + colm(1) * pyh + colm(2)
                     l1 = colm(3) * pxh + colm(4) * pyh + colm(5)
                     l2 = colm(6) * pxh + colm(7) * pyh + colm(8)
-                    num = l0 * colm(9) + l1 * colm(10) + l2 * colm(11)
-                    den = l0 * colm(12) + l1 * colm(13) + l2 * colm(14)
-                    inside = ((l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)
-                              & (den > 0.0))
+                    # affine num/den coefficients (pack_tri_records)
+                    num = colm(9) * pxh + colm(10) * pyh + colm(11)
+                    den = colm(12) * pxh + colm(13) * pyh + colm(14)
+                    inside = ((jnp.minimum(jnp.minimum(l0, l1), l2)
+                               >= 0.0) & (den > 0.0))
                     depth = jnp.where(
                         inside, num / jnp.where(den == 0.0, 1.0, den),
                         -1.0)
+                    # tree-reduce winner (first-wins ties, see
+                    # raster_rows); chunk overshoot reads -1-id slots —
+                    # mask those records out by id sign
+                    idp = colm(15) * jnp.ones((1, 8, tw))
+                    nodes = []
                     for r in range(g):
-                        # chunk overshoot reads -1-id slots — mask out
-                        upd = (depth[r] > bz) & (idp[r] >= 0.0)
-                        bz = jnp.where(upd, depth[r], bz)
-                        bi = jnp.where(
-                            upd, idp[r].astype(jnp.int32) + emit_base,
-                            bi)
+                        d_r = jnp.where(idp[r] >= 0.0, depth[r], -1.0)
+                        nodes.append(
+                            (d_r, idp[r].astype(jnp.int32) + emit_base))
+                    while len(nodes) > 1:
+                        nxt = []
+                        for a, b in zip(nodes[0::2], nodes[1::2]):
+                            t = b[0] > a[0]
+                            nxt.append((jnp.maximum(a[0], b[0]),
+                                        jnp.where(t, b[1], a[1])))
+                        nodes = nxt
+                    dw, iw = nodes[0]
+                    upd = dw > bz
+                    bz = jnp.where(upd, dw, bz)
+                    bi = jnp.where(upd, iw, bi)
                 halves.append((bz, bi))
             for h in range(nh):
                 sl = slice(h * 8, (h + 1) * 8)
@@ -360,7 +385,13 @@ def _fill_resolve_stream_kernel(
         10-pair tile used to pay for 128 — measured 397 -> 216 ms
         deferred just from halving the chunk; this removes the
         rounding entirely and lets big chunks amortize grid steps).
-        read_group: r0 -> (g, 16) record block read from a ref."""
+        read_group: r0 -> (g, 16) record block read from a ref.
+
+        Winner selection is a TREE REDUCTION over the group (left
+        priority on depth ties == the sequential cascade's first-wins
+        semantics, bit-identical results): the 8-step insertion cascade
+        cost 5 vreg-ops x g records per half; the tree costs ~g/2 at
+        the leaves where ids/slots are still (1,1) scalars."""
         ng = jnp.clip((limit - base + (g - 1)) // g, 0, c // g)
         pxh = px8[None]
         pyhs = [((ty.astype(jnp.float32) * th + h * 8 + rowf8)
@@ -372,7 +403,10 @@ def _fill_resolve_stream_kernel(
 
             def colm(f):
                 return rg[:, f:f + 1][:, :, None]      # (g, 1, 1)
-            idp = colm(15) * jnp.ones((1, 8, tw))
+            # (g,1,1)x(1,8,tw) broadcast is the Mosaic-legal shape;
+            # a (1,1)->(8,tw) broadcast at select time is NOT
+            # ("Broadcast in both sublanes and lanes" is unimplemented)
+            idp = (colm(15) * jnp.ones((1, 8, tw))).astype(jnp.int32)
             out = []
             for h in range(nh):
                 sl = _sl(h)
@@ -381,22 +415,42 @@ def _fill_resolve_stream_kernel(
                 l0 = colm(0) * pxh + colm(1) * pyh + colm(2)
                 l1 = colm(3) * pxh + colm(4) * pyh + colm(5)
                 l2 = colm(6) * pxh + colm(7) * pyh + colm(8)
-                num = l0 * colm(9) + l1 * colm(10) + l2 * colm(11)
-                den = l0 * colm(12) + l1 * colm(13) + l2 * colm(14)
-                inside = ((l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)
+                # records carry AFFINE num/den coefficients (pre-folded
+                # z/w dots, pack_tri_records): 2 affine evals instead of
+                # two 3-term dot products over the l's
+                num = colm(9) * pxh + colm(10) * pyh + colm(11)
+                den = colm(12) * pxh + colm(13) * pyh + colm(14)
+                inside = ((jnp.minimum(jnp.minimum(l0, l1), l2) >= 0.0)
                           & (den > 0.0))
                 depth = jnp.where(
                     inside, num / jnp.where(den == 0.0, 1.0, den), -1.0)
+                if peel_ref is not None:
+                    # depth peeling: only fragments strictly FARTHER
+                    # than the previous layer may win (relative-epsilon
+                    # bound — see raster.PEEL_BOUND: recomputed depths
+                    # are not bit-reproducible across fusion contexts)
+                    depth = jnp.where(
+                        depth < peel_ref[sl, :][None] * PEEL_BOUND,
+                        depth, -1.0)
+                nodes = []
                 for r in range(g):
-                    upd = (depth[r] > bz) & (base + r0 + r < limit)
-                    if peel_ref is not None:
-                        # depth peeling: only fragments strictly FARTHER
-                        # than the previous layer may win
-                        upd = upd & (depth[r] < peel_ref[sl, :])
-                    bz = jnp.where(upd, depth[r], bz)
-                    bi = jnp.where(
-                        upd, idp[r].astype(jnp.int32) + emit_base, bi)
-                    bs = jnp.where(upd, slot_origin + base + r0 + r, bs)
+                    ok = base + r0 + r < limit         # traced scalar
+                    d_r = jnp.where(ok, depth[r], -1.0)
+                    s_r = slot_origin + base + r0 + r  # traced scalar
+                    nodes.append((d_r, idp[r] + emit_base, s_r))
+                while len(nodes) > 1:
+                    nxt = []
+                    for a, b in zip(nodes[0::2], nodes[1::2]):
+                        t = b[0] > a[0]
+                        nxt.append((jnp.maximum(a[0], b[0]),
+                                    jnp.where(t, b[1], a[1]),
+                                    jnp.where(t, b[2], a[2])))
+                    nodes = nxt
+                dw, iw, sw = nodes[0]
+                upd = dw > bz
+                bz = jnp.where(upd, dw, bz)
+                bi = jnp.where(upd, iw, bi)
+                bs = jnp.where(upd, sw, bs)
                 out += [bz, bi, bs]
             return tuple(out)
 
@@ -706,6 +760,9 @@ def _fill_peel_stream_kernel(
         pyhs = [((ty.astype(jnp.float32) * th + h * 8 + rowf8)
                  * (1.0 / cfg.height))[None] for h in range(nh)]
 
+        import os as _os
+        _probe = _os.environ.get('TR_FILL_PROBE', '')
+
         def body(gi, hs):
             r0 = pl.multiple_of(gi * g, g)
             rg = read_group(r0)
@@ -713,6 +770,10 @@ def _fill_peel_stream_kernel(
             def colm(f):
                 return rg[:, f:f + 1][:, :, None]      # (g, 1, 1)
             idp = colm(15) * jnp.ones((1, 8, tw))
+            if _probe == 'noeval':
+                # timing probe: loop + DMA structure only (wrong output)
+                return tuple(x + idp[0] * 0.0 if x.dtype == jnp.float32
+                             else x for x in hs)
             out = []
             for h in range(nh):
                 pyh = pyhs[h]
@@ -720,24 +781,34 @@ def _fill_peel_stream_kernel(
                 l0 = colm(0) * pxh + colm(1) * pyh + colm(2)
                 l1 = colm(3) * pxh + colm(4) * pyh + colm(5)
                 l2 = colm(6) * pxh + colm(7) * pyh + colm(8)
-                num = l0 * colm(9) + l1 * colm(10) + l2 * colm(11)
-                den = l0 * colm(12) + l1 * colm(13) + l2 * colm(14)
-                inside = ((l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)
+                # affine num/den coefficients (pack_tri_records)
+                num = colm(9) * pxh + colm(10) * pyh + colm(11)
+                den = colm(12) * pxh + colm(13) * pyh + colm(14)
+                inside = ((jnp.minimum(jnp.minimum(l0, l1), l2) >= 0.0)
                           & (den > 0.0))
-                depth = jnp.where(
-                    inside, num / jnp.where(den == 0.0, 1.0, den), -1.0)
+                if _probe == 'nodiv':
+                    # timing probe: is the VPU divide the wall?
+                    depth = jnp.where(inside, num * den, -1.0)
+                else:
+                    depth = jnp.where(
+                        inside, num / jnp.where(den == 0.0, 1.0, den),
+                        -1.0)
                 for r in range(g):
                     ok = base + r0 + r < limit
                     cz = jnp.where(ok, depth[r], -1.0)
                     ci = idp[r].astype(jnp.int32) + emit_base
                     # insertion cascade: the displaced fragment carries
-                    # down one layer.  EQUAL depths drop the incoming
-                    # fragment (sequential peeling's strict `farther
-                    # than layer k` bound): coincident fragments — e.g.
-                    # the shared diagonal of a quad's two triangles —
-                    # must not occupy two layers
+                    # down one layer.  NEAR-EQUAL depths (the relative
+                    # PEEL_BOUND band) drop the incoming fragment
+                    # (sequential peeling's `strictly farther than layer
+                    # k` bound): coincident fragments — e.g. the shared
+                    # diagonal of a quad's two triangles — must not
+                    # occupy two layers, and sub-ulp recomputation noise
+                    # must not let a surface self-leak into layer 2
                     for l in range(layers):
-                        cz = jnp.where(cz == st[2 * l], -1.0, cz)
+                        cz = jnp.where(
+                            (cz <= st[2 * l])
+                            & (cz >= st[2 * l] * PEEL_BOUND), -1.0, cz)
                         win = cz > st[2 * l]
                         nz = jnp.where(win, cz, st[2 * l])
                         ni = jnp.where(win, ci, st[2 * l + 1])
