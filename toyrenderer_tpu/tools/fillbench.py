@@ -30,6 +30,9 @@ def main(argv=None):
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--chunk", type=int, default=0,
                    help="raster chunk override (0 = settings default)")
+    p.add_argument("--tile_h", type=int, default=0)
+    p.add_argument("--slots_y", type=int, default=0)
+    p.add_argument("--slots_x", type=int, default=0)
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--platform", default=None)
     p.add_argument("--trace", action="store_true",
@@ -64,9 +67,16 @@ def main(argv=None):
     cap = max(int(len(pi) * 0.6), 256)
     pi, pm = jnp.asarray(pi[:cap]), jnp.asarray(pm[:cap])
 
-    st = RenderSettings(width=args.width, height=args.height,
-                        **({"raster_chunk": args.chunk} if args.chunk
-                           else {}))
+    kw = {}
+    if args.chunk:
+        kw["raster_chunk"] = args.chunk
+    if args.tile_h:
+        kw["tile_h"] = args.tile_h
+    if args.slots_y:
+        kw["bin_slots_y"] = args.slots_y
+    if args.slots_x:
+        kw["bin_slots_x"] = args.slots_x
+    st = RenderSettings(width=args.width, height=args.height, **kw)
     cfg = st.raster_config()
     view = View.from_scene(scene_host, st.width, st.height)
     fi = default_frame_inputs(scene_host, view.matrices())
@@ -97,6 +107,16 @@ def main(argv=None):
 
     fill_jit = jax.jit(fill_fn)
 
+    def fill_only_fn(setup, bins):
+        # fill-only proxy: same streamed chunk grid, 16-wide records,
+        # no record stash / one-hot fetch / interpolant epilogue —
+        # the fused-kernel cost minus this is the epilogue+stream-width
+        from toyrenderer_tpu.ops.raster_pallas import fill_peel_stream
+        return fill_peel_stream(setup, bins, cfg, layers=1,
+                                interpret=interpret)
+
+    fill_only_jit = jax.jit(fill_only_fn)
+
     def force(x):
         # device-side reduction fence: transferring a full leaf through
         # the axon tunnel inside the timed region costs tens of ms
@@ -112,8 +132,32 @@ def main(argv=None):
             out = f(*a)
             force(out)
             ts.append(time.time() - t0)
-        print(f"{label:<28} {min(ts)*1e3:9.2f} ms")
+        print(f"{label:<28} {min(ts)*1e3:9.2f} ms", flush=True)
         return out
+
+    CHAIN_REPS = 8
+
+    def bench_chain(label, fn, perturb, *a):
+        """Device-chained timing: CHAIN_REPS calls inside one jitted
+        fori_loop with a scalar reduction and ONE readback — per-rep
+        host fences pay the tunnel's 30-50 ms RTT *with high variance*
+        and drowned <20% kernel A/Bs (round-4/5 lesson)."""
+        @jax.jit
+        def chain(*a):
+            def body(k, acc):
+                out = fn(*perturb(k, a))
+                leaf = jax.tree.leaves(out)[0]
+                return acc + jnp.sum(leaf.astype(jnp.float32))
+            return jax.lax.fori_loop(0, CHAIN_REPS, body, 0.0)
+        float(np.asarray(chain(*a)))          # compile
+        float(np.asarray(chain(*a)))          # settle
+        ts = []
+        for _ in range(max(args.reps // 2, 2)):
+            t0 = time.time()
+            float(np.asarray(chain(*a)))
+            ts.append((time.time() - t0) / CHAIN_REPS)
+        print(f"{label:<28} {min(ts)*1e3:9.2f} ms  (chained x"
+              f"{CHAIN_REPS})", flush=True)
 
     setup, records = bench("prep(setup+records)", prep, scene, fi)
     bins = bench("bin_pairs_stream", bins_of, setup)
@@ -137,6 +181,20 @@ def main(argv=None):
     nvalid = int(np.asarray(jnp.sum(setup['valid'].astype(jnp.int32))))
     print(f"workload: {nvalid} valid tris, {npairs} binned pairs, "
           f"{nbig} big, chunk={cfg.chunk}, tiles={cfg.num_tiles}")
+    def _perturb(k, a):
+        # vary the edge constant per rep (last-ulp depth changes) so XLA
+        # cannot CSE the chained calls into one
+        s = dict(a[0], edges=a[0]['edges']
+                 + (k + 1).astype(jnp.float32) * 1e-12)
+        return (s,) + a[1:]
+
+    bench_chain("fill_only (chained)",
+                lambda s, b: fill_only_fn(s, b), _perturb, setup, bins)
+    if os.environ.get("FILLBENCH_ONLY", "0") == "1":
+        return
+    bench_chain("fill_resolve (chained)",
+                lambda s, r, b: fill_fn(s, r, b), _perturb,
+                setup, records, bins)
     out = bench("fill_resolve_stream", fill_jit, setup, records, bins)
     depth = np.asarray(out[0])
     print(f"coverage: {(np.asarray(out[1]) >= 0).mean():.3f}  "
