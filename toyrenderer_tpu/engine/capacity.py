@@ -1,0 +1,90 @@
+"""Content-scaled raster capacities (bounded-amplification sizing).
+
+The reference sizes its meshlet-amplification buffers from scene totals at
+load time (BasePassRenderers.cpp:52-104: MeshletAmplificationData sized
+from the scene's instance/meshlet counts); the TPU build's equivalents are
+the per-tile K list, the big-triangle list and the global pair budget.
+Round 4 proved constants don't scale: plaza (3.9M tris) silently dropped
+13k triangles because far courtyards concentrate >4k LOD-floor triangles
+in single 16x128 tiles while the courtyard-sized K=2048 cap held.
+
+`measure_raster_capacities` runs the REAL phase-1 cull+LOD+bin subgraph
+once on the CPU backend (one ~20 s host-side jit, no TPU compile) and
+returns capacities with headroom, rounded for the kernel's 128-slot
+one-hot blocks.  The capacities are static per (scene, camera) topology —
+exactly the quantities the reference derives host-side at PostSceneLoad.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def measure_raster_capacities(scene_host, settings, view_matrices,
+                              pair_inst, pair_meshlet,
+                              margin: float = 1.3) -> dict:
+    """Suggested dict(max_tris_per_tile, max_big_tris) for this content.
+
+    Runs instance cull + LOD select + meshlet cull + triangle setup +
+    span-classed pair binning (phase 1, no HZB — conservative: occlusion
+    only removes pairs) on the CPU backend and sizes the caps at
+    `margin` x the measured maxima, rounded up to 128 (the one-hot fetch
+    block) with the defaults as floors only when measurement fails.
+    """
+    from toyrenderer_tpu.engine.frame import default_frame_inputs
+    from toyrenderer_tpu.ops import culling as cull_mod
+    from toyrenderer_tpu.ops import geometry as geo_mod
+    from toyrenderer_tpu.ops import raster as raster_mod
+
+    cfg = settings.raster_config()
+    w, h = settings.width, settings.height
+
+    cpu = jax.devices('cpu')[0]
+    with jax.default_device(cpu):
+        scene = scene_host.to_device()
+        fi = default_frame_inputs(scene_host, view_matrices)
+        pi = jnp.asarray(np.asarray(pair_inst))
+        pm = jnp.asarray(np.asarray(pair_meshlet))
+
+        @jax.jit
+        def probe(scene, fi, pi, pm):
+            world = geo_mod.node_world_matrices(
+                scene, fi['node_translation'], fi['node_rotation'],
+                fi['node_scale'])
+            iw, _ = geo_mod.instance_transforms(scene, world)
+            cull = cull_mod.cull_instances(
+                scene, iw, fi['cull_frustum_planes'], fi['cull_cam_pos'],
+                fi['proj_scale_px'], w, h, hzb=None,
+                error_threshold_px=settings.lod_error_px,
+                forced_lod=settings.forced_lod)
+            pi1, pm1, pv1, _ = cull_mod.build_pairs(
+                scene, cull['visible'], cull['lod'], pi.shape[0])
+            pv1 = cull_mod.cull_meshlets(
+                scene, pi1, pm1, pv1, iw, fi['cull_frustum_planes'],
+                fi['cull_cam_pos'], w, h,
+                cone_cull=settings.enable_cone_culling)
+            g = geo_mod.meshlet_clip_triangles(
+                scene, iw, fi['view_proj'], pi1, pm1, pv1)
+            setup = raster_mod.setup_triangles(g, cfg)
+            # unclamped per-tile counts + big-class count (the list is
+            # clamped at cfg.max_big_tris — add its own drop counter back
+            # so the TRUE requirement is measured)
+            _, _, counts, big_list, drop = raster_mod._sort_pairs(setup,
+                                                                  cfg)
+            n_big = (jnp.sum((big_list >= 0).astype(jnp.int32))
+                     + drop.get('drop_big', 0))
+            return jnp.max(counts), n_big
+
+        max_k, n_big = probe(scene, fi, pi, pm)
+        max_k = int(np.asarray(max_k))
+        n_big = int(np.asarray(n_big))
+
+    def _round128(v, floor):
+        return max(-(-int(v * margin) // 128) * 128, floor)
+
+    return dict(
+        max_tris_per_tile=_round128(max_k, 512),
+        max_big_tris=_round128(n_big, 512),
+        measured_max_tile=max_k, measured_big=n_big)
