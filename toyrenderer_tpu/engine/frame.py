@@ -1037,6 +1037,25 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                 probe_offset=gi_carry['ddgi_offset'],
                 vis_pool=max(settings.gi_vis_scale, 1))
             gi_irradiance = jnp.repeat(jnp.repeat(gi_h, sc, 0), sc, 1)
+            # bilinear-equivalent smoothing of the nearest expansion:
+            # irradiance is low-frequency, but the raw sc x sc blocks
+            # beat against the probe grid as a lattice of bright dots
+            # (the round-4 Cornell golden's wall speckles — root-caused
+            # to THIS expansion, not the probe field; gi_sample_scale=1
+            # renders clean).  Two separable [1 2 1]/4 taps cost ~nothing
+            # next to the 24 gathers/pixel the half-res path saves.
+            for ax in (0, 1):
+                lo = jnp.concatenate(
+                    [jnp.take(gi_irradiance, jnp.asarray([0]), axis=ax),
+                     jnp.moveaxis(jnp.moveaxis(
+                         gi_irradiance, ax, 0)[:-1], 0, ax)], axis=ax)
+                hi = jnp.concatenate(
+                    [jnp.moveaxis(jnp.moveaxis(
+                        gi_irradiance, ax, 0)[1:], 0, ax),
+                     jnp.take(gi_irradiance, jnp.asarray([-1]),
+                              axis=ax)], axis=ax)
+                gi_irradiance = (0.25 * lo + 0.5 * gi_irradiance
+                                 + 0.25 * hi)
         else:
             gi_irradiance = ddgi_mod.sample_irradiance_visibility(
                 ddgi_volume, gi_carry['ddgi_irradiance'],

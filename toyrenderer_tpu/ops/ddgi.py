@@ -416,6 +416,15 @@ def _sample(volume, irradiance, distance, world_pos, normal,
     cz = int(counts[2]); cy = int(counts[1]); cx = int(counts[0])
     p_n = cx * cy * cz
 
+    # surface bias (RTXGI DDGIGetSurfaceBias parity): shift the sample
+    # point off the surface along the normal before grid lookup and the
+    # Chebyshev distance test.  An unbiased wall point sits EXACTLY at
+    # the probes' stored mean distance toward it — a critical surface
+    # where dist_p vs md flips with sub-texel noise, rendering as a
+    # bright-dot lattice beating against the probe grid over gray
+    # over-shadowed walls (the round-4 Cornell golden speckles).
+    wp = wp + n * (0.3 * float(np.min(np.asarray(volume.spacing))))
+
     g = (wp - origin) / spacing
     g0 = jnp.clip(jnp.floor(g), 0, jnp.asarray(counts, jnp.float32) - 2)
     frac = jnp.clip(g - g0, 0.0, 1.0)
