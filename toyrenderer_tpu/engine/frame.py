@@ -54,7 +54,12 @@ class RenderSettings:
     height: int = 1080
     # pass toggles
     enable_shadows: bool = False          # denoised sun shadows
-    shadow_technique: str = 'map'         # 'map' (raster) | 'rt' (BVH)
+    shadow_technique: str = 'rt'          # 'rt' (BVH rays, the
+    #   reference's shipped technique: inline-RT + denoise is its ONLY
+    #   sun-shadow path, shadowmask.hlsl:65-145) | 'map' (raster sun
+    #   depth map — this framework's cheaper alternative; kept because
+    #   the 2048^2 raster is camera-independent and cacheable).  Half-
+    #   res rays (shadow_ray_scale) price rt at ~16 ms/frame @1080p.
     shadow_map_resolution: int = 1024
     shadow_max_steps: int = 96            # BVH traversal budget per ray
     shadow_ray_scale: int = 2             # RT shadow rays at

@@ -339,8 +339,12 @@ def sample_material_maps_quad(atlas: dict, ent_id, uv, duv_dx, duv_dy,
     meta = _quad_expand_ch(meta_q)                        # (H, W, 6)
     quads_q = [unpack_rgba8_u32(rows_q[..., mi * 4:(mi + 1) * 4])
                for mi in range(4)]          # 4 x (Hq, Wq, 4, 4) f32
+    # keep the expanded maps as FLAT 16-channel planes: the former
+    # (H, W, 4, 4) reshape forced a T(8,128)->T(4,128) relayout + copy
+    # per map (~0.85 ms x 4 at 1080p in the round-5 trace); the bilinear
+    # below slices texel channels instead (free on the minor dim)
     quads = [_quad_expand_ch(q.reshape(*q.shape[:2], 16))
-             .reshape(*meta.shape[:2], 4, 4) for q in quads_q]
+             for q in quads_q]              # 4 x (H, W, 16)
 
     # full-res per-pixel weights INSIDE the quad's 2x2 footprint
     u_p = uv[..., 0] * meta[..., 2] - 0.5
@@ -362,10 +366,11 @@ def sample_material_maps_quad(atlas: dict, ent_id, uv, duv_dx, duv_dy,
     valid = (ent_id >= 0)[..., None]
     out = {}
     for mi, name in enumerate(('base', 'normal', 'mr', 'emissive')):
-        quad = quads[mi]
-        c = ((quad[..., 0, :] * (1 - fx) + quad[..., 1, :] * fx)
+        quad = quads[mi]                                  # (H, W, 16)
+        c = ((quad[..., 0:4] * (1 - fx) + quad[..., 4:8] * fx)
              * (1 - fy)
-             + (quad[..., 2, :] * (1 - fx) + quad[..., 3, :] * fx) * fy)
+             + (quad[..., 8:12] * (1 - fx) + quad[..., 12:16] * fx)
+             * fy)
         out[name] = jnp.where(valid, c, neutral[mi])
     out['desired'] = _quad_expand_ch(des_q[..., None])[..., 0]
     if tile_id_q is not None:

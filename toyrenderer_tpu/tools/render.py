@@ -40,7 +40,7 @@ def main(argv=None):
     p.add_argument("--shadows", action="store_true",
                    help="ray-traced denoised sun shadows")
     p.add_argument("--shadowtechnique", choices=("map", "rt"),
-                   default="map", help="sun shadows: raster map | BVH rt")
+                   default="rt", help="sun shadows: BVH rt (reference technique) | raster map")
     p.add_argument("--ao", action="store_true", help="GTAO")
     p.add_argument("--gi", action="store_true", help="DDGI probe GI")
     p.add_argument("--showprobes", action="store_true",
