@@ -17,6 +17,8 @@ exactly the quantities the reference derives host-side at PostSceneLoad.
 
 from __future__ import annotations
 
+import json
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -24,7 +26,8 @@ import numpy as np
 
 def measure_raster_capacities(scene_host, settings, view_matrices,
                               pair_inst, pair_meshlet,
-                              margin: float = 1.3) -> dict:
+                              margin: float = 1.3,
+                              cache_path: str | None = None) -> dict:
     """Suggested dict(max_tris_per_tile, max_big_tris) for this content.
 
     Runs instance cull + LOD select + meshlet cull + triangle setup +
@@ -40,6 +43,25 @@ def measure_raster_capacities(scene_host, settings, view_matrices,
 
     cfg = settings.raster_config()
     w, h = settings.width, settings.height
+
+    # sidecar cache: the probe is one ~10 s CPU jit on a good day but
+    # XLA:CPU compile time is high-variance (a 400 s outlier was
+    # measured inside a budgeted bench); capacities are static per
+    # (content, view, resolution), so measure once per content change
+    key = None
+    if cache_path is not None:
+        key = dict(n=int(len(pair_inst)), w=w, h=h,
+                   lod=float(settings.lod_error_px),
+                   cam=[round(float(x), 4) for x in np.asarray(
+                       view_matrices['view_proj']).reshape(-1)[:4]],
+                   margin=margin)
+        try:
+            with open(cache_path) as f:
+                saved = json.load(f)
+            if saved.get('key') == key:
+                return saved['caps']
+        except Exception:       # noqa: BLE001 — missing/stale: re-measure
+            pass
 
     cpu = jax.devices('cpu')[0]
     with jax.default_device(cpu):
@@ -84,7 +106,14 @@ def measure_raster_capacities(scene_host, settings, view_matrices,
     def _round128(v, floor):
         return max(-(-int(v * margin) // 128) * 128, floor)
 
-    return dict(
+    caps = dict(
         max_tris_per_tile=_round128(max_k, 512),
         max_big_tris=_round128(n_big, 512),
         measured_max_tile=max_k, measured_big=n_big)
+    if cache_path is not None:
+        try:
+            with open(cache_path, 'w') as f:
+                json.dump(dict(key=key, caps=caps), f)
+        except Exception:       # noqa: BLE001 — read-only fs: skip
+            pass
+    return caps
