@@ -607,19 +607,8 @@ def masked_peel_merge_compact(records, peel_depth, peel_tid, jitter, cfg,
     validq = hitq & (slot < cap)
     idx = jnp.where(validq, slot, cap).reshape(hq, wq)
     rows_q = table[idx]                                    # ONE gather
-    # pixel-phase interleave WITHOUT the (hq, wq, 2, 2, ct) moveaxis:
-    # that reshape chain cost ~6 ms of pure relayout copies at 1080p
-    # (round-5 trace).  Four nearest expansions + a parity select fuse
-    # into one elementwise pass (the _quad_expand_ch lesson: repeats on
-    # channel-last layouts are broadcasts, not relayouts), and each
-    # pixel selects its own phase's lanes — bitwise identical.
-    from toyrenderer_tpu.ops.texture import _quad_expand_ch
-    r4 = rows_q.reshape(hq, wq, 4, ct)                     # [py*2+px]
-    e = [_quad_expand_ch(r4[:, :, p]) for p in range(4)]   # 4x (H, W, ct)
-    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W, 1), 0) % 2
-    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W, 1), 1) % 2
-    rows = jnp.where(yy == 0, jnp.where(xx == 0, e[0], e[1]),
-                     jnp.where(xx == 0, e[2], e[3]))
+    rows = jnp.moveaxis(
+        rows_q.reshape(hq, wq, 2, 2, ct), 2, 1).reshape(H, W, ct)
 
     out = {}
     o = 0
