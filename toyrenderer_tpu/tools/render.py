@@ -72,6 +72,10 @@ def main(argv=None):
                    help="force jax platform (cpu for software-WARP parity)")
     p.add_argument("--stats", default=None,
                    help="write per-frame stats JSON to this path")
+    p.add_argument("--passtable", action="store_true",
+                   help="print the per-pass device-ms table after the "
+                        "run (one traced extra frame; the reference "
+                        "shows this every frame, Scene.cpp:530-562)")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -306,6 +310,34 @@ def main(argv=None):
         with open(args.stats, "w") as f:
             json.dump(stats_rows, f, indent=1)
         print(f"[stats] wrote {args.stats}")
+    if args.passtable:
+        # per-pass device-ms table (the reference's per-renderer HUD
+        # table, Scene.cpp:530-562): one extra frame under the profiler
+        import tempfile
+        tdir = tempfile.mkdtemp(prefix="tr_passes_")
+        import jax.profiler
+        mats = view.matrices()
+        fi = default_frame_inputs(scene_host, mats)
+        fi.update(stream_overrides)
+        with jax.profiler.trace(tdir):
+            img2, carry, _ = render(scene, pair_inst, pair_meshlet, fi,
+                                    carry, trans_pair_inst=tp_i,
+                                    trans_pair_meshlet=tp_m,
+                                    mask_pair_inst=mk_i,
+                                    mask_pair_meshlet=mk_m,
+                                    rt_static=rt_static,
+                                    rt_static_gi=rt_static_gi,
+                                    gi_pair_inst=gi_pi,
+                                    gi_pair_meshlet=gi_pm)
+            img2.block_until_ready()
+        from toyrenderer_tpu.tools.passes import aggregate_trace
+        table = aggregate_trace(tdir, 1)
+        print("[passes] pass                              device ms")
+        for k, v in sorted(table.items(),
+                           key=lambda kv: -(kv[1] if isinstance(
+                               kv[1], float) else 0)):
+            if isinstance(v, float) and not k.startswith('_'):
+                print(f"[passes] {k:<36} {v:9.2f}")
     return 0
 
 
