@@ -50,7 +50,7 @@ def measure_raster_capacities(scene_host, settings, view_matrices,
     # (content, view, resolution), so measure once per content change
     key = None
     if cache_path is not None:
-        key = dict(n=int(len(pair_inst)), w=w, h=h,
+        key = dict(v=2, n=int(len(pair_inst)), w=w, h=h,
                    lod=float(settings.lod_error_px),
                    cam=[round(float(x), 4) for x in np.asarray(
                        view_matrices['view_proj']).reshape(-1)[:4]],
@@ -97,11 +97,13 @@ def measure_raster_capacities(scene_host, settings, view_matrices,
                                                                   cfg)
             n_big = (jnp.sum((big_list >= 0).astype(jnp.int32))
                      + drop.get('drop_big', 0))
-            return jnp.max(counts), n_big
+            total = jnp.sum(jnp.minimum(counts, cfg.max_tris_per_tile))
+            return jnp.max(counts), n_big, total
 
-        max_k, n_big = probe(scene, fi, pi, pm)
+        max_k, n_big, total = probe(scene, fi, pi, pm)
         max_k = int(np.asarray(max_k))
         n_big = int(np.asarray(n_big))
+        total = int(np.asarray(total))
 
     def _round128(v, floor):
         return max(-(-int(v * margin) // 128) * 128, floor)
@@ -109,6 +111,13 @@ def measure_raster_capacities(scene_host, settings, view_matrices,
     caps = dict(
         max_tris_per_tile=_round128(max_k, 512),
         max_big_tris=_round128(n_big, 512),
+        # global chunk-grid budget: without it the grid sizes to the
+        # full triangle-stream length and ~60% of grid steps are
+        # padding replays (~1.4 us each — measured ~9 ms of the
+        # courtyard fill).  2x headroom over the no-occlusion phase-1
+        # total; the frame reports drop_pair_budget if ever exceeded.
+        pair_capacity=_round128(total * 1.55, 4096),   # * margin(1.3)
+        measured_pairs=total,
         measured_max_tile=max_k, measured_big=n_big)
     if cache_path is not None:
         try:

@@ -361,8 +361,19 @@ def _raster_with_records(scene, geo, cfg, use_pallas, inst_world,
                 padded_io=padded_io,
                 interpret=jax.default_backend() not in ('tpu', 'axon'))
             return setup, records, depth, tid, interp, stats
-        from toyrenderer_tpu.ops.raster_pallas import fill_resolve_stream
+        from toyrenderer_tpu.ops.raster_pallas import (
+            _stream_layout, fill_resolve_stream)
         bins = raster_mod.bin_pairs_stream(setup, cfg)
+        # pair-budget telemetry: cfg.pair_capacity bounds the chunk grid
+        # (content-measured now); report what the budget clips with the
+        # EXACT accounting the kernel runs under (XLA CSEs the repeat)
+        acc = _stream_layout(
+            setup, bins, cfg, None,
+            min(cfg.chunk, cfg.max_tris_per_tile, cfg.max_big_tris))
+        bins = dict(bins, drop=dict(
+            bins['drop'],
+            drop_pair_budget=jnp.sum(acc['counts_clamped']
+                                     - acc['counts_eff'])))
         depth, tid, interp = fill_resolve_stream(
             setup, records, bins, cfg,
             init_depth=init_depth, init_tri_id=init_tri_id,

@@ -83,8 +83,12 @@ class RasterConfig:
     rest_frac: float = 0.0625        # full-grid class capacity (frac of T)
 
     def resolve_pair_capacity(self, t: int) -> int:
+        # min with t: a content-measured global budget must not INFLATE
+        # the chunk grid of small streams (late phase, masked set) past
+        # their own triangle count — t was the old default bound
         cap = self.pair_capacity if self.pair_capacity else t
-        return max(min(cap, self.num_tiles * self.max_tris_per_tile), 256)
+        return max(min(cap, t, self.num_tiles * self.max_tris_per_tile),
+                   256)
 
     def compact_cap(self, t: int) -> int:
         # sublane-aligned static capacity of the compacted small set

@@ -617,8 +617,12 @@ def _stream_layout(setup: dict, bins: dict, cfg: RasterConfig, comb,
     """Chunk-grid layout shared by the streamed fill kernels: per-chunk
     tile table (empty tiles get NO chunks; tiles a big triangle's bbox
     touches get at least one), effective counts under the global budget,
-    and the chunk-aligned gathered pair records."""
-    t = comb.shape[0]
+    and the chunk-aligned gathered pair records.
+
+    comb=None computes the ACCOUNTING ONLY (counts_eff/chunk grid, no
+    record gather) — the telemetry path reports the pair-budget drop
+    with the exact same arithmetic the kernels run under."""
+    t = setup['valid'].shape[0] if comb is None else comb.shape[0]
     c = chunk
     n_tiles = cfg.num_tiles
     p_cap = cfg.resolve_pair_capacity(t)
@@ -662,6 +666,11 @@ def _stream_layout(setup: dict, bins: dict, cfg: RasterConfig, comb,
         0)
     chunk_tile = jnp.where(jj < total_chunks, chunk_tile,
                            last_tile).astype(jnp.int32)
+
+    if comb is None:
+        return dict(ch_cap=ch_cap, counts_eff=counts_eff,
+                    total_chunks=total_chunks,
+                    counts_clamped=counts)
 
     # chunk-aligned pair records: chunk-invariant indices at CHUNK rate,
     # only the two per-pair indirections (vals_s, comb) at pair rate
