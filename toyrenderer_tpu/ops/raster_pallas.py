@@ -311,7 +311,8 @@ def _fill_resolve_stream_kernel(
         rec_scr,             # VMEM (K, R) f32
         fet_scr,             # VMEM (TH, R, TW) f32 fetched-record planes
         *, cfg: RasterConfig, chunk: int, emit_base: int, rec_width: int,
-        peel_ref=None):      # optional (TH, TW) exclusive near bound
+        peel_ref=None,       # optional (TH, TW) exclusive near bound
+        smem_ref=None):      # optional (1, C, 16) SMEM record block
     j = pl.program_id(0)
     n_ch = pl.num_programs(0)
     tile = chunk_tile_ref[j]
@@ -459,14 +460,67 @@ def _fill_resolve_stream_kernel(
         return [(flat[3 * h], flat[3 * h + 1], flat[3 * h + 2])
                 for h in range(nh)]
 
+    def raster_rows_smem(base, limit, slot_origin, halves):
+        """Scalar-operand chunk raster: record fields come from the SMEM
+        block as native scalars, so every VPU op takes a free scalar
+        operand instead of a lane-slice broadcast of the record vreg.
+        Round-5 probe: the batched form's 21 ms of 'math' collapsed to
+        ~0 with scalar operands — materializing the 15 (g,1,1) slices
+        per group was the real cost, not arithmetic.  (The round-1
+        scalar design was 10x slower because it extracted from VMEM
+        VECTORS; SMEM scalar loads ride the scalar unit.)"""
+        pys = [(ty.astype(jnp.float32) * th + h * 8 + rowf8)
+               * (1.0 / cfg.height) for h in range(nh)]
+        ng = jnp.clip((limit - base + (g - 1)) // g, 0, c // g)
+
+        def body(gi, flat):
+            r0 = gi * g
+            st = [list(flat[3 * h:3 * h + 3]) for h in range(nh)]
+            for r in range(g):
+                idx = r0 + r
+                v = [smem_ref[0, idx, k] for k in range(16)]
+                ok = base + idx < limit
+                ci = v[15].astype(jnp.int32) + emit_base
+                cs = slot_origin + base + idx
+                for h in range(nh):
+                    px, py = px8, pys[h]
+                    l0 = v[0] * px + v[1] * py + v[2]
+                    l1 = v[3] * px + v[4] * py + v[5]
+                    l2 = v[6] * px + v[7] * py + v[8]
+                    num = v[9] * px + v[10] * py + v[11]
+                    den = v[12] * px + v[13] * py + v[14]
+                    inside = ((jnp.minimum(jnp.minimum(l0, l1), l2)
+                               >= 0.0) & (den > 0.0))
+                    d = jnp.where(
+                        inside,
+                        num / jnp.where(den == 0.0, 1.0, den), -1.0)
+                    if peel_ref is not None:
+                        d = jnp.where(
+                            d < peel_ref[_sl(h), :] * PEEL_BOUND,
+                            d, -1.0)
+                    upd = (d > st[h][0]) & ok
+                    st[h][0] = jnp.where(upd, d, st[h][0])
+                    st[h][1] = jnp.where(upd, ci, st[h][1])
+                    st[h][2] = jnp.where(upd, cs, st[h][2])
+            return tuple(x for hh in st for x in hh)
+
+        flat = tuple(x for hh in halves for x in hh)
+        flat = jax.lax.fori_loop(0, ng, body, flat)
+        return [(flat[3 * h], flat[3 * h + 1], flat[3 * h + 2])
+                for h in range(nh)]
+
     # padding chunks (mandatory chunk of an empty tile / budget replay)
     # skip the raster entirely — at 1080p ~half the grid steps are
     # empty-tile mandatory chunks, pure VPU waste without this guard
     @pl.when(slot_base < count)
     def _():
-        write_halves(raster_rows(
-            lambda r0: comb_ref[0, pl.ds(r0, g), :16],
-            slot_base, count, 0, read_halves()))
+        if smem_ref is not None:
+            write_halves(raster_rows_smem(slot_base, count, 0,
+                                          read_halves()))
+        else:
+            write_halves(raster_rows(
+                lambda r0: comb_ref[0, pl.ds(r0, g), :16],
+                slot_base, count, 0, read_halves()))
 
     # stash this chunk's resolve records for the epilogue's one-hot fetch
     # (padding chunks past K are masked by `count` and must not clobber)
@@ -610,6 +664,32 @@ def _fill_resolve_stream_kernel_peel(
         bighit_ref, comb_ref, bigcomb_ref, init_z_ref, init_id_ref,
         init_rec_ref, z_out, id_out, rec_out, slot_scr, rec_scr,
         fet_scr, peel_ref=peel_ref, **kw)
+
+
+def _fill_resolve_stream_kernel_smem(
+        chunk_tile_ref, chunk_base_ref, count_ref, bigcount_ref,
+        bighit_ref, comb_ref, comb16_ref, bigcomb_ref, init_z_ref,
+        init_id_ref, init_rec_ref, z_out, id_out, rec_out, slot_scr,
+        rec_scr, fet_scr, **kw):
+    """SMEM-records entry: the 16-wide raster block rides an SMEM
+    BlockSpec so the inner loop reads native scalar operands."""
+    _fill_resolve_stream_kernel(
+        chunk_tile_ref, chunk_base_ref, count_ref, bigcount_ref,
+        bighit_ref, comb_ref, bigcomb_ref, init_z_ref, init_id_ref,
+        init_rec_ref, z_out, id_out, rec_out, slot_scr, rec_scr,
+        fet_scr, smem_ref=comb16_ref, **kw)
+
+
+def _fill_resolve_stream_kernel_smem_peel(
+        chunk_tile_ref, chunk_base_ref, count_ref, bigcount_ref,
+        bighit_ref, comb_ref, comb16_ref, bigcomb_ref, init_z_ref,
+        init_id_ref, init_rec_ref, peel_ref, z_out, id_out, rec_out,
+        slot_scr, rec_scr, fet_scr, **kw):
+    _fill_resolve_stream_kernel(
+        chunk_tile_ref, chunk_base_ref, count_ref, bigcount_ref,
+        bighit_ref, comb_ref, bigcomb_ref, init_z_ref, init_id_ref,
+        init_rec_ref, z_out, id_out, rec_out, slot_scr, rec_scr,
+        fet_scr, peel_ref=peel_ref, smem_ref=comb16_ref, **kw)
 
 
 def _stream_layout(setup: dict, bins: dict, cfg: RasterConfig, comb,
@@ -776,8 +856,18 @@ def _fill_peel_stream_kernel(
             r0 = pl.multiple_of(gi * g, g)
             rg = read_group(r0)
 
-            def colm(f):
-                return rg[:, f:f + 1][:, :, None]      # (g, 1, 1)
+            if _probe == 'noconst':
+                # timing probe: identical math shape with SCALAR record
+                # fields (wrong output) — isolates the cost of the 15
+                # (g,1,1)-slice broadcasts against one (8,16) source
+                base_f = (gi + 1).astype(jnp.float32)
+
+                def colm(f):
+                    return (base_f * (0.125 * f + 0.5)
+                            * jnp.ones((g, 1, 1)))
+            else:
+                def colm(f):
+                    return rg[:, f:f + 1][:, :, None]  # (g, 1, 1)
             idp = colm(15) * jnp.ones((1, 8, tw))
             if _probe == 'noeval':
                 # timing probe: loop + DMA structure only (wrong output)
@@ -975,6 +1065,8 @@ def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
     tx_ = cfg.tiles_x
     by_tile = lambda j, ct, cb, c_, b_, bh: (ct[j] // tx_, ct[j] % tx_)  # noqa: E731,E501
     by_tile3 = lambda j, ct, cb, c_, b_, bh: (0, ct[j] // tx_, ct[j] % tx_)  # noqa: E731,E501
+    import os as _os
+    smem_mode = _os.environ.get('TR_FILL_SMEM', '0') == '1'
     in_specs = [
         pl.BlockSpec((1, c, REC + r),
                      lambda j, ct, cb, c_, b_, bh: (j, 0, 0),
@@ -987,6 +1079,12 @@ def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
         pl.BlockSpec((INTERP_C, th, tw), by_tile3,
                      memory_space=pltpu.VMEM),
     ]
+    if smem_mode:
+        # the 16-wide raster fields ALSO stream as an SMEM block so the
+        # inner loop reads native scalar operands (see raster_rows_smem)
+        in_specs.insert(1, pl.BlockSpec(
+            (1, c, REC), lambda j, ct, cb, c_, b_, bh: (j, 0, 0),
+            memory_space=pltpu.SMEM))
     if peel_depth is not None:
         in_specs.append(
             pl.BlockSpec((th, tw), by_tile, memory_space=pltpu.VMEM))
@@ -1008,8 +1106,12 @@ def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
     inputs = [chunk_tile, chunk_base, counts_eff, big_count,
               bighit, comb_padded, big_comb, init_z, init_id,
               init_rec]
+    if smem_mode:
+        kernel = _fill_resolve_stream_kernel_smem
+        inputs.insert(6, comb_padded[:, :, :REC])
     if peel_depth is not None:
-        kernel = _fill_resolve_stream_kernel_peel
+        kernel = (_fill_resolve_stream_kernel_smem_peel if smem_mode
+                  else _fill_resolve_stream_kernel_peel)
         inputs.append(peel_depth)
     z, tid, rec = pl.pallas_call(
         functools.partial(kernel, cfg=cfg, chunk=c,
@@ -1023,8 +1125,10 @@ def fill_resolve_stream(setup: dict, resolve_records, bins: dict,
         interpret=interpret,
         # init planes alias the outputs: tiles no chunk visits keep their
         # init content without any work (indices count the flattened
-        # inputs INCLUDING the scalar-prefetch operands)
-        input_output_aliases={7: 0, 8: 1, 9: 2},
+        # inputs INCLUDING the scalar-prefetch operands; the SMEM record
+        # block inserted before bigcomb shifts them by one)
+        input_output_aliases=({8: 0, 9: 1, 10: 2} if smem_mode
+                              else {7: 0, 8: 1, 9: 2}),
     )(*inputs)
     if padded_io:
         return z, tid, rec
