@@ -359,7 +359,8 @@ def sample_irradiance(volume: DdgiVolume, irradiance, world_pos, normal):
 
 def sample_irradiance_visibility(volume: DdgiVolume, irradiance, distance,
                                  world_pos, normal, probe_offset=None,
-                                 vis_pool: int = 1):
+                                 vis_pool: int = 1,
+                                 vis_pack: bool | None = None):
     """Full-weight sampling: trilinear x backface x Chebyshev visibility.
     probe_offset: optional (P, 3) relocation offsets — backface/Chebyshev
     weights then measure from the RELOCATED probe positions.
@@ -368,13 +369,24 @@ def sample_irradiance_visibility(volume: DdgiVolume, irradiance, distance,
     upsamples it: the 8 per-corner distance gathers are the measured
     sampling whale (~27 ms of 35 at 1080p half-res) while the visibility
     term is low-frequency; cell-boundary pixels may read a neighboring
-    cell's factor (bounded by the GI quality goldens)."""
+    cell's factor (bounded by the GI quality goldens).
+    vis_pack (TR_GI_VIS_PACK=1): fetch all 8 corners' distance moments
+    at ONE shared oct texel (the cell-center direction) — the 8
+    remaining per-corner gathers become one corner-packed row gather,
+    trading per-corner texel accuracy (bounded by the same goldens)."""
     return _sample(volume, irradiance, distance, world_pos, normal,
-                   probe_offset=probe_offset, vis_pool=vis_pool)
+                   probe_offset=probe_offset, vis_pool=vis_pool,
+                   vis_pack=vis_pack)
+
+
+def _gi_vis_pack_enabled() -> bool:
+    import os
+    return os.environ.get('TR_GI_VIS_PACK', '0') == '1'
 
 
 def _sample(volume, irradiance, distance, world_pos, normal,
-            probe_offset=None, vis_pool: int = 1, _vis_only: bool = False):
+            probe_offset=None, vis_pool: int = 1, _vis_only: bool = False,
+            vis_pack: bool | None = None):
     """Gather-count design (the TPU cost is latency per random (row,
     column) access, not bytes): the 8 trilinear corner pids differ from
     the base pid by STATIC strides and share ONE octahedral texel, so a
@@ -404,10 +416,13 @@ def _sample(volume, irradiance, distance, world_pos, normal,
         n_c = n_c / jnp.maximum(
             jnp.linalg.norm(n_c, axis=-1, keepdims=True), 1e-6)
         vis = _sample(volume, None, distance, wp_c, n_c,
-                      probe_offset=probe_offset, _vis_only=True)
+                      probe_offset=probe_offset, _vis_only=True,
+                      vis_pack=vis_pack)
         vis_coarse = jnp.repeat(jnp.repeat(vis, vf, axis=0), vf,
                                 axis=1).reshape(-1, 8)
         distance = None                       # fine loop skips gathers
+    if vis_pack is None:
+        vis_pack = _gi_vis_pack_enabled()
     wp = world_pos.reshape(-1, 3)
     n = normal.reshape(-1, 3)
     origin = jnp.asarray(volume.origin)
@@ -462,7 +477,30 @@ def _sample(volume, irradiance, distance, world_pos, normal,
             axis=-1)                                   # (P, 16)
         off_rows = off_pack[base_pid]                  # (N, 16) u32
     if distance is not None:
-        dist_pack = P.pack_half2_u32(distance).reshape(-1)  # (P*256,)
+        dist_pack = P.pack_half2_u32(distance)              # (P, 256)
+        if vis_pack:
+            # corner-packed distance rows at ONE shared oct texel (the
+            # cell-center direction): the 8 per-corner gathers (8 x
+            # ~0.86 ms at quarter-res 1080p, the remaining sampling
+            # whale) become one row gather.  Each corner reads its own
+            # probe's moments, just quantized to the central direction's
+            # texel instead of its exact per-corner texel.
+            dist8 = jnp.stack(
+                [dist_pack[jnp.clip(pid_all + s, 0, p_n - 1)]
+                 for s in strides], -1)       # (P, 256, 8)
+            dist8 = dist8.reshape(p_n * DIST_RES * DIST_RES, 8)
+            center = origin + (g0.astype(jnp.float32) + 0.5) * spacing
+            dc = center - wp
+            dcn = dc / jnp.maximum(
+                jnp.linalg.norm(dc, axis=-1, keepdims=True), 1e-6)
+            cuv = P.oct_encode(-dcn)
+            ct_ = jnp.clip((cuv * DIST_RES).astype(jnp.int32), 0,
+                           DIST_RES - 1)
+            ctex = ct_[:, 1] * DIST_RES + ct_[:, 0]
+            drows = dist8[base_pid * (DIST_RES * DIST_RES)
+                          + ctex]             # (N, 8) — ONE gather
+        else:
+            dist_pack = dist_pack.reshape(-1)               # (P*256,)
 
     if not _vis_only:
         irr_rows = irr_pack[base_pid * (IRR_RES * IRR_RES)
@@ -490,13 +528,16 @@ def _sample(volume, irradiance, distance, world_pos, normal,
                          0.0) ** 2 + 0.05
         w = w * wn
         if distance is not None:
-            duv = P.oct_encode(-dir_p)
-            dt = jnp.clip((duv * DIST_RES).astype(jnp.int32), 0,
-                          DIST_RES - 1)
-            dtex = dt[:, 1] * DIST_RES + dt[:, 0]
-            pid_k = jnp.clip(base_pid + strides[k], 0, p_n - 1)
-            d2 = P.unpack_half2_u32(
-                dist_pack[pid_k * (DIST_RES * DIST_RES) + dtex])
+            if vis_pack:
+                d2 = P.unpack_half2_u32(drows[:, k])
+            else:
+                duv = P.oct_encode(-dir_p)
+                dt = jnp.clip((duv * DIST_RES).astype(jnp.int32), 0,
+                              DIST_RES - 1)
+                dtex = dt[:, 1] * DIST_RES + dt[:, 0]
+                pid_k = jnp.clip(base_pid + strides[k], 0, p_n - 1)
+                d2 = P.unpack_half2_u32(
+                    dist_pack[pid_k * (DIST_RES * DIST_RES) + dtex])
             md, md2 = d2[:, 0], d2[:, 1]
             var = jnp.maximum(md2 - md * md, 1e-6)
             cheb = var / (var + jnp.maximum(dist_p - md, 0.0) ** 2)
