@@ -240,3 +240,42 @@ def test_cached_sun_map_matches_uncached():
         assert np.array_equal(x, y), f"frame {i} differs with cache"
     # the sun move must actually change the shadows
     assert np.abs(a[1].astype(int) - a[2].astype(int)).mean() > 0.5
+
+
+def test_shadow_checkerboard_pack_unpack():
+    """Traced cells survive pack->unpack exactly; untraced cells are the
+    mean of their two in-row traced neighbours; complementary parities
+    cover the full grid."""
+    import jax.numpy as jnp
+    import numpy as np
+    from toyrenderer_tpu.ops.shadows import (checkerboard_pack,
+                                             checkerboard_unpack)
+
+    rng = np.random.RandomState(0)
+    h, w = 6, 8
+    img = rng.rand(h, w).astype(np.float32)
+    vec = rng.rand(h, w, 3).astype(np.float32)
+    for par in (0, 1):
+        p = jnp.asarray(par, jnp.int32)
+        packed, pvec = checkerboard_pack((jnp.asarray(img),
+                                          jnp.asarray(vec)), p)
+        packed = np.asarray(packed)
+        pvec = np.asarray(pvec)
+        # packed cell (y, k) == img[y, 2k + (y+par)%2]
+        for y in range(h):
+            idx = (y + par) % 2
+            np.testing.assert_array_equal(packed[y], img[y, idx::2])
+            np.testing.assert_array_equal(pvec[y], vec[y, idx::2])
+        full = np.asarray(checkerboard_unpack(jnp.asarray(packed), p))
+        for y in range(h):
+            idx = (y + par) % 2
+            # traced cells exact
+            np.testing.assert_array_equal(full[y, idx::2], img[y, idx::2])
+            # untraced cells = mean of in-row traced neighbours (edge
+            # cells clamp to the single neighbour)
+            tr = img[y, idx::2]
+            right = np.concatenate([tr[1:], tr[-1:]])
+            left = np.concatenate([tr[:1], tr[:-1]])
+            want = 0.5 * (tr + right) if idx == 0 else 0.5 * (left + tr)
+            np.testing.assert_allclose(full[y, 1 - idx::2], want,
+                                       rtol=1e-6)

@@ -69,6 +69,12 @@ class RenderSettings:
     #   on TPU the same denoise investment buys a 4x ray cut instead
     #   (measured ~43 ms of in-frame sun rays at 1080p full res).
     #   1 = full-res reference shape.
+    shadow_checkerboard: bool = True      # trace only the alternating
+    #   checkerboard half of the (already half-res) ray grid each frame;
+    #   untraced cells fill from horizontal traced neighbours and the
+    #   temporal accumulator recovers full sampling on static content
+    #   (NRD-style; the reference's SIGMA denoiser absorbs 1-spp noise
+    #   the same way).  Another ~2x ray cut on the ~16 ms rt bucket.
     enable_ao: bool = False               # GTAO
     ao_radius: float = 1.5                # world-space AO radius
     ao_half_res: bool = True              # GTAO horizons at half res +
@@ -846,12 +852,29 @@ def render_frame(scene, pair_inst, pair_meshlet, frame_inputs: dict,
                     settings.width // sc, settings.height // sc)
                 from toyrenderer_tpu.mathlib.transforms import normalize
                 n_h = normalize(_pool_mean3(m_gb['normal']))
-                raw_h = shadows_mod.trace_shadow_mask(
-                    bvh, wp_h, n_h, d_h > 0.0,
-                    -frame_inputs['sun_direction'],
-                    carry['frame_index'],
-                    max_steps=settings.shadow_max_steps,
-                    sp_mesh=sp_mesh)
+                if settings.shadow_checkerboard \
+                        and (settings.width // sc) % 2 == 0:
+                    # alternating checkerboard: trace half the half-res
+                    # grid, fill the rest from in-row neighbours; the
+                    # full-res temporal accumulate recovers the other
+                    # half next frame (see ops/shadows.py helpers)
+                    par = (carry['frame_index'] % 2).astype(jnp.int32)
+                    d_c, wp_c, n_c = shadows_mod.checkerboard_pack(
+                        (d_h, wp_h, n_h), par)
+                    raw_c = shadows_mod.trace_shadow_mask(
+                        bvh, wp_c, n_c, d_c > 0.0,
+                        -frame_inputs['sun_direction'],
+                        carry['frame_index'],
+                        max_steps=settings.shadow_max_steps,
+                        sp_mesh=sp_mesh)
+                    raw_h = shadows_mod.checkerboard_unpack(raw_c, par)
+                else:
+                    raw_h = shadows_mod.trace_shadow_mask(
+                        bvh, wp_h, n_h, d_h > 0.0,
+                        -frame_inputs['sun_direction'],
+                        carry['frame_index'],
+                        max_steps=settings.shadow_max_steps,
+                        sp_mesh=sp_mesh)
                 from toyrenderer_tpu.ops.texture import _quad_expand_ch
                 raw = raw_h[..., None]
                 for _ in range(sc.bit_length() - 1):   # log2(sc) doublings

@@ -133,3 +133,48 @@ def trace_shadow_mask(bvh, world_pos, normal, hit_mask, sun_dir_to_light,
     ndotl = jnp.sum(normal * sun_dir_to_light, -1)
     lit = jnp.where(ndotl <= 0.0, 0.0, lit)
     return jnp.where(hit_mask, lit, 1.0)
+
+
+def checkerboard_pack(imgs, parity):
+    """Compact the checkerboard half of each (H, W[, C]) image to
+    (H, W//2[, C]).
+
+    Kept cells are x where (x + y + parity) % 2 == 0, i.e. for row y the
+    columns x = 2k + ((y + parity) % 2).  `parity` is a traced int32
+    scalar (frame parity), so alternating frames trace complementary
+    halves and the temporal accumulator in denoise_shadow recovers full
+    half-res sampling on static content — the NRD-style checkerboard
+    trick (the reference leans on SIGMA the same way for 1-spp rays,
+    shadowmask.hlsl:65-145; on TPU the same denoiser investment buys a
+    2x ray cut instead).
+    """
+    out = []
+    for img in imgs:
+        h, w = img.shape[:2]
+        x = img.reshape(h, w // 2, 2, *img.shape[2:])
+        ys = jax.lax.broadcasted_iota(jnp.int32, (h,), 0)
+        sel = (((ys + parity) % 2) == 1)
+        selb = sel.reshape(h, *([1] * (x.ndim - 2)))
+        out.append(jnp.where(selb, x[:, :, 1], x[:, :, 0]))
+    return out
+
+
+def checkerboard_unpack(traced, parity):
+    """Expand a packed (H, K) traced grid back to (H, 2K).
+
+    Traced cells keep their value; the untraced half is filled with the
+    mean of its two horizontal neighbours (both traced this frame, same
+    row — no cross-row relayout).  The full-res temporal accumulate +
+    depth-aware blur absorbs the fill the way it absorbs 1-spp cone
+    noise; the complementary parity next frame makes the fill transient.
+    """
+    h, k = traced.shape
+    right = jnp.concatenate([traced[:, 1:], traced[:, -1:]], axis=1)
+    left = jnp.concatenate([traced[:, :1], traced[:, :-1]], axis=1)
+    fill0 = 0.5 * (traced + right)   # parity-even rows: odd x untraced
+    fill1 = 0.5 * (left + traced)    # parity-odd rows: even x untraced
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)
+    sel = (((ys + parity) % 2) == 1)
+    even = jnp.where(sel, fill1, traced)
+    odd = jnp.where(sel, traced, fill0)
+    return jnp.stack([even, odd], axis=2).reshape(h, 2 * k)
