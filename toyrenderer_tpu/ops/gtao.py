@@ -45,7 +45,7 @@ def _shift2d(img, dy: int, dx: int):
 def gtao(depth, normal_world, cam_pos, inv_view_proj, frame_index,
          radius: float = 1.5, n_slices: int = 3, n_steps: int = 5,
          power: float = 1.2, radius_dither: float = 0.6,
-         checker_phases: bool = True):
+         checker_phases: bool = True, checker_b_slices: int = 0):
     """Compute AO (H, W) in [0, 1] (1 = fully open).
 
     Args:
@@ -76,11 +76,16 @@ def gtao(depth, normal_world, cam_pos, inv_view_proj, frame_index,
     # decorrelate at pixel scale (the reference's per-pixel Hilbert-noise
     # rotation achieves the same; AmbientOcclusionRenderer.cpp:44-71).
     # Costs one extra AO evaluation; every sample stays a static shift.
+    # Phase B exists only for that pixel-scale decorrelation (its pixels
+    # are further blurred + TAA-integrated), so it runs with ~half the
+    # slices — the cheap half of the quality trade (checker_b_slices=0
+    # -> ceil(n/2); pass n_slices to restore the symmetric evaluation).
+    b_slices = checker_b_slices or max(1, (n_slices + 1) // 2)
     ao_a = _gtao_static(depth, pos, normal_world, v, hit, frame_index,
                         radius_px, n_slices, n_steps, power)
     ao_b = _gtao_static(depth, pos, normal_world, v, hit,
                         frame_index + _N_ROT_PHASES // 2,
-                        radius_px, n_slices, n_steps, power)
+                        radius_px, b_slices, n_steps, power)
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     checker = ((xx ^ yy) & 1) == 0

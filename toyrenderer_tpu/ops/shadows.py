@@ -124,13 +124,18 @@ def trace_shadow_mask(bvh, world_pos, normal, hit_mask, sun_dir_to_light,
             r1, r2, half_angle)
 
     from toyrenderer_tpu.ops.bvh_pallas import traverse_auto
-    live = to_blocks(jnp.ones((h, w), jnp.float32))   # pad rays dead
+    # sky and sun-backfacing pixels get their value from the wheres
+    # below no matter what the trace returns — mask their rays off so
+    # fully-dead 64x64 packets (away-facing walls, sky regions) exit
+    # immediately and partial packets shrink their scalar prefilter
+    # interval to the rays that matter
+    ndotl = jnp.sum(normal * sun_dir_to_light, -1)
+    live = to_blocks((hit_mask & (ndotl > 0.0)).astype(jnp.float32))
     res = traverse_auto(bvh, to_blocks(origins), to_blocks(dirs),
                         t_max=t_max, max_steps=max_steps, any_hit=True,
                         live=live, sp_mesh=sp_mesh, group_dirs=gd)
     lit = 1.0 - from_blocks(res['hit'].astype(jnp.float32))
     # facing away from the sun is its own shadow; sky stays lit
-    ndotl = jnp.sum(normal * sun_dir_to_light, -1)
     lit = jnp.where(ndotl <= 0.0, 0.0, lit)
     return jnp.where(hit_mask, lit, 1.0)
 
