@@ -76,11 +76,14 @@ def gtao(depth, normal_world, cam_pos, inv_view_proj, frame_index,
     # decorrelate at pixel scale (the reference's per-pixel Hilbert-noise
     # rotation achieves the same; AmbientOcclusionRenderer.cpp:44-71).
     # Costs one extra AO evaluation; every sample stays a static shift.
-    # Phase B exists only for that pixel-scale decorrelation (its pixels
-    # are further blurred + TAA-integrated), so it runs with ~half the
-    # slices — the cheap half of the quality trade (checker_b_slices=0
-    # -> ceil(n/2); pass n_slices to restore the symmetric evaluation).
-    b_slices = checker_b_slices or max(1, (n_slices + 1) // 2)
+    # checker_b_slices < n_slices evaluates phase B with fewer slices
+    # (it exists only for pixel-scale decorrelation and is blurred +
+    # TAA-integrated afterwards).  Measured ~0.7 ms at 1080p for
+    # b=ceil(n/2), but at n_slices=3 the 2-slice phase-B estimator is
+    # biased enough to FAIL the de-banding quality gate
+    # (test_debanding_on_slanted_wall) — so the default stays symmetric
+    # and the knob is for supervised experiments only.
+    b_slices = checker_b_slices or n_slices
     ao_a = _gtao_static(depth, pos, normal_world, v, hit, frame_index,
                         radius_px, n_slices, n_steps, power)
     ao_b = _gtao_static(depth, pos, normal_world, v, hit,
